@@ -1,0 +1,1 @@
+"""Relational operator inventory (SURVEY.md §2), one module per family."""

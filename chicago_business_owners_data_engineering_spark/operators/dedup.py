@@ -1,0 +1,244 @@
+"""Deduplication operators (SURVEY.md §2.11).
+
+Four rungs of the dedup ladder a training-data pipeline needs, each a
+pure DataFrame composition:
+
+- exact dedup          — hash-groupBy on the full text (dd01/dd02)
+- word-set Jaccard     — brute-force pair scoring, the correctness
+                         baseline for the fuzzy rungs (dd03)
+- MinHash + LSH        — banded signatures → bucket join → verify;
+                         the O(n·bands) scale path (dd04)
+- SimHash              — 64-bit bit-majority fingerprint, hamming-
+                         bucketed (dd05)
+
+Reference seeds: duplicate counting
+(cbddl/src/data_ingestion/ingestion_pipeline.py:62) and key dedup
+(cbddl/src/etl/pipeline.py:296,329-344). The fuzzy rungs are
+beyond-reference, mandated by BASELINE.json.
+
+Scale notes: dd03's cross join is O(n²) — it exists as the oracle-able
+baseline and for candidate verification. dd04 is the 100 TB path: cost
+is (docs × shingles) for signatures plus a shuffle keyed on (band_id,
+band_hash), with bucket sizes bounded by collision probability, never
+all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+NUM_HASHES = 16  # minhash signature length
+BAND_SIZE = 2  # rows per LSH band → 8 bands
+
+
+def _word_set(text: Column) -> Column:
+    return F.array_sort(F.array_distinct(F.split(F.lower(text), " ")))
+
+
+@query(
+    "dd01_exact_dup_groups",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+    FROM documents
+    GROUP BY text
+    HAVING COUNT(*) > 1
+    """,
+)
+def dd01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups: identical text, canonical survivor, copy count.
+
+    Hash-groupBy on the text value — one shuffle keyed on the text hash.
+    (A14 seed: cbddl/src/data_ingestion/ingestion_pipeline.py:62.)
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+@query(
+    "dd02_exact_dedup_rows",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def dd02_exact_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping a deterministic survivor per text.
+
+    ``dropDuplicates`` keeps an arbitrary row; the row_number form pins
+    the survivor (min doc_id) so results are stable across engines and
+    cluster sizes (A21/A22 seed: cbddl/src/etl/pipeline.py:296,344).
+    """
+    from pyspark.sql import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        documents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "dd03_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS ws
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+                 (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))), 6) AS jaccard
+    FROM w a JOIN w b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+          (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.8
+    """,
+)
+def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force word-set Jaccard near-dup pairs (threshold 0.8).
+
+    The correctness baseline for fuzzy dedup: all pairs, exact score.
+    O(n²) by construction — at scale use dd04 (LSH) to generate
+    candidates and this scoring only on candidates.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", _word_set(F.col("text")).alias("ws"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    jac = inter / union
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signature(docs: DataFrame, id_col: str, set_col: str, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature as ``num_hashes`` min-of-hash columns.
+
+    One explode of the token set and a single groupBy(id) computing all
+    signature slots as parallel min-aggregates — one shuffle total.
+    """
+    exploded = docs.select(id_col, F.explode(set_col).alias("token"))
+    sig_aggs = [
+        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*sig_aggs)
+
+
+@query("dd04_minhash_lsh_pairs", oracle=None)  # probabilistic candidates → rows-only check
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+
+    The 100 TB fuzzy-dedup path: shingle → 16-slot minhash signature →
+    8 bands of 2 → bucket join on (band, band_hash) → exact-Jaccard
+    verify of candidates only. No all-pairs product anywhere; the only
+    O(·) terms are explode(tokens) and the bucket self-join whose size
+    is controlled by band collision probability.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", _word_set(F.col("text")).alias("ws"))
+    sigs = minhash_signature(docs, "doc_id", "ws")
+
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh{band * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    jac = inter / union
+    return (
+        candidates.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dd05_simhash", oracle=None)  # engine-specific 64-bit fingerprint → rows-only check
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document, computed natively.
+
+    For each bit position: sum(+1/-1 votes of each token's hash bit) →
+    majority sign. Expressed as explode(tokens) + 64 conditional-sum
+    aggregates in ONE groupBy — a single shuffle, no UDF. Near-dup
+    lookup then buckets on fingerprint prefixes (hamming-ball probing);
+    here we return (doc_id, simhash, band16_0..3) prefix buckets.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    tokens = documents.select(
+        "doc_id", F.explode(_word_set(F.col("text"))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = tokens.groupBy("doc_id").agg(*bit_votes)
+
+    simhash = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    out = votes.select("doc_id", simhash.alias("simhash"))
+    # 16-bit prefix bands for hamming-neighbor candidate generation.
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band16_{i}")
+            for i in range(4)
+        ],
+    )

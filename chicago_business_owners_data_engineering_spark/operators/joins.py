@@ -1,0 +1,227 @@
+"""Join operators (SURVEY.md §2.3, J1–J7).
+
+Physical-strategy posture: dimension tables (region/nation/customer/
+supplier/part) get explicit ``F.broadcast`` hints — at warehouse scale
+the fact side never shuffles for these joins. Fact-to-fact joins
+(lineitem ⋈ orders) are left to Catalyst, which picks sort-merge with
+AQE skew splitting; both sides shuffle on the join key once and the
+partitioning is reusable by downstream aggregation on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "j01_inner_equi_join",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name,
+           c.c_mktsegment AS mktsegment, o.o_totalprice AS totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j01_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dimension, broadcast.
+
+    J1: staging ⋈ dim_business on account_number
+    (cbddl/src/etl/pipeline.py:392). customer is a dimension → broadcast
+    hash join, no shuffle of orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "j02_disjunctive_join",
+    oracle="""
+    SELECT DISTINCT c.c_custkey AS custkey, s.s_suppkey AS suppkey
+    FROM customer c
+    JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey OR c.c_custkey = s.s_suppkey
+    """,
+)
+def j02_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-predicate join rewritten as a union of two equi-joins.
+
+    J2: staging ⋈ dim_owner ON (first=first AND last=last) OR
+    (entity=entity) (cbddl/src/etl/pipeline.py:393-396). A literal OR
+    join degenerates to a broadcast-nested-loop (O(n·m) at scale); the
+    union-of-equi-joins rewrite keeps both arms hash joins, and the
+    dedup on the output grain removes rows matching both disjuncts —
+    exactly the reference's row semantics.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    arm1 = customer.join(
+        F.broadcast(supplier), customer.c_nationkey == supplier.s_nationkey
+    ).select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
+    arm2 = customer.join(
+        F.broadcast(supplier), customer.c_custkey == supplier.s_suppkey
+    ).select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
+    return arm1.unionByName(arm2).dropDuplicates(["custkey", "suppkey"])
+
+
+@query(
+    "j03_multiway_star_join",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS num_customers, ROUND(SUM(c.c_acctbal), 4) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def j03_multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join with aggregation.
+
+    J3-shaped: staging ⋈ dim_role plus the snowflake chain
+    (cbddl/src/etl/pipeline.py:397,432-436). Both dims broadcast; the
+    only shuffle is the final small groupBy.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("num_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "j04_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           COUNT(o.o_orderkey) AS num_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 4) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def j04_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched dimension rows.
+
+    J4: dim_business ⟕ fact chains (cbddl/src/etl/pipeline.py:432-436;
+    cbddl/database/schema.sql:243-247). COUNT(col) counts only matched
+    rows — null-join rows contribute 0, matching SQL semantics.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name"))
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "j05_anti_join_integrity",
+    oracle="""
+    SELECT COUNT(*) AS orphan_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def j05_anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join referential-integrity orphan count.
+
+    J5: fact ⟕ dim WHERE dim.key IS NULL → count
+    (cbddl/src/etl/pipeline.py:573-591). Broadcast anti join: one scan of
+    the fact side, no shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    orphans = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left_anti"
+    )
+    return orphans.agg(F.count("*").alias("orphan_orders"))
+
+
+@query(
+    "j06_scalar_subquery_argmax",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS num_orders,
+           (SELECT o_orderpriority FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1) AS most_common_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def j06_scalar_subquery_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery argmax attached as a constant column.
+
+    J6: ``(SELECT title ... ORDER BY count DESC LIMIT 1)``
+    (cbddl/src/etl/pipeline.py:517-522). Computed as a 1-row aggregate
+    cross-joined onto the grouped result — Catalyst turns the 1-row side
+    into a broadcast, so this is two small aggregations, not a
+    correlated per-row subquery. Deterministic tie-break added on the
+    argmax.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    top = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("most_common_priority"))
+    )
+    by_status = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("num_orders")
+    )
+    return by_status.crossJoin(F.broadcast(top))
+
+
+@query(
+    "j07_fact_fact_join",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+           ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS net_price,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS priority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def j07_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-to-large equi-join with a pushed-down filter.
+
+    J7: Account Number linkage across datasets (readme.md:70-71,83).
+    Catalyst pushes o_orderstatus='O' below the join (smaller build
+    side), then picks sort-merge or shuffled-hash with AQE handling any
+    orderkey skew. The join keys partition both sides identically, so a
+    downstream groupBy(orderkey) reuses the exchange.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("o_orderpriority").alias("priority"),
+    )

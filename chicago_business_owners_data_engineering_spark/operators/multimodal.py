@@ -1,0 +1,138 @@
+"""Multimodal (binary) column handling (SURVEY.md §2.11).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The container ships no codec libraries, so the *decode* step is
+a clearly-marked stub (deterministic fake) — but every Spark-side piece
+is real: binary column construction, typed metadata schema, Arrow-batch
+``mapInPandas`` plumbing with bounded batch sizes, and partition-safe
+feature extraction.
+
+The ``documents`` table stands in for a media table: ``text`` bytes play
+the payload; the same plumbing applies unchanged to real JPEG/WAV bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Schema the decode stub would produce for real media.
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, "
+    "width int, height int, n_frames int, checksum string"
+)
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """STUB — media decoding is not available in this environment.
+
+    A real deployment plugs pillow/ffmpeg here. The deterministic fake
+    below derives pseudo-dimensions from the payload bytes so the
+    pipeline around it (schema, batching, partitioning) is fully
+    exercised and testable.
+    """
+    if media_type not in ("image", "audio", "video", "text"):
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    h = 0
+    for byt in payload[:64]:
+        h = (h * 131 + byt) % 100000
+    return {
+        "width": 64 + h % 1024,
+        "height": 64 + (h // 7) % 1024,
+        "n_frames": 1 + h % 32,
+    }
+
+
+@query(
+    "mm01_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(CAST(text AS BLOB)) AS byte_len,
+           MD5(text) AS checksum,
+           'text' AS media_type
+    FROM documents
+    """,
+)
+def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column + typed metadata, all native.
+
+    Payload bytes → length + checksum + modality tag. At scale this is
+    the manifest pass over a media lake: pure projection, no shuffle,
+    and the binary column's pages are only read for these two cheap
+    expressions.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        "doc_id",
+        F.octet_length(payload).alias("byte_len"),
+        F.md5(payload).alias("checksum"),
+        F.lit("text").alias("media_type"),
+    )
+
+
+@query("mm02_decode_features", oracle=None)  # decode stub is engine-side → rows-only check
+def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over mapInPandas.
+
+    The real multimodal hot path: binary payloads stream through
+    ``mapInPandas`` in bounded Arrow batches (never one row per Python
+    call, never a whole partition materialized), emitting a typed
+    feature row per media object. The decoder itself is the documented
+    stub in :func:`decode_media`.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    src = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(bytes(p), "text") for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "text",
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([f["width"] for f in feats], dtype="int32"),
+                    "height": pd.Series([f["height"] for f in feats], dtype="int32"),
+                    "n_frames": pd.Series([f["n_frames"] for f in feats], dtype="int32"),
+                    "checksum": [__import__("hashlib").md5(bytes(p)).hexdigest() for p in pdf["payload"]],
+                }
+            )
+            yield out
+
+    return src.mapInPandas(extract, schema=DECODED_SCHEMA)
+
+
+@query(
+    "mm03_frame_sample_plan",
+    oracle="""
+    SELECT doc_id, frame_idx
+    FROM (
+        SELECT doc_id, UNNEST(RANGE(0, GREATEST(1, CAST(FLOOR(n_chars / 100) AS BIGINT)))) AS frame_idx
+        FROM documents
+    )
+    WHERE frame_idx % 2 = 0
+    """,
+)
+def mm03_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: one row per (media, sampled frame index).
+
+    The explode-based fan-out a video pipeline uses to schedule frame
+    decodes — generated natively from metadata (duration → frame count
+    → stride sample) so the expensive decode only runs on sampled
+    frames. n_chars/100 stands in for a duration-derived frame count.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_frames = F.greatest(F.lit(1).cast("long"), F.floor(F.col("n_chars") / 100).cast("long"))
+    return (
+        documents.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+        )
+        .filter(F.col("frame_idx") % 2 == 0)
+    )

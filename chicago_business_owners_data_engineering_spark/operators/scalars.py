@@ -1,0 +1,327 @@
+"""Scalar-function surface (SURVEY.md §2.8, F1–F20).
+
+Every scalar family the reference uses, as native Column expressions —
+all of these fuse into whole-stage codegen (no shuffle, no UDF). The
+cleaning semantics (null-token map, trim/upper, concat_ws null-skip)
+live in :mod:`..functions.cleaning` and are exercised here plus in unit
+tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.cleaning import normalize_string, null_if_token
+from ..registry import query
+
+
+@query(
+    "f01_normalize_strings",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           UPPER(TRIM(p_name)) AS name_norm,
+           NULLIF(TRIM(p_brand), '') AS brand_norm
+    FROM part
+    """,
+)
+def f01_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim + uppercase + empty→null normalization.
+
+    F1/F2: ``str.strip().str.upper()`` + ``.replace('', nan)``
+    (cbddl/src/data_ingestion/ingestion_pipeline.py:86-99;
+    cbddl/src/etl/pipeline.py:131-134).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        normalize_string(F.col("p_name")).alias("name_norm"),
+        null_if_token(F.trim(F.col("p_brand"))).alias("brand_norm"),
+    )
+
+
+@query(
+    "f03_concat_ws_names",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           CONCAT_WS(' ', NULLIF(c_mktsegment, 'FURNITURE'), c_name) AS display_name
+    FROM customer
+    """,
+)
+def f03_concat_ws_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-skipping string concatenation (the combine_name semantics).
+
+    F3/U1: the reference's only true row-UDF — first/mi/last/suffix
+    joined skipping nulls (cbddl/src/data_ingestion/ingestion_pipeline.py:109-123,
+    3 copies) — replaced by ``concat_ws``, which skips NULLs exactly like
+    the pandas apply. NULLIF injects nulls to prove the skip.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat_ws(
+            " ", F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE")), F.col("c_name")
+        ).alias("display_name"),
+    )
+
+
+@query(
+    "f08_case_classification",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           CASE
+               WHEN p_size < 10 THEN 'small'
+               WHEN p_size < 30 THEN 'medium'
+               ELSE 'large'
+           END AS size_class,
+           CASE
+               WHEN p_type IN ('PROMO', 'ECONOMY') THEN 'discount'
+               WHEN p_type = 'STANDARD' THEN 'standard'
+               ELSE 'premium'
+           END AS tier
+    FROM part
+    """,
+)
+def f08_case_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CASE WHEN classification (F8/U4).
+
+    business_type / size-bucket / role-category classifiers
+    (cbddl/src/etl/pipeline.py:299-310;
+    cbddl/src/big_data/streaming_processor.py:285-307).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.when(F.col("p_type").isin("PROMO", "ECONOMY"), "discount")
+        .when(F.col("p_type") == "STANDARD", "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+
+
+@query(
+    "f12_date_parts",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+           CAST(MONTH(o_orderdate) AS INT) AS mon,
+           CAST(DAY(o_orderdate) AS INT) AS dom,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow,
+           DAYNAME(o_orderdate) AS day_name,
+           MONTHNAME(o_orderdate) AS month_name,
+           DAYOFWEEK(o_orderdate) IN (0, 6) AS is_weekend
+    FROM orders
+    """,
+)
+def f12_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + calendar names + weekend flag.
+
+    F12: EXTRACT(YEAR/QUARTER/MONTH/DAY/DOW), TO_CHAR day/month names
+    (cbddl/database/schema.sql:300-311). DOW normalized to DuckDB's
+    0=Sunday..6 convention (Spark's dayofweek is 1=Sunday..7).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    dow0 = (F.dayofweek(d) - 1).cast("int")  # 0=Sunday .. 6=Saturday
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        dow0.alias("dow"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        dow0.isin(0, 6).alias("is_weekend"),
+    )
+
+
+@query(
+    "f13_time_arith",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 1 DAY AS ts_plus_day,
+           DATE_TRUNC('hour', ts) AS ts_hour,
+           ts > TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 24 HOUR AS in_last_day
+    FROM events
+    """,
+)
+def f13_time_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + truncation + recency predicate.
+
+    F13/P9: CURRENT_TIMESTAMP - INTERVAL '1 hour' patterns
+    (cbddl/src/monitoring/pipeline_monitor.py:165; cbddl/database/schema.sql:314)
+    with a fixed anchor replacing NOW() for determinism.
+    """
+    events = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    return events.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts_plus_day"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        (F.col("ts") > anchor - F.expr("INTERVAL 24 HOURS")).alias("in_last_day"),
+    )
+
+
+@query(
+    "f14_epoch_diff",
+    oracle="""
+    SELECT event_id,
+           DATE_DIFF('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS secs_since_epoch_start
+    FROM events
+    """,
+)
+def f14_epoch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-second timestamp difference.
+
+    F14: ``EXTRACT(EPOCH FROM (processed_at - created_at))``
+    (cbddl/src/monitoring/pipeline_monitor.py:163,355).
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return events.select(
+        "event_id",
+        (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(base)).alias(
+            "secs_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "f15_strftime_partition_key",
+    oracle="""
+    SELECT DISTINCT STRFTIME(o_orderdate, '%Y%m%d') AS date_key
+    FROM orders
+    """,
+)
+def f15_strftime_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """yyyyMMdd partition/batch key formatting.
+
+    F15: ``%Y%m%d`` partition ids (cbddl/src/data_lake/storage_manager.py:60;
+    cbddl/src/etl/pipeline.py:30) — the date= lake partition key (S7).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.date_format(F.col("o_orderdate"), "yyyyMMdd").alias("date_key")
+    ).distinct()
+
+
+@query(
+    "f16_surrogate_keys",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           MD5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)) AS surrogate_key
+    FROM orders
+    """,
+)
+def f16_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys (content-hash of the natural key).
+
+    F16: the reference uses uuid4 (cbddl/database/schema.sql:14) —
+    nondeterministic and unjoinable across reruns. A content hash keys
+    identically on every run and every executor; ``uuid()`` remains
+    available where true randomness is wanted (plans/warehouse.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.md5(
+            F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string"))
+        ).alias("surrogate_key"),
+    )
+
+
+@query(
+    "f18_json_decode",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+)
+def f18_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string payload.
+
+    F18: ``json.loads`` on Kafka messages
+    (cbddl/src/big_data/streaming_processor.py:73). get_json_object
+    pushes a single-path extraction; from_json with a schema is used in
+    streaming/jobs.py where the whole payload is needed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query(
+    "f19_array_ops",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_distinct_types,
+           ROUND(COUNT(DISTINCT event_type) * 1.0 / COUNT(*), 6) AS uniqueness_ratio
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def f19_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collected-list size / distinct-size / uniqueness ratio.
+
+    F19: ``len(owners)``, ``set(owners)`` ratios
+    (cbddl/src/big_data/streaming_processor.py:260-283;
+    cbddl/src/api/main.py:181-185). Computed via collect_list/
+    array_distinct to exercise the array path — semantically the
+    count/countDistinct the oracle states.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.size(F.collect_list("event_type")).cast("long").alias("n_events"),
+        F.size(F.array_distinct(F.collect_list("event_type"))).cast("long").alias(
+            "n_distinct_types"
+        ),
+        F.round(
+            F.size(F.array_distinct(F.collect_list("event_type")))
+            / F.size(F.collect_list("event_type")),
+            6,
+        ).alias("uniqueness_ratio"),
+    )
+
+
+@query(
+    "f13b_date_sequence",
+    oracle="""
+    SELECT CAST(d AS DATE) AS cal_date,
+           CAST(YEAR(d) AS INT) AS yr,
+           CAST(MONTH(d) AS INT) AS mon
+    FROM (
+        SELECT UNNEST(GENERATE_SERIES(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS d
+    )
+    """,
+)
+def f13b_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension generator via sequence().
+
+    F13: the reference populates dim_date with a SQL loop
+    (cbddl/database/schema.sql:289-317); ``sequence()`` + explode
+    generates the calendar declaratively.
+    """
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cal_date")
+    ).select(
+        "cal_date",
+        F.year("cal_date").cast("int").alias("yr"),
+        F.month("cal_date").cast("int").alias("mon"),
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding vectors (SURVEY.md §2.11).
+
+The ``embeddings`` table carries ``array<float>`` vectors. Dot products
+and norms are expressed with the native higher-order functions
+``zip_with`` + ``aggregate`` — JVM-side, no Python in the row path.
+
+- sim01: brute-force cosine top-k for one query vector (the exactness
+  baseline; linear scan, embarrassingly parallel).
+- sim02: all-pairs near-neighbor above a cosine threshold (oracle-able
+  at test scale).
+- sim03: IVF-style pruned search — coarse centroids (one per label
+  partition), probe the nearest ``nprobe`` cells, scan only those.
+  At 100 TB the cell assignment is the partition key, so a query scans
+  nprobe/ncells of the data instead of all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+QUERY_VEC_ID = 0  # fixed probe vector for deterministic top-k queries
+TOP_K = 10
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM-side, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@query(
+    "sim01_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a fixed query vector.
+
+    Linear scan + TakeOrderedAndProject: every partition scores its
+    vectors against the broadcast 1-row query and keeps a k-heap; the
+    driver merges k rows per partition. The exact-search baseline that
+    sim03 approximates.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = embeddings.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cos = F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6)
+    return (
+        embeddings.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "sim02_near_dup_vectors",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                 (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                  SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+           SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95
+    """,
+)
+def sim02_near_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95).
+
+    Brute-force all-pairs — the §2.11 embedding near-dup baseline,
+    oracle-checked exactly. The scale path replaces the cross join with
+    sim03's cell assignment (pairs within a cell) or LSH random
+    hyperplanes (dd05's simhash over embedding signs).
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    cos = cosine(F.col("a.embedding").cast("array<double>"), F.col("b.embedding").cast("array<double>"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@query("sim03_ivf_topk", oracle=None)  # approximate (pruned) search → rows-only check
+def sim03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize, probe nearest cells.
+
+    Plan shape (all native ops):
+      1. centroids: per-cell mean vector via explode(posexplode) +
+         groupBy(cell, dim) + re-assemble — cells here are the data's
+         label partitions (a k-means assignment would slot in the same
+         plan).
+      2. probe: score query against ncells centroids, keep nprobe=3.
+      3. scan only vectors in probed cells (partition-pruned at scale),
+         exact cosine + top-k.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+
+    # 1. per-label centroids: positional explode → mean per (label, pos) → collect ordered
+    pos = embeddings.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+    centroid = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s.mean_val,
+            ).alias("centroid")
+        )
+    )
+
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+
+    # 2. nearest nprobe cells by centroid cosine
+    probed = (
+        centroid.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("cell_sim"))
+        .orderBy(F.desc("cell_sim"), F.asc("label"))
+        .limit(3)
+        .select("label")
+    )
+
+    # 3. exact scoring restricted to probed cells
+    cos = F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6)
+    return (
+        embeddings.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "sim04_centroid_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+           ROUND(MIN(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           ROUND(MAX(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim04_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell vector-norm statistics — the sanity/maintenance query of
+    a vector index (detects unnormalized or degenerate cells). Native
+    higher-order aggregate per row, one small groupBy."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    n = norm(F.col("embedding").cast("array<double>"))
+    return (
+        embeddings.select("label", n.alias("vnorm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("vnorm"), 6).alias("avg_norm"),
+            F.round(F.min("vnorm"), 6).alias("min_norm"),
+            F.round(F.max("vnorm"), 6).alias("max_norm"),
+        )
+    )

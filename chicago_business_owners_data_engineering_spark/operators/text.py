@@ -1,0 +1,204 @@
+"""Text-analysis operators (SURVEY.md §2.4 A18–A19, §2.11 text analysis).
+
+Word extraction in the reference is a driver-side ``re.findall`` +
+``Counter`` (cbddl/src/analytics/demographics_analyzer.py:161-182).
+Here every text operator is expressed with native string/array/
+higher-order functions — ``split`` / ``explode`` / ``filter`` /
+``aggregate`` — so the whole path stays inside whole-stage codegen and
+scales by partitioning documents, with the word-count shuffle keyed on
+the (bounded-vocabulary) word.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Tiny stopword list used by the quality scorer; kept identical in the
+# DuckDB oracle strings below.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+
+@query(
+    "a18_word_frequency",
+    oracle="""
+    SELECT word, COUNT(*) AS count
+    FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents)
+    WHERE LENGTH(word) >= 3
+    GROUP BY word
+    ORDER BY count DESC, word ASC
+    LIMIT 50
+    """,
+)
+def a18_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency: tokenize → explode → count → top-50.
+
+    A18/U5: ``re.findall(r'\\b[a-zA-Z]{3,}\\b')`` + Counter.most_common(50)
+    (cbddl/src/analytics/demographics_analyzer.py:173-182). explode is
+    the UDTF-equivalent; the count shuffles on the word key whose
+    cardinality is the vocabulary, not the corpus.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = documents.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 3)
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "a19_suffix_frequency",
+    oracle="""
+    SELECT STRING_SPLIT(p_name, ' ')[-1] AS suffix, COUNT(*) AS count
+    FROM part
+    GROUP BY suffix
+    ORDER BY count DESC, suffix ASC
+    """,
+)
+def a19_suffix_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-token (suffix) frequency table.
+
+    A19: business-name suffix Counter.most_common(20)
+    (cbddl/src/analytics/demographics_analyzer.py:161-171).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.element_at(F.split(F.col("p_name"), " "), -1).alias("suffix"))
+        .groupBy("suffix")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("suffix"))
+    )
+
+
+def _stopword_count(words: Column) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+
+
+@query(
+    "tx01_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_words,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(uniq_ratio, 6) AS uniq_ratio,
+           (n_words >= 20 AND stop_ratio < 0.5 AND uniq_ratio > 0.2) AS is_quality
+    FROM (
+        SELECT doc_id,
+               LEN(words) AS n_words,
+               LEN(LIST_FILTER(words, w -> w IN {STOPWORDS})) * 1.0 / LEN(words) AS stop_ratio,
+               LEN(LIST_DISTINCT(words)) * 1.0 / LEN(words) AS uniq_ratio
+        FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS words FROM documents)
+    )
+    """,
+)
+def tx01_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token count, stopword ratio, lexical
+    diversity, and a composite keep/drop flag.
+
+    §2.11 text-analysis mandate; generalizes the reference's
+    length-and-keyword heuristics
+    (cbddl/src/analytics/demographics_analyzer.py:103-137). Pure
+    higher-order array functions — zero Python in the row path.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    tokens = documents.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        (_stopword_count(words) / F.size(words)).alias("stop_ratio_raw"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("uniq_ratio_raw"),
+    )
+    return tokens.select(
+        "doc_id",
+        "n_words",
+        F.round("stop_ratio_raw", 6).alias("stop_ratio"),
+        F.round("uniq_ratio_raw", 6).alias("uniq_ratio"),
+        (
+            (F.col("n_words") >= 20)
+            & (F.col("stop_ratio_raw") < 0.5)
+            & (F.col("uniq_ratio_raw") > 0.2)
+        ).alias("is_quality"),
+    )
+
+
+@query(
+    "tx02_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def tx02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (word / number / single-symbol pieces) — the pre-tokenization pass
+    of a training-data pipeline (§2.11)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "tx03_language_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+               WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                        w -> w IN ('the', 'a', 'of', 'and', 'is'))) >= 2 THEN 'en'
+               ELSE 'unknown'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-marker voting (§2.11).
+
+    A real n-gram model would broadcast per-language n-gram tables and
+    score with the same higher-order-function shape; the marker
+    heuristic keeps the plan identical and the output deterministic.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    en_markers = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(en_markers >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "tx04_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: sorted distinct token set → md5.
+
+    §2.11 fingerprinting; the normalized-key analog of the reference's
+    dedup keys (cbddl/src/etl/pipeline.py:344). Word-order-insensitive,
+    so reordered near-copies collide — the cheap first pass before
+    MinHash (see operators/dedup.py).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    canonical = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
+    )
+    return documents.select("doc_id", F.md5(canonical).alias("fingerprint"))

@@ -1,0 +1,203 @@
+"""Window-function operators (SURVEY.md §2.5, W1–W6).
+
+Windows partitioned by a key shuffle once on that key; windows over the
+whole frame (W4/W5) collapse to a single partition, so they are only
+applied AFTER aggregation has reduced the data to a small result —
+never over raw fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "w01_group_count_column",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey) > 1 AS cust_has_multiple
+    FROM orders
+    """,
+)
+def w01_group_count_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group count attached as a column (transform-count).
+
+    W1: ``groupby('Account Number').transform('count') > 1`` →
+    Has Multiple Owners (cbddl/src/data_ingestion/ingestion_pipeline.py:104).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        (F.count("*").over(w) > 1).alias("cust_has_multiple"),
+    )
+
+
+@query(
+    "w02_row_number_first_per_key",
+    oracle="""
+    SELECT orderkey, linenumber, is_primary
+    FROM (
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) = 1 AS is_primary
+        FROM lineitem
+    )
+    """,
+)
+def w02_row_number_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number()=1 flag marking the first row per key.
+
+    W2: ``ROW_NUMBER() OVER (PARTITION BY account ORDER BY created_at)=1``
+    → is_primary_owner (cbddl/src/etl/pipeline.py:389). The reference
+    orders by a tie-prone timestamp; we order by the unique linenumber so
+    the flag is deterministic.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return lineitem.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        (F.row_number().over(w) == 1).alias("is_primary"),
+    )
+
+
+@query(
+    "w03_uniqueness_flag",
+    oracle="""
+    SELECT c_name AS name, COUNT(*) OVER (PARTITION BY c_mktsegment) AS segment_size,
+           COUNT(*) OVER (PARTITION BY c_name) = 1 AS is_unique_name
+    FROM customer
+    """,
+)
+def w03_uniqueness_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-over-partition uniqueness flag.
+
+    W3: ``COUNT(*) OVER (PARTITION BY o.full_name) = 1`` → is_unique_name
+    (cbddl/src/etl/pipeline.py:464).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_name").alias("name"),
+        F.count("*").over(Window.partitionBy("c_mktsegment")).alias("segment_size"),
+        (F.count("*").over(Window.partitionBy("c_name")) == 1).alias("is_unique_name"),
+    )
+
+
+@query(
+    "w04_rank_by_aggregate",
+    oracle="""
+    SELECT value, count,
+           ROW_NUMBER() OVER (ORDER BY count DESC, value ASC) AS rank
+    FROM (
+        SELECT o_orderpriority AS value, COUNT(*) AS count
+        FROM orders GROUP BY o_orderpriority
+    )
+    """,
+)
+def w04_rank_by_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank over an aggregated frequency table.
+
+    W4: ``ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC)`` name_frequency_rank
+    (cbddl/src/etl/pipeline.py:465). The single-partition window runs on
+    the tiny aggregated result (5 rows here; bounded by key cardinality
+    at scale), never the raw table — and gets a value tie-break for
+    determinism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_orderpriority").alias("value")).agg(
+        F.count("*").alias("count")
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("value"))
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "w06_group_scores",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id) AS user_events,
+           ROUND(AVG(value) OVER (PARTITION BY user_id), 6) AS user_avg_value,
+           CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT)
+               AS user_type_diversity
+    FROM events
+    """,
+)
+def w06_group_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity scores as window aggregates (no pandas UDF needed).
+
+    W6/U3: groupby().transform(lambda) complexity/diversity scores
+    (cbddl/src/big_data/streaming_processor.py:522-532). Spark windows
+    don't support COUNT(DISTINCT) directly, so diversity is
+    size(collect_set()) over the same window — identical semantics,
+    still one shuffle on user_id shared by all three windows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("user_events"),
+        F.round(F.avg("value").over(w), 6).alias("user_avg_value"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("user_type_diversity"),
+    )
+
+
+@query(
+    "w07_lead_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+               AS delta_from_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def w07_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag offsets within an ordered partition.
+
+    Beyond the reference (SURVEY.md §2.5 notes lead/lag absent) —
+    included to round out the window surface our engine exposes.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_from_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "w08_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM events
+    """,
+)
+def w08_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit rows frame.
+
+    Beyond the reference (frame specs absent there) — exercises
+    rowsBetween frames.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )

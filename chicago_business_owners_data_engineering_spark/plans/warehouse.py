@@ -1,0 +1,359 @@
+"""Six-stage warehouse ETL — the flagship pipeline (SURVEY.md §3.2).
+
+Re-expresses the reference's SQL warehouse ETL
+(cbddl/src/etl/pipeline.py:33-83: extract_and_stage → assess_quality →
+load_dimensions → load_fact_tables → create_aggregations → validate) as
+lazy Spark jobs over the star-schema test tables, writing a
+medallion-layout parquet lake:
+
+    bronze/  staging snapshot (+ batch_id, staged_at, raw_json)
+    silver/  dimensions + facts (surrogate keys, SCD-less upsert)
+    gold/    daily + distribution aggregates
+
+Each stage is one DataFrame lineage; Catalyst plans the whole stage as
+one job (scan→project→join→agg fused by codegen), and every inter-stage
+boundary is a partitioned parquet write (S7) so downstream reads prune
+on the partition key.
+
+Scale notes: dims join via broadcast; the fact build's only big shuffle
+is lineitem⋈orders on orderkey (sort-merge + AQE); gold aggregates are
+map-side-partial hash aggs on low-cardinality keys. The upsert (A22,
+``ON CONFLICT DO UPDATE`` at cbddl/src/etl/pipeline.py:314-318) is
+implemented as union + row_number-latest-wins + dynamic partition
+overwrite — idempotent under re-runs, matching re-run behavior of the
+reference's ON CONFLICT.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# upsert primitive (A22)
+# --------------------------------------------------------------------------
+
+def upsert_by_key(
+    existing: DataFrame, updates: DataFrame, keys: list[str], version_col: str
+) -> DataFrame:
+    """Latest-wins merge of ``updates`` into ``existing`` by ``keys``.
+
+    Plain-parquet MERGE substitute: union both sides, keep the row with
+    the highest ``version_col`` per key (ties → updates side wins via a
+    source-rank tiebreak). One shuffle on the key; write back with
+    dynamic partition overwrite for idempotent re-runs. Delta's MERGE
+    INTO is the drop-in replacement when the table format allows.
+    """
+    e = existing.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(F.desc(version_col), F.desc("_src"))
+    return (
+        e.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+# --------------------------------------------------------------------------
+# the six stages
+# --------------------------------------------------------------------------
+
+def stage_bronze(spark: SparkSession, sf_dir: str, batch_id: str) -> DataFrame:
+    """Stage 1 — extract & stage (cbddl/src/etl/pipeline.py:85-120).
+
+    Raw orders snapshot + lineage columns + raw_json payload (F17,
+    the JSONB staging column at cbddl/database/schema.sql:23).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "*",
+        F.lit(batch_id).alias("batch_id"),
+        F.current_timestamp().alias("staged_at"),
+        F.to_json(F.struct(*orders.columns)).alias("raw_json"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"),
+    )
+
+
+def assess_quality(staged: DataFrame) -> DataFrame:
+    """Stage 2 — data-quality scorecard (cbddl/src/etl/pipeline.py:205-267).
+
+    Conditional-aggregate completeness per column + duplicate count in
+    one pass (A3/A14/A15).
+    """
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    n = F.count("*")
+    return staged.agg(
+        n.alias("total_rows"),
+        (n - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
+        *[
+            F.round(F.count(F.when(F.col(c).isNotNull(), 1)) * 100.0 / n, 2).alias(
+                f"{c}_completeness_pct"
+            )
+            for c in cols
+        ],
+    )
+
+
+def load_dimensions(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Stage 3 — dimension build (cbddl/src/etl/pipeline.py:269-355).
+
+    SELECT DISTINCT + deterministic surrogate keys (content hash, F16)
+    + a generated date dimension (F13, schema.sql:289-317).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+
+    dim_customer = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.md5(F.col("c_custkey").cast("string")).alias("customer_sk"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .dropDuplicates(["custkey"])
+    )
+
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"), F.max(F.to_date("o_orderdate")).alias("hi")
+    )
+    dim_date = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("cal_date")
+    ).select(
+        F.date_format("cal_date", "yyyyMMdd").alias("date_key"),
+        "cal_date",
+        F.year("cal_date").cast("int").alias("yr"),
+        F.quarter("cal_date").cast("int").alias("qtr"),
+        F.month("cal_date").cast("int").alias("mon"),
+        (F.dayofweek("cal_date") - 1).cast("int").alias("dow"),
+        ((F.dayofweek("cal_date") - 1).isin(0, 6)).alias("is_weekend"),
+    )
+
+    dim_priority = (
+        orders.select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .withColumn("priority_sk", F.md5("priority"))
+    )
+    return {"dim_customer": dim_customer, "dim_date": dim_date, "dim_priority": dim_priority}
+
+
+def load_facts(spark: SparkSession, sf_dir: str, dims: dict[str, DataFrame]) -> DataFrame:
+    """Stage 4 — fact build (cbddl/src/etl/pipeline.py:357-477).
+
+    lineitem ⋈ orders (the one big shuffle) ⋈ broadcast dims, with the
+    W2 is-first-line window flag on the fact grain.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(dims["dim_customer"]),
+            orders.o_custkey == dims["dim_customer"].custkey,
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("customer_sk"),
+            F.col("mktsegment"),
+            F.col("nation"),
+            F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+            F.col("l_quantity").alias("quantity"),
+            (F.row_number().over(w) == 1).alias("is_first_line"),
+        )
+    )
+
+
+def create_aggregations(facts: DataFrame) -> dict[str, DataFrame]:
+    """Stage 5 — gold aggregates (cbddl/src/etl/pipeline.py:479-565).
+
+    Daily rollup + priority distribution with pct-of-total (A24/W5).
+    """
+    agg_daily = facts.groupBy("date_key").agg(
+        F.countDistinct("orderkey").alias("num_orders"),
+        F.count("*").alias("num_lines"),
+        F.round(F.sum("net_price"), 4).alias("revenue"),
+    )
+    by_priority = facts.groupBy("priority").agg(F.count("*").alias("count"))
+    total = F.sum("count").over(Window.partitionBy())
+    agg_priority = by_priority.withColumn(
+        "pct", F.round(F.col("count") * 100.0 / total, 6)
+    )
+    return {"agg_daily": agg_daily, "agg_priority": agg_priority}
+
+
+def validate(facts: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """Stage 6 — referential-integrity validation (J5,
+    cbddl/src/etl/pipeline.py:567-609): orphan anti-join counts with a
+    pass/fail verdict row."""
+    orphan_cust = facts.join(
+        F.broadcast(dims["dim_customer"]), "customer_sk", "left_anti"
+    ).count()
+    orphan_date = facts.join(F.broadcast(dims["dim_date"]), "date_key", "left_anti").count()
+    spark = facts.sparkSession
+    return spark.createDataFrame(
+        [
+            ("fact→dim_customer orphans", orphan_cust, orphan_cust == 0),
+            ("fact→dim_date orphans", orphan_date, orphan_date == 0),
+        ],
+        "check string, orphans long, passed boolean",
+    )
+
+
+def run_warehouse_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str, batch_id: str = "batch_0"
+) -> DataFrame:
+    """Execute all six stages, writing the medallion lake under out_dir.
+
+    Returns the validation DataFrame (stage 6). Partitioned writes use
+    dynamic partition overwrite so re-running a batch replaces exactly
+    its partitions (idempotent upsert semantics, A22).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    staged = stage_bronze(spark, sf_dir, batch_id)
+    staged.write.mode("overwrite").partitionBy("date_key").parquet(
+        os.path.join(out_dir, "bronze", "orders_staged")
+    )
+    quality = assess_quality(staged)
+    quality.write.mode("overwrite").json(os.path.join(out_dir, "bronze", "quality_report"))
+
+    dims = load_dimensions(spark, sf_dir)
+    for name, df in dims.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, "silver", name))
+
+    facts = load_facts(spark, sf_dir, dims)
+    facts.write.mode("overwrite").partitionBy("date_key").parquet(
+        os.path.join(out_dir, "silver", "fact_order_lines")
+    )
+
+    facts_back = spark.read.parquet(os.path.join(out_dir, "silver", "fact_order_lines"))
+    for name, df in create_aggregations(facts_back).items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, "gold", name))
+
+    dims_back = {
+        name: spark.read.parquet(os.path.join(out_dir, "silver", name)) for name in dims
+    }
+    return validate(facts_back, dims_back)
+
+
+# --------------------------------------------------------------------------
+# registry entries (read-only analogs checked against the oracle)
+# --------------------------------------------------------------------------
+
+@query(
+    "wh01_daily_agg",
+    oracle="""
+    SELECT STRFTIME(o.o_orderdate, '%Y%m%d') AS date_key,
+           COUNT(DISTINCT l.l_orderkey) AS num_orders,
+           COUNT(*) AS num_lines,
+           ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def wh01_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold daily rollup computed end-to-end from raw tables —
+    the flagship pipeline's stages 4-5 as one lazy plan (the parquet
+    write boundaries removed, which is exactly what Catalyst fuses)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("num_orders"),
+            F.count("*").alias("num_lines"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "wh02_integrity_check",
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS orphan_lines,
+        (SELECT COUNT(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS orphan_orders
+    """,
+)
+def wh02_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-6 referential integrity as anti-join counts (J5)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    orphan_lines = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+    orphan_orders = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left_anti"
+    )
+    return orphan_lines.agg(F.count("*").alias("orphan_lines")).crossJoin(
+        orphan_orders.agg(F.count("*").alias("orphan_orders"))
+    )
+
+
+@query(
+    "ups01_upsert_latest_wins",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4) AS o_totalprice, 1 AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), unioned AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, 0 AS version FROM orders
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        FROM unioned
+    )
+    WHERE rn = 1
+    """,
+)
+def ups01_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 upsert semantics: latest-wins merge by key.
+
+    Simulates an incoming batch repricing every 10th order and merges it
+    over the base table — the plain-parquet ON CONFLICT DO UPDATE
+    (cbddl/src/etl/pipeline.py:314-318,399-402).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), F.lit(0).alias("version")
+    )
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+            F.lit(1).alias("version"),
+        )
+    )
+    merged = upsert_by_key(orders, updates, ["o_orderkey"], "version")
+    return merged.select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice")
+    )

@@ -1,0 +1,84 @@
+"""Named query registry + DuckDB oracle twins.
+
+Every operator from SURVEY.md §2 lands here as a pair:
+
+- a PySpark callable ``(spark, sf_dir) -> DataFrame`` registered under a
+  stable name, and
+- (where SQL-expressible) an equivalent ANSI-SQL string that DuckDB can
+  run over the same parquet tables, used for differential testing.
+
+Column-name parity is part of the contract: the differential harness
+sorts columns by name before hashing values, so both sides alias every
+computed column identically.
+
+Operator modules register themselves at import time via the
+:func:`query` decorator; importing :mod:`registry` pulls them all in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as a named engine query, with optional oracle SQL.
+
+    ``oracle=None`` marks a genuinely non-SQL-expressible operator
+    (custom streaming state, LSH bucketing, ...) — the differential
+    harness then records a weaker rows-only check for it.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _import_operator_modules() -> None:
+    # Import for side effects: each module registers its queries.
+    from .operators import (  # noqa: F401
+        aggregates,
+        dedup,
+        diversity,
+        filters,
+        joins,
+        multimodal,
+        scalars,
+        setops,
+        similarity,
+        sorts,
+        text,
+        windows,
+    )
+    from .plans import warehouse  # noqa: F401
+
+
+_import_operator_modules()
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+def describe() -> list[dict[str, Any]]:
+    return [
+        {"name": n, "has_oracle": n in ORACLES, "doc": (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else ""}
+        for n, fn in sorted(QUERIES.items())
+    ]

@@ -1,0 +1,135 @@
+"""Partitioned data-lake layout (SURVEY.md §2.1 S3–S9).
+
+Re-expresses the reference's DataLakeStorageManager
+(cbddl/src/data_lake/storage_manager.py) on Spark's native partitioned
+parquet:
+
+- layout ``{root}/{layer}/{name}/date=YYYYMMDD/...`` (:63,81,99,117)
+  → ``df.write.partitionBy("date")`` — Hive-style, discovered natively;
+- snappy parquet (:136,153) → Spark's default codec;
+- S3 writes via s3fs/pyarrow (:140-158) → the same ``s3a://`` URI in
+  ``root``, no separate code path;
+- partition listing / latest-partition (:220-244) → filesystem listing
+  via the JVM Hadoop FS API (works for file://, hdfs://, s3a:// alike);
+- retention cleanup (:246-265) → partition-directory deletes by date
+  key, a metadata/filesystem operation — never a data rewrite.
+
+At scale, writers control file sizing with a pre-write
+``repartition(n, key)`` so each partition directory gets a bounded
+number of near-maxPartitionBytes files rather than one file per task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LAYERS = ("raw", "processed", "analytics", "aggregated")
+DATE_COL = "date"
+
+
+@dataclass
+class LakeStorage:
+    root: str
+
+    def _path(self, layer: str, name: str) -> str:
+        if layer not in LAYERS:
+            raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+        return f"{self.root}/{layer}/{name}"
+
+    # -- writes ------------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        layer: str,
+        name: str,
+        date_key: str | None = None,
+        mode: str = "overwrite",
+        files_per_partition: int | None = None,
+    ) -> str:
+        """Write a dated partition (S7). ``date_key`` defaults to a
+        ``date`` column already present; passing one stamps a constant
+        (the ingestion-date pattern of the reference, storage_manager.py:60).
+        """
+        out = df
+        if date_key is not None:
+            out = out.withColumn(DATE_COL, F.lit(date_key))
+        if DATE_COL not in out.columns:
+            raise ValueError("dataframe needs a 'date' column or an explicit date_key")
+        if files_per_partition:
+            out = out.repartition(files_per_partition, DATE_COL)
+        path = self._path(layer, name)
+        out.write.mode(mode).option("partitionOverwriteMode", "dynamic").partitionBy(
+            DATE_COL
+        ).parquet(path)
+        return path
+
+    def write_json(self, df: DataFrame, layer: str, name: str, date_key: str) -> str:
+        """JSON report write (S6, storage_manager.py:160-185)."""
+        path = f"{self._path(layer, name)}/{DATE_COL}={date_key}"
+        df.coalesce(1).write.mode("overwrite").json(path)
+        return path
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, layer: str, name: str) -> DataFrame:
+        """Read all partitions; the date column comes back via partition
+        discovery (S4/S8) and filters on it prune directories."""
+        return spark.read.parquet(self._path(layer, name))
+
+    def read_partition(
+        self, spark: SparkSession, layer: str, name: str, date_key: str
+    ) -> DataFrame:
+        # Filter (not path-append) so partition pruning is visible in the
+        # plan and schema stays identical to full reads.
+        return self.read(spark, layer, name).filter(F.col(DATE_COL) == date_key)
+
+    def read_latest(self, spark: SparkSession, layer: str, name: str) -> DataFrame:
+        """Latest-partition read (S8, storage_manager.py:231-244)."""
+        latest = self.latest_partition(spark, layer, name)
+        if latest is None:
+            raise FileNotFoundError(f"no partitions under {self._path(layer, name)}")
+        return self.read_partition(spark, layer, name, latest)
+
+    # -- partition metadata ------------------------------------------------
+
+    def list_partitions(self, spark: SparkSession, layer: str, name: str) -> list[str]:
+        """Partition listing (S8) via the Hadoop FS API — no data scan."""
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(self._path(layer, name))
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return []
+        out = []
+        for status in fs.listStatus(path):
+            base = status.getPath().getName()
+            if status.isDirectory() and base.startswith(f"{DATE_COL}="):
+                out.append(base.split("=", 1)[1])
+        return sorted(out)
+
+    def latest_partition(self, spark: SparkSession, layer: str, name: str) -> str | None:
+        parts = self.list_partitions(spark, layer, name)
+        return parts[-1] if parts else None
+
+    def expire_partitions(
+        self, spark: SparkSession, layer: str, name: str, keep_after: str
+    ) -> list[str]:
+        """Retention (S9, storage_manager.py:246-265): drop partitions
+        with date_key < keep_after. Pure directory deletes — O(partitions),
+        independent of data volume."""
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        removed = []
+        for key in self.list_partitions(spark, layer, name):
+            if key < keep_after:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self._path(layer, name)}/{DATE_COL}={key}"
+                )
+                fs = p.getFileSystem(jsc.hadoopConfiguration())
+                fs.delete(p, True)
+                removed.append(key)
+        return removed

@@ -1,0 +1,167 @@
+"""Structured Streaming jobs (SURVEY.md §2.9, ST1–ST8).
+
+The reference's "streaming" is a hand-rolled poll loop with a Redis
+offset cursor (cbddl/src/big_data/streaming_processor.py:84-228,
+380-412). Here each piece becomes its engine-native equivalent:
+
+- poll cadence (ST1)  → ``trigger(processingTime=...)`` /
+  ``maxFilesPerTrigger`` rate-limited file source;
+- offset cursor (ST2) → ``checkpointLocation`` (engine-managed, exactly
+  -once per sink where the sink supports it);
+- per-event enrichment (ST3) → stateless select/withColumn;
+- per-entity scores (ST4)    → streaming groupBy aggregation, update mode;
+- multi-sink fanout (ST5)    → ``foreachBatch`` writing several sinks in
+  one transaction scope;
+- error routing (ST6)        → validity flag + split writes in
+  foreachBatch (dead-letter path);
+- monitoring (ST7)           → ``query.lastProgress``;
+- watermarked event-time windows (ST8 — absent in the reference, the
+  idiomatic upgrade) → ``withWatermark + window()``.
+
+Kafka source/sink (S11/S12) are code-complete below but require a
+broker + the kafka connector jar; they are exercised only as plan
+construction in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
+
+
+def read_event_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-drop micro-batch source (ST1; the S14/S15 poll sources map
+    here — each poll's result lands as a file, the engine tracks offsets)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def enrich_events(stream: DataFrame) -> DataFrame:
+    """ST3 stateless enrichment: type class, size class, decoded props.
+
+    Mirrors the per-event analytics of streaming_processor.py:230-307
+    (owner_type / name_length / role_category / is_leadership) as pure
+    column expressions.
+    """
+    return stream.select(
+        "*",
+        F.from_json("props", PROPS_SCHEMA).alias("props_struct"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "failure")
+        .otherwise("engagement")
+        .alias("event_class"),
+        (F.col("value") > 100).alias("is_big"),
+        F.least(F.col("value") / 10.0, F.lit(10.0)).alias("capped_score"),
+    ).withColumn("prop_k", F.col("props_struct").getField("k")).drop("props_struct")
+
+
+def windowed_user_stats(stream: DataFrame) -> DataFrame:
+    """ST4+ST8: watermarked tumbling-window per-type aggregates.
+
+    The idiomatic upgrade of the reference's per-entity running scores:
+    event-time windows with late-data tolerance, incremental state in
+    the engine (no Redis).
+    """
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def run_batched_stream_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_out",
+) -> DataFrame:
+    """Drive the full enrich→window pipeline over a file drop to a
+    memory sink, synchronously (the harness-testable ST1→ST8 slice)."""
+    stream = enrich_events(read_event_stream(spark, events_dir))
+    agg = windowed_user_stats(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def foreach_batch_multi_sink(parquet_out: str, dead_letter_out: str):
+    """ST5/ST6: one foreachBatch writing good rows to the lake and
+    invalid rows to a dead-letter path — the Redis/Kafka/DB fanout
+    (streaming_processor.py:194-228,309-378) with engine checkpoints
+    replacing per-sink cursors."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        valid = batch_df.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        invalid = batch_df.subtract(valid)
+        valid.write.mode("append").parquet(parquet_out)
+        if invalid.take(1):
+            invalid.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+                dead_letter_out
+            )
+
+    return sink
+
+
+def kafka_sink_plan(df: DataFrame, brokers: str, topic: str):
+    """S11 Kafka sink plan (requires the kafka connector jar + broker).
+
+    key = event key, value = full-row JSON — the reference's
+    ``producer.send(topic, key, json)`` (streaming_processor.py:331-352).
+    """
+    return (
+        df.selectExpr("CAST(event_id AS STRING) AS key", "to_json(struct(*)) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+
+
+def kafka_source_plan(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
+    """S12 Kafka source plan: subscribe + JSON-decode to typed columns."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e")
+    ).select("e.*")
