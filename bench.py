@@ -1,0 +1,85 @@
+"""Benchmark harness — runs the headline queries and prints ONE JSON line.
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <scale_factor>}
+
+Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), master
+local[$SPARK_GRAFT_CPUS]. Each query executes fully (count() drives the
+whole plan; results are not collected to keep driver transfer out of
+the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chicago_business_owners_data_engineering_spark import registry
+from chicago_business_owners_data_engineering_spark.session import get_spark
+
+# Headline set: the flagship path plus one representative per operator
+# family. Brute-force O(n²) baselines (dd03/sim02) are deliberately
+# excluded — their scalable counterparts (dd04/sim03) are included.
+BENCH_QUERIES = [
+    "flagship_ownership_histogram",
+    "a01_dataset_summary",
+    "a06_grouped_multi_agg",
+    "a16_shannon_entropy",
+    "a18_word_frequency",
+    "j02_disjunctive_join",
+    "j04_left_outer_join",
+    "j07_fact_fact_join",
+    "w02_row_number_first_per_key",
+    "w06_group_scores",
+    "o06_topk_per_group",
+    "o04_pagination",
+    "wh01_daily_agg",
+    "ups01_upsert_latest_wins",
+    "dd02_exact_dedup_rows",
+    "dd04_minhash_lsh_pairs",
+    "dd05_simhash",
+    "sim01_bruteforce_topk",
+    "sim03_ivf_topk",
+    "tx01_quality_score",
+    "tx04_fingerprint",
+    "mm02_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so measurements reflect execution
+    registry.QUERIES["a01_dataset_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

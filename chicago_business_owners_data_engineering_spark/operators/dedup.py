@@ -32,11 +32,29 @@ from ..catalog import load_table
 from ..registry import query
 
 NUM_HASHES = 16  # minhash signature length
-BAND_SIZE = 2  # rows per LSH band → 8 bands
+BAND_SIZE = 4  # rows per LSH band → 4 bands
+SHINGLE_N = 3  # words per shingle
 
 
 def _word_set(text: Column) -> Column:
     return F.array_sort(F.array_distinct(F.split(F.lower(text), " ")))
+
+
+def _shingle_set(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles (order-sensitive document content).
+
+    Unigram sets saturate on small vocabularies (most docs overlap most
+    words); n-gram shingles are the standard MinHash unit — two docs
+    share a shingle only when n consecutive words match, so similarity
+    concentrates on true near-copies. Docs shorter than n words shingle
+    to their whole text.
+    """
+    words = F.split(F.lower(text), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(F.when(F.size(words) >= n, grams).otherwise(F.array(F.lower(text))))
 
 
 @query(
@@ -146,37 +164,42 @@ def minhash_signature(docs: DataFrame, id_col: str, set_col: str, num_hashes: in
     return exploded.groupBy(id_col).agg(*sig_aggs)
 
 
-@query("dd04_minhash_lsh_pairs", oracle=None)  # probabilistic candidates → rows-only check
-def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "shingles",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
-    The 100 TB fuzzy-dedup path: shingle → 16-slot minhash signature →
-    8 bands of 2 → bucket join on (band, band_hash) → exact-Jaccard
-    verify of candidates only. No all-pairs product anywhere; the only
-    O(·) terms are explode(tokens) and the bucket self-join whose size
-    is controlled by band collision probability.
+    The 100 TB fuzzy-dedup path: token set → ``num_hashes``-slot minhash
+    signature → bands of ``band_size`` → bucket join on (band,
+    band_hash) → exact-Jaccard verify of candidates only. No all-pairs
+    product anywhere; the O(·) terms are explode(tokens) and the bucket
+    self-join, whose size is controlled by the band collision
+    probability s^band_size.
     """
-    documents = load_table(spark, sf_dir, "documents")
-    docs = documents.select("doc_id", _word_set(F.col("text")).alias("ws"))
-    sigs = minhash_signature(docs, "doc_id", "ws")
+    sigs = minhash_signature(docs.select(id_col, set_col), id_col, set_col, num_hashes)
 
-    n_bands = NUM_HASHES // BAND_SIZE
+    n_bands = num_hashes // band_size
     bands = sigs.select(
-        "doc_id",
+        id_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(band).alias("band_id"),
                         F.xxhash64(
-                            *[F.col(f"mh{band * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                            *[F.col(f"mh{band * band_size + r}") for r in range(band_size)]
                         ).alias("band_hash"),
                     )
                     for band in range(n_bands)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.band_hash")
+    ).select(id_col, "b.band_id", "b.band_hash")
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -185,23 +208,38 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
         .distinct()
     )
 
-    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
-    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    wa = docs.select(F.col(id_col).alias("doc_a"), F.col(set_col).alias("ws_a"))
+    wb = docs.select(F.col(id_col).alias("doc_b"), F.col(set_col).alias("ws_b"))
     inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
     union = F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
     jac = inter / union
     return (
         candidates.join(wa, "doc_a")
         .join(wb, "doc_b")
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("dd04_minhash_lsh_pairs", oracle=None)  # probabilistic candidates → rows-only check
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-based MinHash-LSH near-dup pairs over ``documents``.
+
+    Word-3-gram shingles (order-sensitive) rather than unigram sets:
+    this corpus's tiny vocabulary makes unigram similarity saturate
+    (most pairs ≥0.7), which both inflates LSH buckets toward O(n²)
+    and makes the similarity meaningless. Shingles concentrate
+    similarity on genuine near-copies.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("shingles"))
+    return minhash_lsh_pairs(docs, "doc_id", "shingles", threshold=0.5)
 
 
 @query("dd05_simhash", oracle=None)  # engine-specific 64-bit fingerprint → rows-only check
