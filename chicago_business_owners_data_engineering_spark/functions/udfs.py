@@ -1,0 +1,140 @@
+"""UDF surface demos (SURVEY.md §2.10 U1–U5).
+
+Engine policy: every reference custom-Python op has a native
+translation (the fast path, used by the operator registry). This module
+keeps ONE working example per UDF flavor so the escape hatches are
+exercised and documented:
+
+- U1 scalar pandas_udf   — Arrow-vectorized combine_name (the
+  reference's only true row-UDF, ingestion_pipeline.py:111-123);
+- U2 grouped-agg pandas_udf — Shannon entropy as a real UDAF
+  (demographics_analyzer.py:205-209); the native two-stage composition
+  in operators/diversity.py is the production form;
+- U3 applyInPandas       — per-group scoring (streaming_processor.py:
+  522-532); production form is window functions (w06);
+- U4 SQL-registered UDF  — keyword classifier callable from spark.sql
+  (streaming_processor.py:285-307); production form is when/contains;
+- U5 is natively explode (operators/text.py a18) — no UDTF needed.
+
+Row-at-a-time ``F.udf`` is deliberately absent: at 100 TB it is never
+the right tool.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@F.pandas_udf(T.StringType())
+def combine_name_pandas(first: pd.Series, last: pd.Series) -> pd.Series:
+    """U1: vectorized null-skipping name join (Arrow batches)."""
+    def join(f, l):  # noqa: E741
+        parts = [p for p in (f, l) if p is not None and str(p).strip() != ""]
+        return " ".join(parts)
+
+    return pd.Series([join(f, l) for f, l in zip(first, last)])
+
+
+@F.pandas_udf(T.DoubleType())
+def entropy_grouped_agg(values: pd.Series) -> float:
+    """U2: Shannon entropy as a GROUPED_AGG pandas UDF (a true UDAF)."""
+    counts = values.value_counts()
+    p = counts / counts.sum()
+    return float(round(-(p * p.map(math.log2)).sum(), 6))
+
+
+def leadership_score_apply_in_pandas(df: DataFrame) -> DataFrame:
+    """U3: per-group pandas scoring via applyInPandas.
+
+    Production uses window functions (w06_group_scores); this keeps the
+    grouped-map escape hatch exercised: one pandas frame per user_id,
+    Arrow both ways.
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        diversity = pdf["event_type"].nunique() / n if n else 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "diversity_score": [round(float(diversity), 6)],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandas(
+        score, schema="user_id long, n_events long, diversity_score double"
+    )
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """U4: SQL-callable classifier — spark.sql('SELECT role_category(t) …')."""
+
+    def role_category(title: str | None) -> str:
+        if title is None:
+            return "unknown"
+        t = title.upper()
+        if any(k in t for k in ("CEO", "PRESIDENT", "OWNER", "PRINCIPAL")):
+            return "leadership"
+        if any(k in t for k in ("MANAGER", "DIRECTOR")):
+            return "management"
+        return "staff"
+
+    spark.udf.register("role_category", role_category, T.StringType())
+
+
+@query(
+    "u01_pandas_udf_combine",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           CONCAT_WS(' ', c_mktsegment, c_name) AS combined
+    FROM customer
+    """,
+)
+def u01_pandas_udf_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 exercised end-to-end: the Arrow-vectorized combine matches the
+    native concat_ws semantics exactly (the oracle states the native
+    form)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        combine_name_pandas(F.col("c_mktsegment"), F.col("c_name")).alias("combined"),
+    )
+
+
+@query(
+    "u02_entropy_udaf",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+    ), totals AS (
+        SELECT source, SUM(cnt) AS n FROM counts GROUP BY source
+    )
+    SELECT c.source,
+           ROUND(-SUM((c.cnt * 1.0 / t.n) * LOG2(c.cnt * 1.0 / t.n)), 6) AS lang_entropy
+    FROM counts c JOIN totals t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def u02_entropy_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 exercised end-to-end: grouped-agg pandas-UDF entropy per
+    source, checked against the closed-form SQL."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.groupBy("source").agg(
+        entropy_grouped_agg(F.col("lang")).alias("lang_entropy")
+    )
+
+
+@query("u03_apply_in_pandas_scores", oracle=None)  # grouped-map demo → rows-only check
+def u03_apply_in_pandas_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 exercised end-to-end over events (see w06 for the native form)."""
+    events = load_table(spark, sf_dir, "events")
+    return leadership_score_apply_in_pandas(events)

@@ -1,0 +1,223 @@
+"""Extended operator surface beyond the reference's literal inventory.
+
+SURVEY.md §2.4 notes grouping sets / cube / rollup, approximate
+aggregates, and pivot as absent from the reference but trivially
+exposed by the engine — this module makes them first-class registry
+entries, plus the approximate-distinct scale path and a
+random-hyperplane LSH for embeddings (the vector analog of dd04).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .similarity import cosine
+
+
+@query("a02_approx_distinct", oracle=None)  # HLL estimate is engine-specific → rows-only
+def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB form of A2.
+
+    Exact distinct shuffles every key; the HLL sketch aggregates
+    map-side into a fixed-size buffer. Estimates are engine-specific so
+    this is a rows-only check; the test suite bounds the relative error
+    against the exact count.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@query(
+    "a25_quantiles",
+    oracle="""
+    SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    """,
+)
+def a25_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (SQL percentile ≡ QUANTILE_CONT).
+
+    ``percentile_approx`` (t-digest sketch) is the at-scale variant —
+    same call shape, bounded memory; exercised in tests against these
+    exact values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.99)
+        ]
+    )
+
+
+@query(
+    "a26_rollup",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment, c_nationkey AS nationkey,
+           COUNT(*) AS count, ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+)
+def a26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (segment, nation) → subtotal → grand total."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.rollup(
+        F.col("c_mktsegment").alias("mktsegment"), F.col("c_nationkey").alias("nationkey")
+    ).agg(F.count("*").alias("count"), F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
+
+
+@query(
+    "a27_pivot",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values scan).
+
+    Passing the pivot values avoids the hidden job Spark otherwise runs
+    to discover them — the difference between one pass and two at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    out = pivoted
+    for s in ("O", "F", "P"):
+        out = out.withColumnRenamed(s, f"status_{s}").withColumn(
+            f"status_{s}", F.coalesce(F.col(f"status_{s}"), F.lit(0))
+        )
+    return out
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits_per_table: int = 6,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Random-hyperplane LSH similar-vector pairs.
+
+    The vector analog of dd04's banded MinHash: per table t, the bucket
+    key is ``bits_per_table`` sign bits of v·h — pairs colliding in ANY
+    table become candidates, then get exact cosine verification.
+    Hyperplane components derive from xxhash64(dim_index, plane_index)
+    (±1 entries), so the sketch is reproducible with no driver-side
+    randomness. At scale (table, bucket) is the shuffle key; candidate
+    volume falls as p_agree^bits per table, never O(n²). Recall stacks
+    as 1-(1-p^bits)^tables — tune tables up for lower thresholds.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+
+    def plane_dot(p: int):
+        comp = F.transform(
+            vec,
+            lambda x, d: x
+            * F.when(F.pmod(F.xxhash64(d, F.lit(p)), 2) == 0, 1.0).otherwise(-1.0),
+        )
+        return F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for i in range(bits_per_table):
+            p = t * bits_per_table + i
+            bit = (
+                F.when(plane_dot(p) > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            term = F.shiftleft(bit, i)
+            bucket = term if bucket is None else bucket.bitwiseOR(term)
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+
+    hashed = embeddings.select(
+        F.col(id_col).alias("vid"), vec.alias("v"), F.explode(F.array(*tables)).alias("tb")
+    ).select("vid", "v", "tb.table_id", "tb.bucket")
+
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        candidates.filter(cos >= threshold)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@query("sim05_hyperplane_lsh", oracle=None)  # probabilistic candidates → rows-only check
+def sim05_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH high-similarity pairs over ``embeddings``
+    (threshold 0.4 — this corpus's max pairwise cosine is ~0.6, so the
+    near-dup regime is empty by construction; 0.4 exercises the method
+    on real mass). sim02 is the exact brute-force twin.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(embeddings)
+
+
+@query(
+    "dq01_quality_profile",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT o_orderkey) AS unique_keys,
+           ROUND(COUNT(CASE WHEN o_custkey IS NOT NULL THEN 1 END) * 100.0 / COUNT(*), 2)
+               AS custkey_completeness_pct,
+           ROUND(COUNT(CASE WHEN o_orderdate IS NOT NULL THEN 1 END) * 100.0 / COUNT(*), 2)
+               AS orderdate_completeness_pct,
+           COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_prices
+    FROM orders
+    """,
+)
+def dq01_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's runtime data-quality validation as an engine query.
+
+    Row counts, key uniqueness, completeness percentages, and a domain
+    check in one scan (cbddl/src/etl/pipeline.py:205-267;
+    cbddl/src/data_ingestion/ingestion_pipeline.py:54-74).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count("*")
+    return orders.agg(
+        n.alias("total_rows"),
+        F.countDistinct("o_orderkey").alias("unique_keys"),
+        F.round(F.count(F.when(F.col("o_custkey").isNotNull(), 1)) * 100.0 / n, 2).alias(
+            "custkey_completeness_pct"
+        ),
+        F.round(F.count(F.when(F.col("o_orderdate").isNotNull(), 1)) * 100.0 / n, 2).alias(
+            "orderdate_completeness_pct"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_prices"),
+    )

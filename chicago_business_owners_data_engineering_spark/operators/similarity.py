@@ -91,11 +91,11 @@ def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
           (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-           SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95
+           SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
     """,
 )
 def sim02_near_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.95).
+    """Embedding-cosine high-similarity pairs (threshold 0.4).
 
     Brute-force all-pairs — the §2.11 embedding near-dup baseline,
     oracle-checked exactly. The scale path replaces the cross join with
@@ -109,7 +109,7 @@ def sim02_near_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.crossJoin(b)
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= 0.95)
+        .filter(cos >= 0.4)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

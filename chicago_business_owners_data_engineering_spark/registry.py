@@ -53,6 +53,7 @@ def _import_operator_modules() -> None:
         aggregates,
         dedup,
         diversity,
+        extended,
         filters,
         joins,
         multimodal,
@@ -63,6 +64,7 @@ def _import_operator_modules() -> None:
         text,
         windows,
     )
+    from .functions import udfs  # noqa: F401
     from .plans import warehouse  # noqa: F401
 
 
