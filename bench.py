@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "tx01_quality_score",
     "tx04_fingerprint",
     "mm02_decode_features",
+    "tp01_hash_split",
+    "tp02_doc_chunks",
+    "tp03_bigram_freq",
+    "st01_sessionization",
+    "j08_asof_join",
+    "sim06_scalar_quantization",
 ]
 
 

@@ -1,0 +1,402 @@
+"""Training-data pipeline operators (SURVEY.md §2.11 extension).
+
+The operations a large-scale LLM training-data pipeline runs between
+raw crawl and tokenizer — deterministic splits, document chunking,
+n-gram statistics, stratified sampling, sessionization, as-of joins,
+grouping sets, embedding quantization. None exist in the reference
+(its closest seeds are the word-extraction at
+cbddl/src/analytics/demographics_analyzer.py:173-182 and the dedup
+keys at cbddl/src/etl/pipeline.py:296,329); all are mandated by the
+BASELINE.json north star and built Spark-first.
+
+Every operator here is deterministic by construction (hash-based
+ordering, explicit tie-breakers) so the DuckDB oracle hash is stable
+across engines and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+SAMPLE_PER_STRATUM = 20
+SESSION_GAP_S = 1800
+
+
+def _md5_bucket(key, n_buckets: int = 100):
+    """Deterministic [0, n_buckets) bucket from the md5 of a key string.
+
+    The standard train/valid/test splitter: stable across runs, engines,
+    partitionings, and data order — unlike ``rand(seed)``, which is
+    per-partition-deterministic only (a repartition reshuffles splits).
+    First 8 hex chars → 32-bit int → modulo.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
+@query(
+    "tp01_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket,
+           CASE
+               WHEN CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+               WHEN CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 90 THEN 'valid'
+               ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def tp01_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by key hash.
+
+    Pure projection — no shuffle, no state, no RNG; a row's split is a
+    function of its key alone, so adding data never reassigns existing
+    rows (the property that keeps eval sets uncontaminated across
+    pipeline re-runs at 100 TB).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return documents.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+@query(
+    "tp02_doc_chunks",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, text,
+               CASE WHEN n_chars <= {CHUNK_SIZE} THEN 1
+                    ELSE CAST(CEIL((n_chars - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM documents
+    )
+    SELECT doc_id,
+           UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS chunk_id,
+           UNNEST([SUBSTRING(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_SIZE})
+                   FOR i IN GENERATE_SERIES(0, n_chunks - 1)]) AS chunk
+    FROM n
+    """,
+)
+def tp02_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 200 chars, stride 150).
+
+    The context-window packer's front end: one row per (doc, chunk),
+    generated with sequence+explode — a narrow map-side fan-out with no
+    shuffle, so it streams at scan speed regardless of corpus size.
+    Token-based chunking swaps substring for a slice of the tokenizer's
+    output array; the plan shape is identical.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_chunks = (
+        F.when(F.col("n_chars") <= CHUNK_SIZE, F.lit(1).cast("long"))
+        .otherwise(F.ceil((F.col("n_chars") - CHUNK_SIZE) / CHUNK_STRIDE) + 1)
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("text"), (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), CHUNK_SIZE
+            ).alias("chunk"),
+        )
+    )
+
+
+@query(
+    "tp03_bigram_freq",
+    oracle="""
+    WITH w AS (SELECT STRING_SPLIT(LOWER(text), ' ') AS l FROM documents),
+    bg AS (
+        SELECT UNNEST([l[i] || ' ' || l[i + 1] FOR i IN GENERATE_SERIES(1, LEN(l) - 1)])
+            AS bigram
+        FROM w
+    )
+    SELECT bigram, COUNT(*) AS count
+    FROM bg
+    GROUP BY bigram
+    ORDER BY count DESC, bigram ASC
+    LIMIT 50
+    """,
+)
+def tp03_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency, top-50 (the n-gram LM statistics pass).
+
+    Bigrams come from zipping the word array with its shift — pure
+    array ops in one codegen stage (see dedup._shingle_set for why not
+    transform-over-indices). The groupBy shuffles on bigram vocabulary
+    cardinality, not corpus size; partial aggregation collapses each
+    partition's counts first.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    sz = F.size(words)
+    zipped = F.arrays_zip(F.slice(words, 1, sz - 1), F.slice(words, 2, sz - 1))
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    return (
+        documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@query(
+    "tp04_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+)
+def tp04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: k docs per language stratum.
+
+    Hash-ordered row_number per stratum — reproducible across runs and
+    engines where ``sampleBy`` is not, and exactly-k where Bernoulli
+    sampling is approximate. One shuffle on the stratum key; at 100 TB
+    the per-stratum sort is bounded by TakeOrdered semantics (rank ≤ k
+    prunes in the partial aggregation).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        documents.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("lang", "doc_id")
+    )
+
+
+@query(
+    "st01_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts,
+               SUM(CASE WHEN prev IS NULL
+                        OR DATE_DIFF('second', prev, ts) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def st01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap), batch form.
+
+    The classic lag → new-session flag → running-sum session id →
+    per-session rollup. All three windows share one partitioning
+    (user_id), so Spark plans a single shuffle + sort reused across
+    WindowExec and the final aggregation. The streaming twin is
+    ``session_window`` in streaming/jobs.py; this batch form is the
+    backfill path and oracle-checkable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0)
+    with_sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "j08_asof_join",
+    oracle="""
+    SELECT event_id, user_id, matched_order, matched_date
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey AS matched_order,
+               o.o_orderdate AS matched_date,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def j08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest order at-or-before it.
+
+    Spark has no ASOF JOIN operator; the naive rewrite (equi-join on
+    key + inequality + argmax) materializes every (event, earlier
+    order) pair before pruning — quadratic per key. This is the
+    scalable form: union both sides tagged, one window sorted by
+    (time, side, order key), ``last(..., ignorenulls)`` carries the
+    most recent order forward onto each event row. One shuffle on the
+    join key, linear in |events| + |orders|, skew-safe under AQE.
+    Ties are pinned: orders sort before events at equal time (so
+    "at-or-before" includes equality) and the max order key wins among
+    same-timestamp orders.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    order_side = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    event_side = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("timestamp").alias("odate"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = order_side.unionByName(event_side).select(
+        "k",
+        "is_event",
+        "event_id",
+        F.last("okey", ignorenulls=True).over(w).alias("matched_order"),
+        F.last("odate", ignorenulls=True).over(w).alias("matched_date"),
+    )
+    return (
+        merged.filter((F.col("is_event") == 1) & F.col("matched_order").isNotNull())
+        .select(
+            "event_id", F.col("k").alias("user_id"), "matched_order", "matched_date"
+        )
+    )
+
+
+@query(
+    "f21_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def f21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregate in one pass via GROUPING SETS.
+
+    Beyond-reference (the reference materializes each granularity as a
+    separate agg table — cbddl/src/etl/pipeline.py:479-565); grouping
+    sets compute all three in a single shuffle with an expand node,
+    reading the fact exactly once instead of once per granularity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__f21_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM __f21_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "sim06_scalar_quantization",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               LEN(embedding) AS n_dims,
+               LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0
+                   AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT e.vec_id, s.n_dims, s.scale,
+               LIST_MAX(
+                   LIST_TRANSFORM(
+                       e.embedding,
+                       x -> ABS(CAST(x AS DOUBLE)
+                                - FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5) * s.scale)
+                   )
+               ) AS max_err
+        FROM embeddings e JOIN s USING (vec_id)
+    )
+    SELECT vec_id, n_dims, ROUND(scale, 6) AS scale, ROUND(max_err, 6) AS max_err
+    FROM q
+    """,
+)
+def sim06_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings + reconstruction error.
+
+    The storage-side half of vector search at scale: per-vector
+    symmetric scale (max-abs / 127), quantize, and report the max
+    absolute reconstruction error. Pure array expressions — one
+    codegen'd map stage, no shuffle, no UDF; 4× smaller vectors feed
+    the IVF path (sim03) at the same recall for this corpus.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(as_double, F.abs)) / 127.0
+    with_scale = embeddings.select(
+        "vec_id", as_double.alias("e"), F.size("embedding").alias("n_dims"), scale.alias("scale")
+    )
+    # floor(x + 0.5) rather than round(): engines disagree on round-half
+    # ties (HALF_UP vs away-from-zero); floor+0.5 is bit-identical
+    # everywhere, which keeps the quantizer reproducible across engines.
+    err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")),
+        )
+    )
+    # Round in a separate select: putting round(scale) AS scale and the
+    # err expression in ONE select makes err's `scale` resolve to the
+    # freshly-aliased ROUNDED value via lateral column aliasing
+    # (SPARK-27561 behavior), silently changing the quantizer.
+    quant = with_scale.select("vec_id", "n_dims", "scale", err.alias("max_err"))
+    return quant.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale", 6).alias("scale"),
+        F.round("max_err", 6).alias("max_err"),
+    )

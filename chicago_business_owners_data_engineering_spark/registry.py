@@ -57,6 +57,7 @@ def _import_operator_modules() -> None:
         filters,
         joins,
         multimodal,
+        pipeline_ml,
         scalars,
         setops,
         similarity,

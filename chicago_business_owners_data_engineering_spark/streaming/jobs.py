@@ -100,6 +100,65 @@ def windowed_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def sessionized_user_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST8+: per-user session windows with an inactivity gap.
+
+    ``session_window`` closes a session when no event arrives within
+    ``gap`` of the last one — the streaming twin of the batch
+    sessionization query (operators/pipeline_ml.py st01). State is
+    engine-managed and bounded by the watermark: sessions older than
+    the watermark finalize and evict.
+    """
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+STATE_SCHEMA = "n_events long, total_value double"
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """ST4 as a custom stateful operator: per-user running totals via
+    ``applyInPandasWithState``.
+
+    The escape hatch for state machines the built-in aggregates can't
+    express (the reference's per-entity complexity/diversity scores,
+    streaming_processor.py:260-283, generalize to arbitrary Python
+    state). State is a single (count, total) row per user_id, stored in
+    the engine's state store (checkpointed, partitioned by key);
+    batches stream through Arrow, one group per call.
+    """
+    import pandas as pd  # local import: Arrow worker-side dependency
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_batched_stream_to_memory(
     spark: SparkSession,
     events_dir: str,

@@ -1,0 +1,183 @@
+"""Semantics tests for the training-data pipeline operators
+(operators/pipeline_ml.py) — edge cases the sf-scale oracle diff can't
+pin down: chunk boundary math, split stability under data growth, as-of
+tie-breaking, sessionization gap edges."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from chicago_business_owners_data_engineering_spark import registry
+from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    SAMPLE_PER_STRATUM,
+    SESSION_GAP_S,
+    _md5_bucket,
+)
+
+
+def test_hash_split_is_stable_under_data_growth(spark, sf_dir):
+    """A row's split depends only on its key — subsetting the data must
+    not reassign surviving rows (the eval-contamination guarantee)."""
+    full = {
+        r["doc_id"]: r["split"]
+        for r in registry.QUERIES["tp01_hash_split"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("x")
+    subset = docs.select(
+        "doc_id",
+        _md5_bucket(F.col("doc_id")).alias("bucket"),
+    ).collect()
+    for r in subset:
+        expected = "train" if r["bucket"] < 80 else ("valid" if r["bucket"] < 90 else "test")
+        assert full[r["doc_id"]] == expected
+    # ratios roughly 80/10/10
+    n = len(full)
+    train = sum(1 for s in full.values() if s == "train")
+    assert 0.6 * n < train < 0.95 * n
+
+
+def test_doc_chunks_cover_text_with_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 500, 500), (2, "b" * 10, 10), (3, "c" * CHUNK_SIZE, CHUNK_SIZE)],
+        "doc_id long, text string, n_chars long",
+    )
+    df.createOrReplaceTempView("documents_local")
+    chunks = (
+        df.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.when(F.col("n_chars") <= CHUNK_SIZE, F.lit(1).cast("long"))
+                    .otherwise(F.ceil((F.col("n_chars") - CHUNK_SIZE) / CHUNK_STRIDE) + 1)
+                    - 1,
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("text"), (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), CHUNK_SIZE
+            ).alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    # doc 1: 500 chars → chunks at 0,150,300; the last one ends exactly
+    # at char 500, so all three are full-size and coverage is complete
+    assert [len(c) for c in by_doc[1]] == [200, 200, 200]
+    # successive chunks overlap by size - stride
+    assert by_doc[1][0][CHUNK_STRIDE:] == by_doc[1][1][: CHUNK_SIZE - CHUNK_STRIDE]
+    # short doc → one whole-text chunk; exact-size doc → one chunk
+    assert by_doc[2] == ["b" * 10]
+    assert by_doc[3] == ["c" * CHUNK_SIZE]
+    # reconstruction: concatenating chunk[:stride] prefixes + last chunk == text
+    rebuilt = "".join(c[:CHUNK_STRIDE] for c in by_doc[1][:-1]) + by_doc[1][-1]
+    assert rebuilt == "a" * 500
+
+
+def test_stratified_sample_exactly_k_per_stratum(spark, sf_dir):
+    rows = registry.QUERIES["tp04_stratified_sample"](spark, sf_dir).collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    total_langs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang").distinct().count()
+    )
+    assert len(per_lang) == total_langs
+    assert all(v <= SAMPLE_PER_STRATUM for v in per_lang.values())
+    # deterministic across invocations
+    again = registry.QUERIES["tp04_stratified_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_asof_join_matches_bruteforce(spark, sf_dir):
+    """Union+window as-of equals the quadratic argmax definition."""
+    out = {
+        r["event_id"]: (r["matched_order"], r["matched_date"])
+        for r in registry.QUERIES["j08_asof_join"](spark, sf_dir).collect()
+    }
+    events = {
+        r["event_id"]: (r["user_id"], r["ts"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", (F.col("ts") / 1000).cast("long").alias("us"))
+        .withColumn("ts", F.timestamp_micros("us"))
+        .select("event_id", "user_id", "ts")
+        .collect()
+    }
+    orders_by_cust: dict[int, list] = {}
+    for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+        orders_by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"])
+        )
+    for eid, (uid, ts) in events.items():
+        cands = [
+            (d, k) for (d, k) in orders_by_cust.get(uid, []) if d <= ts
+        ]
+        if not cands:
+            assert eid not in out
+            continue
+        best = max(cands)  # (max date, then max orderkey)
+        assert out[eid] == (best[1], best[0]), eid
+
+
+def test_sessionization_gap_edges(spark):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, 100, at(0)),
+        (1, 101, at(SESSION_GAP_S)),          # gap == threshold → same session
+        (1, 102, at(2 * SESSION_GAP_S + 1)),  # gap threshold+1 → new session
+        (2, 200, at(0)),                      # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in df.select(
+            "user_id",
+            "event_id",
+            F.sum(new_sess)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("session_id"),
+        ).collect()
+    }
+    assert got[(1, 100)] == 1 and got[(1, 101)] == 1
+    assert got[(1, 102)] == 2
+    assert got[(2, 200)] == 1
+
+
+def test_grouping_sets_totals_consistent(spark, sf_dir):
+    rows = registry.QUERIES["f21_grouping_sets"](spark, sf_dir).collect()
+    grand = [r for r in rows if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
+    per_status = [
+        r for r in rows if r["o_orderstatus"] is not None and r["o_orderpriority"] is None
+    ]
+    finest = [r for r in rows if r["o_orderpriority"] is not None]
+    assert len(grand) == 1
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in per_status)
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in finest)
+
+
+def test_scalar_quantization_error_bound(spark, sf_dir):
+    """Max reconstruction error of symmetric int8 quantization is ≤ scale/2."""
+    rows = registry.QUERIES["sim06_scalar_quantization"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-6

@@ -112,3 +112,90 @@ def test_streaming_checkpoint_no_reprocessing(spark, tmp_path):
     assert n1 == len(pdf)
     run_once()  # same checkpoint, no new data → no duplicate appends
     assert spark.read.parquet(good).count() == n1
+
+
+def test_streaming_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches —
+    a user appearing in both batches must show cumulative totals."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        read_event_stream,
+        stateful_running_totals,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT * FROM '/root/testdata/sf0.001/events.parquet' ORDER BY event_id"
+    ).df()
+    src = tmp_path / "state_src"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "b1.parquet"))
+    pdf.iloc[half:].to_parquet(str(src / "b2.parquet"))
+
+    stream = stateful_running_totals(read_event_stream(spark, str(src)))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends every emission; the LAST row
+    # per user is the final state
+    out = spark.sql(
+        "SELECT user_id, n_events, total_value FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn"
+        "  FROM t_state) WHERE rn = 1"
+    ).collect()
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in spark.createDataFrame(pdf)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("tv"),
+        )
+        .collect()
+    }
+    assert len(out) == len(batch)
+    for r in out:
+        n, tv = batch[r["user_id"]]
+        assert r["n_events"] == n
+        assert abs(r["total_value"] - tv) < 1e-6
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window: events closer than the gap merge into one
+    session per user; totals reconcile with the batch input."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        read_event_stream,
+        sessionized_user_stats,
+    )
+
+    pdf = duckdb.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    pdf.to_parquet(str(src / "b1.parquet"))
+
+    agg = sessionized_user_stats(read_event_stream(spark, str(src), max_files_per_trigger=10))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sess")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM t_sess")
+    assert out.count() > 0
+    # sessions never overlap per user and event counts total the input
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == len(pdf)
+    sessions = out.orderBy("user_id", "session_start").collect()
+    last_end = {}
+    for s in sessions:
+        if s["user_id"] in last_end:
+            assert s["session_start"] >= last_end[s["user_id"]]
+        last_end[s["user_id"]] = s["session_end"]
