@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "st01_sessionization",
     "j08_asof_join",
     "sim06_scalar_quantization",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_supplier_volume",
+    "skew01_salted_agg",
 ]
 
 

@@ -1,0 +1,192 @@
+"""OLAP showcase queries (TPC-H-shaped) + skew-safe aggregation.
+
+The reference's analytical surface is groupBy/topk over one flat table
+(cbddl/src/analytics/demographics_analyzer.py); these queries exercise
+the same operator families — multi-way joins, grouped multi-aggregates,
+ordered top-k — at warehouse shape and scale, on the star schema the
+test data ships. They're the bench headliners a 100 TB deployment would
+actually run, and each plan is the one Catalyst should pick: filters at
+the scan, dims broadcast, facts shuffled once on the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+SALT_BUCKETS = 16
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan-heavy agg.
+
+    One pass over the fact, grouped on a 6-value key — map-side partial
+    aggregation collapses each scan partition to ≤6 rows, so the
+    shuffle moves KBs regardless of fact size. The shipdate predicate
+    reaches the parquet scan (row-group min/max pruning).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → fact join → grouped top-k.
+
+    customer filters to one segment and BROADCASTS into orders (the
+    fact side never shuffles for the dim join); lineitem joins orders
+    on the orderkey both are already keyed by. Final ordering is
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    Explicit revenue-then-key tiebreak keeps top-10 deterministic.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation, r_name AS region,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name, r_name
+    """,
+)
+def q05_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: one fact-fact join + a broadcast dim chain.
+
+    The join order matters at scale: lineitem⋈orders is the only
+    shuffle (both sides keyed on orderkey); supplier→nation→region all
+    broadcast, so the enriched fact stream never re-partitions. The
+    orderdate filter pushes into the orders scan before the join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(
+            orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "skew01_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew01_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over a pathologically skewed key.
+
+    l_returnflag has 3 values — at 100 TB a direct groupBy lands the
+    whole fact on 3 reducers. Salting appends a uniform bucket to the
+    key for the heavy first shuffle (fan-out 3×16), then a second,
+    trivially small shuffle combines buckets. Results are exactly the
+    plain GROUP BY (count/sum are decomposable); AQE's skew handling
+    only covers *joins*, so skewed aggs still need this pattern when
+    partial aggregation alone can't absorb the skew (e.g. after a
+    preceding shuffle already co-located the hot key).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    salted = lineitem.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("pn"), F.sum("l_extendedprice").alias("ps")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_lines"), F.round(F.sum("ps"), 4).alias("total_price")
+    )

@@ -57,6 +57,7 @@ def _import_operator_modules() -> None:
         filters,
         joins,
         multimodal,
+        olap,
         pipeline_ml,
         scalars,
         setops,
