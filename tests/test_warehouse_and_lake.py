@@ -199,3 +199,26 @@ def test_streaming_session_windows(spark, tmp_path):
         if s["user_id"] in last_end:
             assert s["session_start"] >= last_end[s["user_id"]]
         last_end[s["user_id"]] = s["session_end"]
+
+
+def test_cli_full_pipeline(spark, sf_dir, tmp_path):
+    """The orchestrator CLI: ingestion → warehouse → analytics writes a
+    complete medallion lake and reports validation passed."""
+    import json
+    import io
+    from contextlib import redirect_stdout
+
+    from chicago_business_owners_data_engineering_spark import cli
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["--mode", "full", "--sf-dir", sf_dir, "--out", str(tmp_path / "lake")])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    modes = {m["mode"] for m in summary["modes"]}
+    assert modes == {"ingestion", "warehouse", "analytics"}
+    wh = next(m for m in summary["modes"] if m["mode"] == "warehouse")
+    assert wh["status"] == "passed"
+    # lake layout exists and analytics partitions are readable
+    out = spark.read.parquet(str(tmp_path / "lake" / "analytics" / "flagship_ownership_histogram"))
+    assert out.count() > 0
