@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for semantics that must hold on
+ANY input, not just the shipped test data: chunk coverage, split
+determinism, name-composition null handling, entropy math.
+
+Each property batches its generated rows into ONE small Spark job per
+example (max_examples kept low — Spark round-trips are the cost)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    _md5_bucket,
+)
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=1,
+    max_size=700,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_chunking_covers_every_character(spark, docs):
+    """Every character position of every doc appears in ≥1 chunk, chunks
+    never exceed CHUNK_SIZE, and consecutive chunks overlap by
+    size - stride."""
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, n_chars long",
+    )
+    n_chunks = (
+        F.when(F.col("n_chars") <= CHUNK_SIZE, F.lit(1).cast("long"))
+        .otherwise(F.ceil((F.col("n_chars") - CHUNK_SIZE) / CHUNK_STRIDE) + 1)
+    )
+    rows = (
+        df.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("cid"),
+        )
+        .select(
+            "doc_id",
+            "cid",
+            F.substring(
+                F.col("text"), (F.col("cid") * CHUNK_STRIDE + 1).cast("int"), CHUNK_SIZE
+            ).alias("chunk"),
+        )
+        .collect()
+    )
+    per_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["cid"])):
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    for i, t in enumerate(docs):
+        chunks = per_doc[i]
+        assert all(len(c) <= CHUNK_SIZE for c in chunks)
+        covered = "".join(c[:CHUNK_STRIDE] for c in chunks[:-1]) + chunks[-1]
+        assert covered == t
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50, unique=True))
+def test_hash_split_deterministic_partition(spark, keys):
+    """Each key lands in exactly one bucket in [0,100), identically on
+    every evaluation — independent of row order or partitioning."""
+    df1 = spark.createDataFrame([(k,) for k in keys], "k long")
+    df2 = spark.createDataFrame([(k,) for k in reversed(keys)], "k long").repartition(7)
+    b1 = {r["k"]: r["b"] for r in df1.select("k", _md5_bucket(F.col("k")).alias("b")).collect()}
+    b2 = {r["k"]: r["b"] for r in df2.select("k", _md5_bucket(F.col("k")).alias("b")).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 100 for b in b1.values())
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), texts), st.one_of(st.none(), texts), st.one_of(st.none(), texts)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_concat_ws_skips_nulls_like_reference(spark, parts):
+    """concat_ws(" ", first, mi, last) must equal the reference's
+    combine_name (join of the non-null parts) for every null pattern
+    (cbddl/src/data_ingestion/ingestion_pipeline.py:111-123)."""
+    df = spark.createDataFrame(parts, "first string, mi string, last string")
+    got = [
+        r["full"]
+        for r in df.select(F.concat_ws(" ", "first", "mi", "last").alias("full")).collect()
+    ]
+    expected = [" ".join(p for p in row if p is not None) for row in parts]
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.sampled_from("abcde"), min_size=2, max_size=200))
+def test_two_stage_entropy_matches_closed_form(spark, values):
+    """The composable groupBy→agg Shannon entropy (A16) equals the
+    direct -Σ p·log2 p on any categorical sample."""
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    counts = df.groupBy("v").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    got = (
+        counts.crossJoin(total)
+        .agg((-F.sum((F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")))).alias("h"))
+        .collect()[0]["h"]
+    )
+    from collections import Counter
+
+    n = len(values)
+    expected = -sum((c / n) * math.log2(c / n) for c in Counter(values).values())
+    assert abs(got - expected) < 1e-9
