@@ -202,3 +202,62 @@ def sim04_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("vnorm"), 6).alias("max_norm"),
         )
     )
+
+
+N_QUERY_BATCH = 5
+BATCH_K = 3
+
+
+@query(
+    "sim07_batch_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERY_BATCH}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) AS cs
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {N_QUERY_BATCH}
+    )
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim
+    FROM (
+        SELECT query_id, vec_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= {BATCH_K}
+    """,
+)
+def sim07_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity serving: top-k per query for a query BATCH.
+
+    The realistic retrieval shape — N query vectors broadcast onto the
+    corpus scan, scored in one pass, per-query top-k via a window over
+    the (tiny) query_id partitioning. Corpus is read ONCE for the whole
+    batch instead of once per query; at 100 TB that amortization is the
+    difference between N scans and 1. Candidate-pruned variants (sim03
+    IVF, sim05 LSH) slot in by filtering the scan before scoring.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = embeddings.filter(F.col("vec_id") < N_QUERY_BATCH).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cos = cosine(F.col("embedding").cast("array<double>"), F.col("qv"))
+    scored = (
+        embeddings.filter(F.col("vec_id") >= N_QUERY_BATCH)
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", cos.alias("cs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_K)
+        .select("query_id", "vec_id", F.round("cs", 6).alias("cos_sim"))
+    )

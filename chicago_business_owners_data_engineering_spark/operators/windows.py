@@ -201,3 +201,38 @@ def w08_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 6).alias("running_value"),
     )
+
+
+@query(
+    "w09_validity_intervals",
+    oracle="""
+    SELECT user_id, event_type, ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    """,
+)
+def w09_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals: [effective_from, effective_to)
+    per change record, latest row flagged current.
+
+    The reference marks current fact rows with ``is_current`` and
+    filters on it (cbddl/src/etl/pipeline.py:389,436; schema.sql:127);
+    this is the full slowly-changing-dimension form — each state
+    change's validity window derived with lead() over the entity's
+    change sequence. One shuffle on the entity key; the interval
+    columns then support as-of lookups (see j08) without re-sorting.
+    """
+    from ..catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
