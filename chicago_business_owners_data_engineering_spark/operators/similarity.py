@@ -118,7 +118,45 @@ def sim02_near_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim03_ivf_topk", oracle=None)  # approximate (pruned) search → rows-only check
+@query(
+    "sim03_ivf_topk",
+    # Deterministic given the probe rule, so fully oracle-able. The
+    # oracle unrolls the positional explode with a constant
+    # GENERATE_SERIES(1, 64): this corpus's embedding dim (DuckDB lacks
+    # UNNEST WITH ORDINALITY and rejects column-dependent series); the
+    # Spark side handles any dim.
+    oracle=f"""
+    WITH pos AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, GENERATE_SERIES(1, 64) AS g(i)
+    ),
+    cent AS (
+        SELECT label, LIST(mean_val ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(val) AS mean_val FROM pos GROUP BY label, pos)
+        GROUP BY label
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    probed AS (
+        SELECT label
+        FROM cent, q
+        ORDER BY LIST_DOT_PRODUCT(centroid, qv) /
+                 (SQRT(LIST_DOT_PRODUCT(centroid, centroid)) *
+                  SQRT(LIST_DOT_PRODUCT(qv, qv))) DESC,
+                 label ASC
+        LIMIT 3
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+    FROM embeddings e JOIN probed USING (label), q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
 def sim03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: coarse quantize, probe nearest cells.
 
