@@ -221,3 +221,32 @@ def dq01_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_prices"),
     )
+
+
+@query("a28_countmin_heavy_hitters", oracle=None)  # sketch estimates are engine-specific
+def a28_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the heavy-hitter keys.
+
+    The fixed-memory frequency path for 100 TB streams: a
+    ``count_min_sketch`` aggregate (one 8 KB-ish buffer per partition,
+    merged once) estimates per-key counts without a per-key shuffle.
+    Here the sketch is built over order priorities and queried for each
+    distinct priority; estimates over-count by at most ε·N with
+    probability 1-δ (ε=0.1%, δ=1%) — the test suite asserts the bound
+    against exact counts. The executors stream the column into
+    per-partition sketches merged once (the ``count_min_sketch`` SQL
+    aggregate); probing the merged KB-sized sketch for a handful of
+    keys is driver-side by nature, like reading any aggregate result.
+    PySpark 4 dropped the ``df.stat.countMinSketch`` wrapper, so the
+    probe goes through the JVM sketch class directly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    blob = orders.agg(
+        F.expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42) AS cms")
+    ).collect()[0]["cms"]
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
+    keys = sorted(
+        r["o_orderpriority"] for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    rows = [(k, sketch.estimateCount(k)) for k in keys]
+    return spark.createDataFrame(rows, "o_orderpriority string, est_count long")

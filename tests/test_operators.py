@@ -116,3 +116,25 @@ def test_ivf_topk_matches_bruteforce_on_probed_cells(spark, sf_dir):
     ivf = [r["vec_id"] for r in QUERIES["sim03_ivf_topk"](spark, sf_dir).collect()]
     # approximate search: require substantial overlap with exact top-k
     assert len(set(brute) & set(ivf)) >= 5
+
+
+def test_countmin_estimates_within_bound(spark, sf_dir):
+    """Count-min sketch over-counts by at most eps*N (eps=0.001) with
+    high probability, and never under-counts."""
+    import duckdb
+
+    from chicago_business_owners_data_engineering_spark import registry
+
+    est = {
+        r["o_orderpriority"]: r["est_count"]
+        for r in registry.QUERIES["a28_countmin_heavy_hitters"](spark, sf_dir).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT o_orderpriority, COUNT(*) FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(exact.values())
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert exact[k] <= e <= exact[k] + 0.001 * n + 1
