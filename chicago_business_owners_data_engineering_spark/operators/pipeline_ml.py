@@ -400,3 +400,47 @@ def sim06_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.round("max_err", 6).alias("max_err"),
     )
+
+
+PACK_BUDGET = 256  # tokens per packed context window
+
+
+@query(
+    "tp05_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM d
+    """,
+)
+def tp05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to ~fixed-token context bins.
+
+    The LLM batch packer: within each shard (language here; any
+    partition key in production), documents are packed in key order
+    into bins of PACK_BUDGET tokens — bin id is the running token count
+    before the doc, integer-divided by the budget. One window per
+    shard partition (no global ordering, unlike naive packers), so the
+    plan is a single shuffle on the shard key and scales with shard
+    count. Deterministic: same data → same bins, any cluster size.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_tokens = documents.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return with_tokens.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / PACK_BUDGET).alias("bin_id"),
+    )

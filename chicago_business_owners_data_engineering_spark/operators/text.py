@@ -202,3 +202,40 @@ def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
     )
     return documents.select("doc_id", F.md5(canonical).alias("fingerprint"))
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+@query(
+    "tx05_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '{EMAIL_RE}')) AS n_emails,
+           LEN(REGEXP_EXTRACT_ALL(text, '{PHONE_RE}')) AS n_phones,
+           LEN(REGEXP_REPLACE(REGEXP_REPLACE(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+    FROM documents
+    """,
+)
+def tx05_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and replace email/phone patterns.
+
+    The compliance step every training-data pipeline runs before
+    tokenization. Pure regexp projection — scan-speed, no shuffle; the
+    oracle pins regex-dialect parity between engines (this corpus is
+    synthetic so matches are rare, which is exactly what the parity
+    check needs to agree on). Real deployments extend the pattern set
+    (SSNs, credit cards, addresses) in the same plan shape.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{PHONE_RE}', 0)")).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+    )
