@@ -357,3 +357,37 @@ def ups01_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice")
     )
+
+
+def incremental_daily_agg(existing_agg: DataFrame, new_lines: DataFrame, new_orders: DataFrame) -> DataFrame:
+    """Incrementally fold a new batch into the gold daily rollup.
+
+    The 100 TB operating mode: a day's new fact rows are aggregated
+    alone (small) and MERGED into the standing gold table instead of
+    recomputing history — per-key additive combine for the decomposable
+    measures (counts, revenue). Only partitions present in the batch
+    are touched, so the write (dynamic partition overwrite on date_key)
+    is proportional to the batch, not the table. Non-decomposable
+    measures (exact distinct) keep a per-order grain beside the rollup
+    or switch to mergeable sketches (HLL) — see a02.
+
+    Laws the test asserts: agg(A ∪ B) == fold(agg(A), B), and folding
+    an empty batch is the identity.
+    """
+    delta = (
+        new_lines.join(new_orders, new_lines.l_orderkey == new_orders.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("num_orders"),
+            F.count("*").alias("num_lines"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4
+            ).alias("revenue"),
+        )
+    )
+    combined = existing_agg.unionByName(delta)
+    return combined.groupBy("date_key").agg(
+        F.sum("num_orders").alias("num_orders"),
+        F.sum("num_lines").alias("num_lines"),
+        F.round(F.sum("revenue"), 4).alias("revenue"),
+    )

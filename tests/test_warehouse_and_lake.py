@@ -222,3 +222,38 @@ def test_cli_full_pipeline(spark, sf_dir, tmp_path):
     # lake layout exists and analytics partitions are readable
     out = spark.read.parquet(str(tmp_path / "lake" / "analytics" / "flagship_ownership_histogram"))
     assert out.count() > 0
+
+
+def test_incremental_daily_agg_equals_full_recompute(spark, sf_dir):
+    """Folding a new batch into the standing rollup must equal the
+    full recompute (batches split by order date → disjoint orders),
+    and folding an empty batch is the identity."""
+    from chicago_business_owners_data_engineering_spark import registry
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.plans.warehouse import (
+        incremental_daily_agg,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = "1998-01-01"
+    o_old = orders.filter(F.col("o_orderdate") < cutoff)
+    o_new = orders.filter(F.col("o_orderdate") >= cutoff)
+    l_old = lineitem.join(o_old.select("o_orderkey"), lineitem.l_orderkey == F.col("o_orderkey")).drop("o_orderkey")
+    l_new = lineitem.join(o_new.select("o_orderkey"), lineitem.l_orderkey == F.col("o_orderkey")).drop("o_orderkey")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = incremental_daily_agg(
+        spark.createDataFrame([], "date_key string, num_orders long, num_lines long, revenue double"),
+        l_old,
+        o_old,
+    )
+    folded = incremental_daily_agg(base, l_new, o_new)
+    full = registry.QUERIES["wh01_daily_agg"](spark, sf_dir)
+    assert canon(folded) == canon(full)
+    # identity on empty batch
+    empty_l = lineitem.limit(0)
+    empty_o = orders.limit(0)
+    assert canon(incremental_daily_agg(folded, empty_l, empty_o)) == canon(folded)
