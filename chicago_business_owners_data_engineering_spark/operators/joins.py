@@ -56,24 +56,33 @@ def j01_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j02_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-predicate join rewritten as a union of two equi-joins.
+    """OR-predicate join rewritten as a DISJOINT union of equi-joins.
 
     J2: staging ⋈ dim_owner ON (first=first AND last=last) OR
     (entity=entity) (cbddl/src/etl/pipeline.py:393-396). A literal OR
-    join degenerates to a broadcast-nested-loop (O(n·m) at scale); the
-    union-of-equi-joins rewrite keeps both arms hash joins, and the
-    dedup on the output grain removes rows matching both disjuncts —
-    exactly the reference's row semantics.
+    join degenerates to a broadcast-nested-loop (O(n·m) at scale). The
+    naive rewrite unions both equi-join arms and dedups — but the dedup
+    is a full shuffle of the (large) match set. Disjoint decomposition
+    removes it: arm k keeps only rows NOT matching disjuncts < k (here
+    a cheap residual filter on columns already in hand), so the arms
+    are disjoint by construction, each arm's pairs are unique (joins of
+    key-distinct inputs), and the union needs no dedup at all — the
+    textbook disjunctive-join plan, zero wide shuffles.
     """
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     arm1 = customer.join(
         F.broadcast(supplier), customer.c_nationkey == supplier.s_nationkey
     ).select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
-    arm2 = customer.join(
-        F.broadcast(supplier), customer.c_custkey == supplier.s_suppkey
-    ).select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
-    return arm1.unionByName(arm2).dropDuplicates(["custkey", "suppkey"])
+    arm2 = (
+        customer.join(F.broadcast(supplier), customer.c_custkey == supplier.s_suppkey)
+        # residual: drop pairs disjunct 1 already produced — i.e. where
+        # its predicate evaluated TRUE; NULL keys never matched arm 1,
+        # so coalesce keeps them (plain != would wrongly drop them)
+        .filter(F.coalesce(customer.c_nationkey != supplier.s_nationkey, F.lit(True)))
+        .select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
+    )
+    return arm1.unionByName(arm2)
 
 
 @query(

@@ -170,3 +170,37 @@ def o06_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "o07_keyset_pagination",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+    FROM customer
+    WHERE c_custkey > 40
+    ORDER BY c_custkey
+    LIMIT 20
+    """,
+)
+def o07_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: the scale path o04 documents.
+
+    Offset pagination (o04) ranks the whole result to skip N rows —
+    inherently a global window whose cost grows with the offset. Keyset
+    pagination carries the last-seen key instead: `key > cursor` is a
+    pushed-down scan predicate and the page is a TakeOrdered over only
+    qualifying rows — page cost is O(page), independent of how deep
+    into the result the client is. The API surface difference (cursor
+    token vs page number) is the price (no random page jumps).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_custkey") > 40)
+        .orderBy(F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
