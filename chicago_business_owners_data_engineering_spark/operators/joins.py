@@ -234,3 +234,80 @@ def j07_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("orderdate"),
         F.col("o_orderpriority").alias("priority"),
     )
+
+
+@query(
+    "j09_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def j09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having ≥1 finished order.
+
+    Completes the semi family next to j05's anti join (the reference's
+    EXISTS-style integrity checks, cbddl/src/etl/pipeline.py:573-591).
+    Semi joins never duplicate or widen the left side — the build side
+    carries keys only, so at 100 TB this is a broadcast of distinct
+    filtered keys (or a bloom-pruned shuffle), not a full join.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return customer.join(
+        finished, customer.c_custkey == finished.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: semi filter derived from an aggregate.
+
+    The "large volume customer" shape: an aggregation over the fact
+    derives the qualifying key set, which then semi-joins back to prune
+    the detail join. The derived key set is small (HAVING is highly
+    selective) so it broadcasts; the big lineitem⋈orders join happens
+    only for qualifying orders. This agg→semi→join dataflow is the
+    standard way to express "top entities by derived measure" without
+    joining everything first.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    pruned = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        pruned.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
