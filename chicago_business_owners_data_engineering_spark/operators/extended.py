@@ -250,3 +250,70 @@ def a28_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [(k, sketch.estimateCount(k)) for k in keys]
     return spark.createDataFrame(rows, "o_orderpriority string, est_count long")
+
+
+@query(
+    "dq02_constraint_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey) THEN 'pass' ELSE 'fail' END AS status,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CASE WHEN COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0 THEN 'pass' ELSE 'fail' END,
+           COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CASE WHEN COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0
+                THEN 'pass' ELSE 'fail' END,
+           COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CASE WHEN COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 THEN 'pass' ELSE 'fail' END,
+           COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+    FROM orders
+    """,
+)
+def dq02_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint checks in ONE scan: pk uniqueness, range,
+    domain, not-null — each a conditional aggregate, reported as a
+    (check, status, violations) table.
+
+    The reference's quality gate recomputes per-rule scans
+    (cbddl/src/etl/pipeline.py:205-267, pipeline_monitor.py:152-207);
+    here all rules fold into a single pass over the table (one scalar
+    aggregate), then pivot to rows. At 100 TB the difference is one
+    table read vs one per rule.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("bad_status"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_cust"),
+    )
+    checks = [
+        ("orders_pk_unique", F.col("n") - F.col("n_keys")),
+        ("orders_price_positive", F.col("bad_price")),
+        ("orders_status_domain", F.col("bad_status")),
+        ("orders_custkey_not_null", F.col("null_cust")),
+    ]
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.when(v == 0, "pass").otherwise("fail").alias("status"),
+                        v.cast("long").alias("violations"),
+                    )
+                    for name, v in checks
+                ]
+            )
+        ).alias("c")
+    )
+    return rows.select("c.check_name", "c.status", "c.violations")

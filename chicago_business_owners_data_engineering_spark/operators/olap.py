@@ -190,3 +190,46 @@ def skew01_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n_lines"), F.round(F.sum("ps"), 4).alias("total_price")
     )
+
+
+@query(
+    "skew02_salted_join",
+    oracle="""
+    SELECT l.l_returnflag, f.flag_desc, COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded')) AS f(flag, flag_desc)
+      ON l.l_returnflag = f.flag
+    GROUP BY l.l_returnflag, f.flag_desc
+    """,
+)
+def skew02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join over a pathologically skewed key, exact parity.
+
+    Joining a fact on a 3-value key sends each value's entire volume to
+    one reducer when the join must shuffle. Salting fixes the shape
+    mechanically: the big side appends a uniform salt to its key, the
+    small side is exploded once per salt value, and the join runs on
+    (key, salt) — fan-out SALT_BUCKETS× on the tiny side, uniform
+    parallelism on the big side. AQE's skew-join splitting covers the
+    sort-merge case adaptively; explicit salting is the deterministic
+    form that also works for aggregations-after-join and stream-stream
+    joins where AQE can't re-plan. Results are exactly the plain join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")], "flag string, flag_desc string"
+    )
+    salted_fact = lineitem.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    return (
+        salted_fact.join(
+            F.broadcast(salted_dim),
+            (F.col("l_returnflag") == F.col("flag")) & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("l_returnflag", "flag_desc")
+        .agg(F.count("*").alias("n_lines"))
+    )

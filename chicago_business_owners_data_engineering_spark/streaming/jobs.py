@@ -224,3 +224,41 @@ def kafka_source_plan(spark: SparkSession, brokers: str, topic: str) -> DataFram
     return raw.select(
         F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e")
     ).select("e.*")
+
+
+def foreach_batch_upsert(lake_path: str, keys: list[str], version_col: str):
+    """ST5 upsert sink: latest-wins MERGE of each micro-batch into a
+    parquet table (the reference's per-event DB upsert,
+    streaming_processor.py:354-378, as a set-based batch merge).
+
+    Idempotent under at-least-once redelivery: replaying a batch
+    produces the same table state, because the merge keeps one row per
+    key by (version, source-rank) — the effectively-exactly-once
+    pattern for sinks without transactional MERGE.
+    """
+    from ..plans.warehouse import upsert_by_key
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(lake_path)
+        except Exception:  # noqa: BLE001 — first batch, no table yet
+            existing = None
+        if existing is not None:
+            merged = upsert_by_key(existing, batch_df, keys, version_col)
+        else:
+            merged = upsert_by_key(
+                batch_df.limit(0), batch_df, keys, version_col
+            )
+        # overwrite-in-place requires materializing first (read+write of
+        # the same path); checkpointed local collect is fine at batch
+        # grain because merged is one batch + table tail, but at scale
+        # write to a staging path and swap. Here: write to temp then move.
+        tmp = lake_path + f"._epoch_{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(lake_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return sink

@@ -257,3 +257,53 @@ def test_incremental_daily_agg_equals_full_recompute(spark, sf_dir):
     empty_l = lineitem.limit(0)
     empty_o = orders.limit(0)
     assert canon(incremental_daily_agg(folded, empty_l, empty_o)) == canon(folded)
+
+
+def test_streaming_upsert_idempotent_under_redelivery(spark, tmp_path):
+    """Replaying the same stream from a fresh checkpoint (at-least-once
+    redelivery) must leave the upserted table unchanged."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        foreach_batch_upsert,
+        read_event_stream,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT * FROM '/root/testdata/sf0.001/events.parquet' ORDER BY event_id"
+    ).df()
+    src = tmp_path / "ups_src"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "b1.parquet"))
+    pdf.iloc[half:].to_parquet(str(src / "b2.parquet"))
+    table = str(tmp_path / "user_latest")
+
+    def run(ckpt):
+        stream = read_event_stream(spark, str(src)).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(foreach_batch_upsert(table, ["user_id"], "event_id"))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    first = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    # one row per user, and it's that user's max event_id
+    users = {r[0] for r in first}
+    assert len(first) == len(users)
+    expected_latest = {
+        r["user_id"]: r["m"]
+        for r in spark.createDataFrame(pdf)
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("m"))
+        .collect()
+    }
+    assert {r[0]: r[1] for r in first} == expected_latest
+    # redelivery: fresh checkpoint reprocesses everything
+    run("ck2")
+    second = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert second == first
