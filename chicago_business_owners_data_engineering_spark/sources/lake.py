@@ -133,3 +133,24 @@ class LakeStorage:
                 fs.delete(p, True)
                 removed.append(key)
         return removed
+
+
+def write_bucketed(
+    df, name: str, bucket_col: str, n_buckets: int, warehouse_db: str = "default",
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    The co-located-join lever at 100 TB: two tables bucketed the same
+    way on the same key join WITHOUT any Exchange — Spark trusts the
+    bucket layout and runs a zip-like per-bucket join; sorted buckets
+    also drop the Sort. The cost is paid once at write time (one
+    shuffle into n_buckets files per partition). Spark buckets are
+    hash(pmod)-compatible across writes, so incremental appends keep
+    the property. Requires ``saveAsTable`` (the metastore records the
+    bucket spec; plain parquet paths can't).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(f"{warehouse_db}.{name}")

@@ -307,3 +307,53 @@ def test_streaming_upsert_idempotent_under_redelivery(spark, tmp_path):
     run("ck2")
     second = sorted(tuple(r) for r in spark.read.parquet(table).collect())
     assert second == first
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key join with ZERO Exchange nodes —
+    the write-once shuffle buys co-located joins forever after."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.sources.lake import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        write_bucketed(lineitem, "t_lineitem_b", "l_orderkey", 8, sort_col="l_orderkey")
+        write_bucketed(orders, "t_orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+        lb = spark.table("t_lineitem_b")
+        ob = spark.table("t_orders_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "== Initial Plan ==" in plan:
+            plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the result is right
+        expected = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_partition_pruning_reads_only_matching_files(spark, sf_dir, tmp_path):
+    """A filter on the lake's date partition column must prune the scan
+    to that partition's files (zero-I/O for the rest)."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.sources.lake import LakeStorage
+
+    lake = LakeStorage(str(tmp_path / "lake"))
+    orders = load_table(spark, sf_dir, "orders")
+    for dk in ("20240101", "20240102", "20240103"):
+        lake.write(orders.limit(50), "processed", "orders_p", date_key=dk)
+    df = lake.read(spark, "processed", "orders_p")
+    pruned = df.filter(F.col("date") == "20240102")
+    # inputFiles() lists the relation pre-pruning; the proof that the
+    # filter prunes is the PartitionFilters entry on the physical scan
+    # plus the row count matching exactly one partition's rows.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "20240102" in plan, plan
+    assert pruned.count() == 50
+    assert df.count() == 150
