@@ -191,3 +191,39 @@ def p09_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(F.col("ts") > F.lit("2024-01-29 00:00:00").cast("timestamp")).select(
         "event_id", "ts", "event_type", "value"
     )
+
+
+@query(
+    "ts01_hourly_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           ROUND(COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*), 2)
+               AS error_rate_pct,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ts01_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational monitoring rollup: per-hour throughput + error rate.
+
+    The batch form of the reference's monitor queries (events/min and
+    error-rate windows, cbddl/src/monitoring/pipeline_monitor.py:
+    152-207) — date_trunc bucketing plus conditional aggregates in one
+    pass. The streaming twin is windowed_user_stats (streaming/jobs.py);
+    at scale this rollup is what lands in the gold layer for dashboards
+    (reference's agg_daily_* tables, schema.sql:167-199, at hour grain).
+    """
+    events = load_table(spark, sf_dir, "events")
+    errors = F.count(F.when(F.col("event_type") == "error", 1))
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            errors.alias("n_errors"),
+            F.round(errors * 100.0 / F.count("*"), 2).alias("error_rate_pct"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

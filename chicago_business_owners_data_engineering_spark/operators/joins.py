@@ -311,3 +311,69 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# Non-uniform price bands for the range join (lo inclusive, hi exclusive).
+PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 500_000.0),
+]
+RANGE_BUCKET = 50_000.0  # coarse bucket width for the equi-join rewrite
+
+
+@query(
+    "j10_range_join",
+    oracle="""
+    SELECT b.band_name, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS total_price
+    FROM orders o
+    JOIN (VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                 ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 500000.0))
+         AS b(band_name, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucket decomposition, not nested loops.
+
+    ``fact.value BETWEEN dim.lo AND dim.hi`` has no equi-key, so Spark
+    plans a nested-loop join — O(n·m) when the interval side outgrows
+    the broadcast limit. The standard rewrite: pick a coarse bucket
+    width, explode each interval over the buckets it overlaps, bucket
+    the fact value once, EQUI-join on the bucket, then apply the exact
+    range as a residual filter. Join cost becomes O(n + m·spread) on a
+    hash key. Buckets here are 50k wide → each band covers 1-4 buckets.
+    (Same dataflow as an as-of join by coarse time bucket; see j08 for
+    the order-based alternative.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band_name string, lo double, hi double")
+    # explode each interval over the coarse buckets it overlaps
+    bands_b = bands.select(
+        "band_name",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / RANGE_BUCKET).cast("long"),
+                # hi is exclusive: a band ending exactly on a bucket edge
+                # does not overlap the next bucket
+                F.floor((F.col("hi") - 1e-9) / RANGE_BUCKET).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    fact_b = orders.withColumn(
+        "bucket", F.floor(F.col("o_totalprice") / RANGE_BUCKET).cast("long")
+    )
+    return (
+        fact_b.join(F.broadcast(bands_b), "bucket")
+        .filter((F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("band_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
