@@ -262,3 +262,51 @@ def foreach_batch_upsert(lake_path: str, keys: list[str], version_col: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
     return sink
+
+
+def dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """Streaming exactly-once-ish dedup: drop event_id duplicates that
+    arrive within the watermark horizon.
+
+    At-least-once sources redeliver; ``dropDuplicatesWithinWatermark``
+    keeps the dedup state bounded (keys older than the watermark are
+    evicted) — the engine-native form of the reference's upsert-based
+    dedup (streaming_processor.py:354-378) that never grows state
+    without bound.
+    """
+    return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def purchases_joined_with_errors(stream: DataFrame, window: str = "30 minutes") -> DataFrame:
+    """Stream-stream self-join: purchases matched to errors by the same
+    user within ±``window``.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so each side's state buffers only the window horizon — the
+    canonical funnel/correlation join (reference has no analog; its
+    per-event loop can't see across events).
+    """
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window}")),
+    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")

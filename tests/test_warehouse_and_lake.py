@@ -357,3 +357,111 @@ def test_partition_pruning_reads_only_matching_files(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "20240102" in plan, plan
     assert pruned.count() == 50
     assert df.count() == 150
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Redelivered event_ids within the watermark horizon are dropped."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        dedup_within_watermark,
+        read_event_stream,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT * FROM '/root/testdata/sf0.001/events.parquet' ORDER BY event_id LIMIT 200"
+    ).df()
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    pdf.to_parquet(str(src / "b1.parquet"))
+    pdf.to_parquet(str(src / "b2_redelivery.parquet"))  # exact duplicate file
+
+    out = dedup_within_watermark(read_event_stream(spark, str(src), max_files_per_trigger=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT event_id FROM t_dedup").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == len(pdf)
+
+
+def test_streaming_stream_stream_join(spark, tmp_path):
+    """Purchases join errors of the same user within the time window;
+    results match the equivalent batch join."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        purchases_joined_with_errors,
+        read_event_stream,
+    )
+
+    pdf = duckdb.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    pdf.to_parquet(str(src / "b1.parquet"))
+
+    out = purchases_joined_with_errors(
+        read_event_stream(spark, str(src), max_files_per_trigger=10)
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssj")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["purchase_id"], r["error_id"])
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    batch = spark.createDataFrame(pdf)
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    e = batch.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    expected = {
+        (r["pid"], r["eid"])
+        for r in p.join(
+            e,
+            (F.col("pu") == F.col("eu"))
+            & (F.col("ets") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("ets") <= F.col("pts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == expected
+    assert got, "expected at least one purchase-error correlation"
+
+
+def test_streaming_available_now_catchup(spark, tmp_path):
+    """trigger(availableNow=True) drains the whole backlog in rate-
+    limited batches, then stops — the catch-up/backfill trigger."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        enrich_events,
+        read_event_stream,
+    )
+
+    pdf = duckdb.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    src = tmp_path / "an_src"
+    src.mkdir()
+    third = len(pdf) // 3
+    for i in range(3):
+        pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)].to_parquet(
+            str(src / f"b{i}.parquet")
+        )
+    out = enrich_events(read_event_stream(spark, str(src), max_files_per_trigger=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_an")
+        .option("checkpointLocation", str(tmp_path / "ck_an"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # availableNow self-terminates when drained
+    assert spark.sql("SELECT COUNT(*) c FROM t_an").collect()[0]["c"] == len(pdf)
