@@ -325,3 +325,37 @@ def f13b_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("cal_date").cast("int").alias("yr"),
         F.month("cal_date").cast("int").alias("mon"),
     )
+
+
+@query(
+    "f23_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def f23_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL execution (``spark.sql(query, args=...)``).
+
+    The injection-safe form of the reference's string-interpolated
+    queries (cbddl/src/api/main.py builds WHERE clauses from request
+    params; cbddl/src/etl/pipeline.py interpolates batch ids):
+    parameters bind as typed literals in the parser, never via string
+    concatenation, and the plan is cacheable across parameter values.
+    """
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__f23_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM __f23_orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 1000.0},
+    )

@@ -236,3 +236,42 @@ def w09_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("effective_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "w10_rank_variants",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rnk,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def w10_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window spec.
+
+    row_number / rank / dense_rank diverge exactly on ties (the
+    explicit c_custkey tiebreak makes row_number deterministic while
+    leaving acctbal ties visible to rank); percent_rank and ntile give
+    the normalized forms dashboards use for percentile bands. One
+    shuffle on the partition key serves all five functions — Spark
+    evaluates them in a single WindowExec pass.
+    """
+    from ..catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -120,3 +120,30 @@ def test_two_stage_entropy_matches_closed_form(spark, values):
     n = len(values)
     expected = -sum((c / n) * math.log2(c / n) for c in Counter(values).values())
     assert abs(got - expected) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xyz"), st.integers(min_value=-1000, max_value=1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    """Two-stage salted aggregation must equal the plain GROUP BY for
+    any grouping — count and sum are decomposable."""
+    df = spark.createDataFrame(rows, "k string, v long")
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = (
+        df.withColumn("salt", F.pmod(F.xxhash64("v"), F.lit(4)))
+        .groupBy("k", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("v").alias("ps"))
+        .groupBy("k")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert got == plain
