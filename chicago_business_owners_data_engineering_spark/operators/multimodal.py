@@ -136,3 +136,47 @@ def mm03_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("frame_idx") % 2 == 0)
     )
+
+
+@query(
+    "mm04_arrow_batch_stats",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(CAST(text AS BLOB)) AS byte_len,
+           OCTET_LENGTH(CAST(text AS BLOB)) % 256 AS first_tile
+    FROM documents
+    """,
+)
+def mm04_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy tier below mapInPandas.
+
+    For pure-bytes work (media codecs, tokenizers with Arrow bindings)
+    the pandas conversion in mapInPandas is overhead — mapInArrow hands
+    the raw Arrow RecordBatch to Python and takes one back, no Series
+    materialization. The computation here (payload length + a fake
+    tile selector) is deliberately trivial and deterministic so the
+    Arrow path itself is what's oracle-checked; a real decoder slots
+    into the same batch loop.
+    """
+    import pyarrow as pa
+
+    documents = load_table(spark, sf_dir, "documents")
+    src = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def batch_stats(batches):
+        for batch in batches:
+            ids = batch.column("payload")
+            lens = pa.compute.binary_length(ids).cast(pa.int64())
+            # pyarrow.compute has no mod kernel; subtract(l, 256*(l//256))
+            tiles = pa.compute.subtract(
+                lens,
+                pa.compute.multiply(
+                    pa.compute.divide(lens, pa.scalar(256, pa.int64())), pa.scalar(256, pa.int64())
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), lens, tiles],
+                names=["doc_id", "byte_len", "first_tile"],
+            )
+
+    return src.mapInArrow(batch_stats, schema="doc_id long, byte_len long, first_tile long")
