@@ -33,6 +33,43 @@ def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a29_hll_sketch_union", oracle=None)  # sketch bytes/estimates are engine-specific
+def a29_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: per-partition build, central union.
+
+    The pattern that makes distinct counts tractable at 100 TB: each
+    partition (here: order month, standing in for a date-partitioned
+    gold table) aggregates its keys into a fixed-size Datasketches HLL
+    buffer (``hll_sketch_agg``); a later query unions the per-partition
+    sketches (``hll_union_agg``) instead of re-scanning raw data. The
+    sketches are additive, so incremental maintenance is append-only —
+    the roadmap's "theta-sketch-style distinct-union".
+
+    Self-verifying output: the merged estimate sits beside a direct
+    single-pass sketch over the same rows and the exact distinct.
+    Merged and direct differ by well under 1% (the union's HLL_8
+    register target vs the single sketch's packed HLL_4 rounds
+    differently), both within the lgK=12 error bound of exact.
+    Rows-only for the driver (sketch internals are engine-specific);
+    tests/test_ingestion_and_udfs.py bounds both estimates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_month = orders.groupBy(F.date_format("o_orderdate", "yyyyMM").alias("month")).agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("sketch")
+    )
+    merged = per_month.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate"),
+        F.count("*").alias("num_partition_sketches"),
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("direct_estimate"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    return merged.crossJoin(direct).select(
+        "num_partition_sketches", "merged_estimate", "direct_estimate", "exact_distinct"
+    )
+
+
 @query(
     "a25_quantiles",
     oracle="""

@@ -105,6 +105,20 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert abs(approx["approx_orders"] - exact_orders) / exact_orders < 0.05
 
 
+def test_hll_union_matches_direct_sketch(spark, sf_dir):
+    """Merging per-partition sketches must agree with one global sketch
+    (sub-1% register-encoding drift) and land inside the lgK=12 error
+    bound of the exact distinct — the property that makes the gold-layer
+    sketch table trustworthy."""
+    row = QUERIES["a29_hll_sketch_union"](spark, sf_dir).collect()[0]
+    assert row["num_partition_sketches"] > 1
+    assert abs(row["merged_estimate"] - row["direct_estimate"]) <= max(
+        1, 0.01 * row["exact_distinct"]
+    )
+    for est in (row["merged_estimate"], row["direct_estimate"]):
+        assert abs(est - row["exact_distinct"]) / row["exact_distinct"] < 0.05
+
+
 def test_percentile_approx_close_to_exact(spark, sf_dir):
     exact = QUERIES["a25_quantiles"](spark, sf_dir).collect()[0]
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
