@@ -147,3 +147,31 @@ def test_salted_agg_equals_plain_groupby(spark, rows):
     )
     got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
     assert got == plain
+
+
+@settings(**SETTINGS)
+@given(st.data())
+def test_minhash_match_fraction_concentrates_on_jaccard(spark, data):
+    """P[min-hash slots agree] = Jaccard(a, b), so with 64 independent
+    slots the observed match fraction must land within 4σ
+    (σ = √(J(1−J)/64) ≤ 0.0625) of the exact Jaccard — the estimator
+    property the whole dd04 LSH path rests on. Exact at the endpoints:
+    identical sets ⇒ 1, disjoint sets ⇒ 0 (mod 2⁻⁶⁴ collisions)."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    universe = [f"tok{i}" for i in range(40)]
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=3, max_size=30))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=3, max_size=30))
+    jac = len(a & b) / len(a | b)
+    df = spark.createDataFrame(
+        [(0, sorted(a)), (1, sorted(b))], "doc_id long, toks array<string>"
+    )
+    n = 64
+    rows = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(n)]
+        for r in minhash_signature(df, "doc_id", "toks", num_hashes=n).collect()
+    }
+    match = sum(x == y for x, y in zip(rows[0], rows[1])) / n
+    assert abs(match - jac) <= 0.25 + 1e-9
