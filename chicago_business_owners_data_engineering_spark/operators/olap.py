@@ -159,6 +159,128 @@ def q05_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: correlated EXISTS decorrelated into an aggregate.
+
+    ``EXISTS (line shipped after order date)`` ⟺ ``max(l_shipdate) per
+    order > o_orderdate`` — so instead of a semi join that shuffles
+    every lineitem row (the naive plan; j09 shows the plain left_semi),
+    lineitem pre-aggregates to one (orderkey, max_shipdate) row per
+    order with map-side combine, shrinking the fact shuffle ~4× before
+    a unique-key inner join that preserves semi semantics. The order
+    date window pushes into the orders scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    last_ship = lineitem.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: conditional counts over a fact-fact join.
+
+    The classic "pivot a CASE over a join" shape: one orderkey shuffle
+    joins the date-pruned lineitem to orders, then a 2-value groupBy
+    splits each group into high/low-priority counts in a single pass
+    (A3's conditional count at warehouse scale — never two scans, never
+    two joins). Partial aggregation collapses to ≤2 rows per task.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END) /
+                 SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: global ratio of conditional sums over a join.
+
+    One month of lineitem joins part on partkey; both conditional and
+    total revenue accumulate in the same aggregate, so the ratio costs
+    one pass. No broadcast hint on part: it scales with SF (not a
+    broadcastable dim at 100 TB) but column pruning cuts it to two
+    columns — AQE broadcasts locally where that projection is small
+    and falls back to a shuffle join at scale. The one-month shipdate
+    window prunes lineitem row groups at the scan.
+    """
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
     "skew01_salted_agg",
     oracle="""
     SELECT l_returnflag,
