@@ -281,6 +281,142 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: correlated per-group average, decorrelated.
+
+    The correlated scalar subquery (``avg quantity of THIS part``)
+    becomes a window average over the partkey partition — one shuffle
+    keyed on partkey computes the threshold and applies the filter in
+    the same stage, instead of a second lineitem scan joined back on
+    itself (the naive decorrelation doubles the fact traffic). The
+    brand filter broadcasts part, pruning lineitem BEFORE the window
+    shuffle, so only matching parts' lines ever repartition.
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pruned = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicate_join",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: disjunction of conjunctions over one equi join.
+
+    Unlike j02 (where the JOIN KEYS are disjunctive and need a union
+    rewrite), here every disjunct shares the same equi key — Catalyst
+    extracts ``p_partkey = l_partkey`` for the hash join and evaluates
+    the OR as a residual filter on matched rows, so the plan stays a
+    single join, no BNLJ. Derivable single-side prefilters (brand ∈
+    {1,2,3}, quantity ∈ [1,30]) are pushed to each scan explicitly —
+    the cross-disjunct implication Catalyst doesn't infer.
+    """
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cases = [
+        ("Brand#1", 1, 11),
+        ("Brand#2", 10, 20),
+        ("Brand#3", 20, 30),
+    ]
+    residual = None
+    for brand, lo, hi in cases:
+        c = (F.col("p_brand") == brand) & F.col("l_quantity").between(lo, hi)
+        residual = c if residual is None else residual | c
+    return (
+        lineitem.filter(F.col("l_quantity").between(1, 30))
+        .join(
+            part.filter(F.col("p_brand").isin([b for b, _, _ in cases])).select(
+                "p_partkey", "p_brand"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(residual)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_inactive_rich_customers",
+    oracle="""
+    WITH threshold AS (
+        SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS num_custs,
+           ROUND(SUM(c.c_acctbal), 4) AS total_bal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: scalar-aggregate threshold + filtered NOT EXISTS.
+
+    Two subquery families in one plan: the global average becomes a
+    1-row broadcast cross join (every executor compares against the
+    local scalar — no shuffle), and NOT EXISTS becomes a left_anti
+    join against orders pre-filtered to urgent priority and projected
+    to its key column — the subquery's predicate pushes into the anti
+    join's build side, not evaluated per probe. The anti join runs
+    AFTER the threshold filter so only above-average customers probe.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    threshold = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("num_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "skew01_salted_agg",
     oracle="""
     SELECT l_returnflag,
