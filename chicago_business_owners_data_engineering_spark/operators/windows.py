@@ -275,3 +275,49 @@ def w10_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "w11_range_frame_trailing_hour",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY EPOCH_US(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+               AS trailing_hour_value,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY EPOCH_US(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS trailing_hour_events
+    FROM events
+    """,
+)
+def w11_range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: per-user trailing-hour sum/count.
+
+    The VALUE-based frame (all rows within 1h of the current row's
+    time, however many there are) — complementing w08's ROWS frame.
+    Ordering is epoch MICROS as an integer on both engines
+    (``unix_micros`` / ``EPOCH_US``): integer micros sidestep
+    float-epoch drift while keeping frame peers identical — the events
+    timestamps are micros-precision after catalog.load_table's nanos
+    restoration. One shuffle on user_id;
+    WindowExec evaluates both aggregates in a single pass. This is the
+    batch twin of a sliding stream window (streaming/jobs.py) — same
+    semantics, no watermark needed because the data is complete.
+    """
+    from ..catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return events.withColumn("ts_us", us).select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("trailing_hour_value"),
+        F.count("*").over(w).alias("trailing_hour_events"),
+    )
