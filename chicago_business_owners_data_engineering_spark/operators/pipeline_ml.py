@@ -444,3 +444,73 @@ def tp05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / PACK_BUDGET).alias("bin_id"),
     )
+
+
+@query(
+    "tp06_curation_report",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, source, n_chars,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               (n_chars BETWEEN 100 AND 500
+                AND LEN(STRING_SPLIT(text, ' ')) >= 20
+                AND LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                    <= 0.1 * n_chars) AS keep
+        FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           ROUND(100.0 * SUM(CASE WHEN keep THEN 1 ELSE 0 END) / COUNT(*), 4)
+               AS keep_pct,
+           SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS kept_chars,
+           ROUND(AVG(CASE WHEN keep THEN CAST(n_words AS DOUBLE) END), 6)
+               AS avg_kept_words
+    FROM scored
+    GROUP BY lang, source
+    """,
+)
+def tp06_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation yield report: quality gates + per-source stats,
+    one scan.
+
+    The pretraining-pipeline governance query: every document is scored
+    against the keep criteria (length band, minimum words, symbol-ratio
+    cap — the tx01 quality family as a boolean) and the per-(lang,
+    source) report aggregates kept vs total WITHOUT a second scan or a
+    self-join — the filter becomes a flag and every metric is a
+    conditional aggregate over the same pass. At 100 TB this is the
+    difference between one fact read and two; partial aggregation
+    collapses each task to the (lang × source) group count.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    symbol_chars = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    keep = (
+        F.col("n_chars").between(100, 500)
+        & (n_words >= 20)
+        & (symbol_chars <= 0.1 * F.col("n_chars"))
+    )
+    return (
+        documents.select(
+            "lang",
+            "source",
+            "n_chars",
+            n_words.alias("n_words"),
+            keep.alias("keep"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                100.0 * F.sum(F.when(F.col("keep"), 1).otherwise(0)) / F.count("*"), 4
+            ).alias("keep_pct"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+            F.round(
+                F.avg(F.when(F.col("keep"), F.col("n_words").cast("double"))), 6
+            ).alias("avg_kept_words"),
+        )
+    )
