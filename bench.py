@@ -80,16 +80,23 @@ def main() -> None:
     # steady-state cost, which is what scales with data volume (on a
     # real cluster the per-query compile ~1 s amortizes into minutes of
     # execution). Each run rebuilds the DataFrame, so driver-side plan
-    # construction + analysis stays inside the measurement.
+    # construction + analysis stays inside the measurement. If the two
+    # runs disagree by >1.5× the query gets ONE extra run — observed
+    # host CPU-steal spikes inflate a full best-of-2 sweep ~2.5×, and
+    # the adaptive third sample only costs time when noise is present.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
-        best = float("inf")
+        samples = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        if max(samples) > 1.5 * min(samples):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
