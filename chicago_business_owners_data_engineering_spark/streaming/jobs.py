@@ -14,7 +14,7 @@ offset cursor (cbddl/src/big_data/streaming_processor.py:84-228,
   one transaction scope;
 - error routing (ST6)        → validity flag + split writes in
   foreachBatch (dead-letter path);
-- monitoring (ST7)           → ``query.lastProgress``;
+- monitoring (ST7)           → ``ProgressMonitor`` (StreamingQueryListener);
 - watermarked event-time windows (ST8 — absent in the reference, the
   idiomatic upgrade) → ``withWatermark + window()``.
 
@@ -310,3 +310,74 @@ def purchases_joined_with_errors(stream: DataFrame, window: str = "30 minutes") 
         & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
         & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window}")),
     ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")
+
+
+class ProgressMonitor:
+    """ST7 monitoring as an engine feature: a ``StreamingQueryListener``
+    that accumulates per-batch throughput and latency.
+
+    The reference polls its own counters into Prometheus
+    (cbddl/src/monitoring/pipeline_monitor.py:152-207, events/min and
+    error rates via SQL over a metrics table); Structured Streaming
+    already emits the same facts on every micro-batch — this listener
+    collects them driver-side with zero query overhead (callbacks run
+    on the listener bus, off the execution path).
+
+    Use::
+
+        mon = ProgressMonitor.attach(spark)
+        ... run queries ...
+        mon.summary()   # {'n_batches', 'total_input_rows',
+                        #  'avg_batch_duration_ms', 'max_batch_duration_ms'}
+        mon.detach(spark)
+    """
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+        self._listener = None
+
+    @classmethod
+    def attach(cls, spark: SparkSession) -> "ProgressMonitor":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        mon = cls()
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                p = event.progress
+                mon.batches.append(
+                    {
+                        "query_name": p.name,
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                    }
+                )
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        mon._listener = _Listener()
+        spark.streams.addListener(mon._listener)
+        return mon
+
+    def detach(self, spark: SparkSession) -> None:
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def summary(self) -> dict:
+        rows = [b for b in self.batches if b["num_input_rows"]]
+        durs = [b["duration_ms"] for b in self.batches if b["duration_ms"] is not None]
+        return {
+            "n_batches": len(self.batches),
+            "total_input_rows": sum(b["num_input_rows"] for b in rows),
+            "avg_batch_duration_ms": (sum(durs) / len(durs)) if durs else None,
+            "max_batch_duration_ms": max(durs) if durs else None,
+        }

@@ -175,3 +175,55 @@ def test_minhash_match_fraction_concentrates_on_jaccard(spark, data):
     }
     match = sum(x == y for x, y in zip(rows[0], rows[1])) / n
     assert abs(match - jac) <= 0.25 + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 20), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 20), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_upsert_latest_wins_and_idempotent(spark, existing, updates):
+    """MERGE-substitute laws, for any keyed inputs: (1) result keys =
+    keys(existing) ∪ keys(updates); (2) each key carries the highest
+    version, updates winning version ties; (3) re-applying the same
+    updates changes nothing (idempotence) — the ON CONFLICT DO UPDATE
+    re-run behavior the reference relies on (cbddl/src/etl/
+    pipeline.py:314-318)."""
+    from chicago_business_owners_data_engineering_spark.plans.warehouse import (
+        upsert_by_key,
+    )
+
+    schema = "k long, version long, payload long"
+    # one row per key per side (the dedup-by-key precondition): keep max version
+    def dedup(rows):
+        best = {}
+        for k, v, p in rows:
+            if k not in best or (v, p) > best[k]:
+                best[k] = (v, p)
+        return [(k, v, p) for k, (v, p) in best.items()]
+
+    e_rows, u_rows = dedup(existing), dedup(updates)
+    e = spark.createDataFrame(e_rows, schema) if e_rows else spark.createDataFrame([], schema)
+    u = spark.createDataFrame(u_rows, schema) if u_rows else spark.createDataFrame([], schema)
+
+    once = upsert_by_key(e, u, keys=["k"], version_col="version")
+    got = {r["k"]: (r["version"], r["payload"]) for r in once.collect()}
+
+    expect = {}
+    for src, rows in ((0, e_rows), (1, u_rows)):
+        for k, v, p in rows:
+            if k not in expect or (v, src) > (expect[k][0], expect[k][2]):
+                expect[k] = (v, p, src)
+    assert got == {k: (v, p) for k, (v, p, _) in expect.items()}
+
+    twice = upsert_by_key(once, u, keys=["k"], version_col="version")
+    got2 = {r["k"]: (r["version"], r["payload"]) for r in twice.collect()}
+    assert got2 == got

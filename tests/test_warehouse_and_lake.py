@@ -465,3 +465,46 @@ def test_streaming_available_now_catchup(spark, tmp_path):
     )
     q.awaitTermination(120)  # availableNow self-terminates when drained
     assert spark.sql("SELECT COUNT(*) c FROM t_an").collect()[0]["c"] == len(pdf)
+
+
+def test_streaming_progress_monitor(spark, tmp_path):
+    """ST7: the listener observes every micro-batch's row counts —
+    total input rows across progress events equals the rows fed in."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        ProgressMonitor,
+        enrich_events,
+        read_event_stream,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT * FROM '/root/testdata/sf0.001/events.parquet' LIMIT 600"
+    ).df()
+    src = tmp_path / "mon_src"
+    src.mkdir()
+    pdf.iloc[:300].to_parquet(str(src / "b1.parquet"))
+    pdf.iloc[300:].to_parquet(str(src / "b2.parquet"))
+
+    mon = ProgressMonitor.attach(spark)
+    try:
+        stream = enrich_events(read_event_stream(spark, str(src), max_files_per_trigger=1))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("mon_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "mon_ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener bus is async; progress events can trail the query
+        import time as _time
+
+        deadline = _time.time() + 30
+        while mon.summary()["total_input_rows"] < 600 and _time.time() < deadline:
+            _time.sleep(0.5)
+    finally:
+        mon.detach(spark)
+
+    s = mon.summary()
+    assert s["total_input_rows"] == 600, s
+    assert s["n_batches"] >= 2, s  # one file per trigger → ≥2 batches
