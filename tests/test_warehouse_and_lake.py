@@ -508,3 +508,62 @@ def test_streaming_progress_monitor(spark, tmp_path):
     s = mon.summary()
     assert s["total_input_rows"] == 600, s
     assert s["n_batches"] >= 2, s  # one file per trigger → ≥2 batches
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Clustering quality, measured from parquet footers: with files
+    range-partitioned on the interleaved key, a point predicate on
+    EITHER clustered column matches few files' [min, max] envelopes,
+    while a linear sort on the first column leaves every file spanning
+    the second column's full range (no pruning at all)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from chicago_business_owners_data_engineering_spark.sources.lake import (
+        write_clustered,
+    )
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_clustered(lineitem, zdir, ["l_partkey", "l_suppkey"], n_files=16)
+    (
+        lineitem.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def envelopes(d, col):
+        envs = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            i = names.index(col)
+            lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+            envs.append((lo, hi))
+        return envs
+
+    def avg_matching(envs, probes):
+        return sum(sum(1 for lo, hi in envs if lo <= v <= hi) for v in probes) / len(probes)
+
+    hi_supp = lineitem.agg(F.max("l_suppkey")).first()[0]
+    probes = [int(hi_supp * f) for f in (0.1, 0.3, 0.5, 0.7, 0.9)]
+
+    z_env, l_env = envelopes(zdir, "l_suppkey"), envelopes(ldir, "l_suppkey")
+    assert len(z_env) > 4 and len(l_env) > 4  # layouts actually multi-file
+    z_hits, l_hits = avg_matching(z_env, probes), avg_matching(l_env, probes)
+    # linear-by-partkey layout cannot prune suppkey probes: every file
+    # spans ~the whole suppkey range. Z-order must do strictly better.
+    assert l_hits >= 0.9 * len(l_env), (z_hits, l_hits)
+    assert z_hits <= 0.7 * l_hits, (z_hits, l_hits)
+
+    # and the FIRST dimension still prunes under z-order (worse than a
+    # dedicated sort, but far better than nothing)
+    hi_part = lineitem.agg(F.max("l_partkey")).first()[0]
+    p_probes = [int(hi_part * f) for f in (0.1, 0.3, 0.5, 0.7, 0.9)]
+    zp_hits = avg_matching(envelopes(zdir, "l_partkey"), p_probes)
+    assert zp_hits <= 0.7 * len(z_env), zp_hits
