@@ -381,3 +381,53 @@ class ProgressMonitor:
             "avg_batch_duration_ms": (sum(durs) / len(durs)) if durs else None,
             "max_batch_duration_ms": max(durs) if durs else None,
         }
+
+
+def stateful_user_counters_tws(stream: DataFrame) -> DataFrame:
+    """ST4 on the modern stateful API: ``transformWithStateInPandas``.
+
+    The successor to applyInPandasWithState (kept above as the widely
+    deployed form): typed per-key state handles (ValueState here;
+    ListState/MapState for richer shapes), explicit time modes for
+    timers/TTL, and the RocksDB state store underneath — the pieces a
+    100 TB keyed-state deployment actually runs on, where state spills
+    beyond executor memory. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider, and the ``protobuf`` package (the
+    operator's Python↔JVM state-server protocol) — absent from this
+    container, so the test suite skips execution and this stays
+    plan-complete like the Kafka bindings; applyInPandasWithState
+    (above) is the executable stateful path here.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n_events", "n long")
+            self._total = handle.getValueState("total_value", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            n = self._count.get()[0] if self._count.exists() else 0
+            t = self._total.get()[0] if self._total.exists() else 0.0
+            for pdf in rows:
+                n += len(pdf)
+                t += float(pdf["value"].fillna(0.0).sum())
+            self._count.update((n,))
+            self._total.update((t,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(t, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        UserCounter(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -567,3 +567,78 @@ def test_zorder_clustering_prunes_both_dimensions(spark, sf_dir, tmp_path):
     p_probes = [int(hi_part * f) for f in (0.1, 0.3, 0.5, 0.7, 0.9)]
     zp_hits = avg_matching(envelopes(zdir, "l_partkey"), p_probes)
     assert zp_hits <= 0.7 * len(z_env), zp_hits
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (its state-server "
+    "wire protocol); not installed in this environment",
+)
+def test_streaming_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas: typed ValueState persists across
+    micro-batches on the RocksDB store — cumulative per-user totals
+    must reconcile with the batch aggregation."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        read_event_stream,
+        stateful_user_counters_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        pdf = duckdb.sql(
+            "SELECT * FROM '/root/testdata/sf0.001/events.parquet' ORDER BY event_id LIMIT 400"
+        ).df()
+        src = tmp_path / "tws_src"
+        src.mkdir()
+        pdf.iloc[:200].to_parquet(str(src / "b1.parquet"))
+        pdf.iloc[200:].to_parquet(str(src / "b2.parquet"))
+
+        stream = stateful_user_counters_tws(read_event_stream(spark, str(src)))
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        out = spark.sql(
+            "SELECT user_id, n_events, total_value FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn"
+            "  FROM t_tws) WHERE rn = 1"
+        ).collect()
+        batch = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in spark.createDataFrame(pdf)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("tv"),
+            )
+            .collect()
+        }
+        assert len(out) == len(batch)
+        for r in out:
+            n, tv = batch[r["user_id"]]
+            assert r["n_events"] == n
+            assert abs(r["total_value"] - tv) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
