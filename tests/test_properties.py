@@ -227,3 +227,33 @@ def test_upsert_latest_wins_and_idempotent(spark, existing, updates):
     twice = upsert_by_key(once, u, keys=["k"], version_col="version")
     got2 = {r["k"]: (r["version"], r["payload"]) for r in twice.collect()}
     assert got2 == got
+
+
+@settings(**SETTINGS)
+@given(st.data())
+def test_zorder_key_is_monotone_per_dimension(spark, data):
+    """Z-curve laws on the quantized grid: the key stays within
+    [0, 4^bits), and with one dimension's bucket held fixed the key
+    strictly increases in the other dimension's bucket — the property
+    that makes per-file z-ranges translate into tight min/max
+    envelopes on every clustered column."""
+    from chicago_business_owners_data_engineering_spark.sources.lake import zorder_key
+
+    bits = 4
+    nb = 2**bits
+    # grid-aligned values so width_bucket quantization is exact
+    xs = sorted(data.draw(st.sets(st.integers(0, nb - 1), min_size=3, max_size=6)))
+    ys = sorted(data.draw(st.sets(st.integers(0, nb - 1), min_size=3, max_size=6)))
+    rows = [(x, y) for x in range(nb) for y in range(nb) if x in xs or y in ys]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(df, ["x", "y"], bits=bits)).collect()
+    }
+    assert all(0 <= z < 4**bits for z in out.values())
+    for y in ys:
+        keys = [out[(x, y)] for x in range(nb)]
+        assert keys == sorted(keys) and len(set(keys)) == nb
+    for x in xs:
+        keys = [out[(x, y)] for y in range(nb)]
+        assert keys == sorted(keys) and len(set(keys)) == nb
