@@ -245,8 +245,16 @@ def run_warehouse_pipeline(
     # ~77k files; with the co-partitioned write it's one file per
     # date and ~20× faster). At PB scale raise the second arg of
     # repartition to bound per-task partition count instead.
+    #
+    # Bronze partitions on BATCH, not date: staging is batch-scoped in
+    # the reference (the P8 `WHERE batch_id = :b` predicate,
+    # cbddl/src/etl/pipeline.py:220-221) and a batch replaces exactly
+    # its own partition on re-run. Date partitioning belongs to
+    # silver/gold where readers filter by date — at toy scale it also
+    # avoids ~2,400 one-file date dirs for a 150k-row staging snapshot
+    # (measured 12.9 s → ~1.5 s for this stage at sf0.1).
     staged = stage_bronze(spark, sf_dir, batch_id)
-    staged.repartition("date_key").write.mode("overwrite").partitionBy("date_key").parquet(
+    staged.repartition("batch_id").write.mode("overwrite").partitionBy("batch_id").parquet(
         os.path.join(out_dir, "bronze", "orders_staged")
     )
     quality = assess_quality(staged)
@@ -261,14 +269,25 @@ def run_warehouse_pipeline(
         os.path.join(out_dir, "silver", "fact_order_lines")
     )
 
+    # The read-back fact table feeds FOUR actions (two gold aggregates,
+    # two validation anti-joins); persist it so the many-small-files
+    # date-partitioned scan is paid once, not four times. On a cluster
+    # this is the standard cache-between-consumers pattern for a hot
+    # silver table inside one job.
     facts_back = spark.read.parquet(os.path.join(out_dir, "silver", "fact_order_lines"))
-    for name, df in create_aggregations(facts_back).items():
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, "gold", name))
+    facts_back.persist()
+    try:
+        for name, df in create_aggregations(facts_back).items():
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, "gold", name))
 
-    dims_back = {
-        name: spark.read.parquet(os.path.join(out_dir, "silver", name)) for name in dims
-    }
-    return validate(facts_back, dims_back)
+        dims_back = {
+            name: spark.read.parquet(os.path.join(out_dir, "silver", name)) for name in dims
+        }
+        # validate() runs its anti-join counts eagerly, while facts are
+        # still cached; the returned verdict rows are driver-local.
+        return validate(facts_back, dims_back)
+    finally:
+        facts_back.unpersist()
 
 
 # --------------------------------------------------------------------------
