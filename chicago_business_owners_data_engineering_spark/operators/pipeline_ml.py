@@ -514,3 +514,83 @@ def tp06_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_kept_words"),
         )
     )
+
+
+@query(
+    "tp07_contamination_check",
+    oracle="""
+    WITH labeled AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS b,
+               STRING_SPLIT(LOWER(text), ' ') AS l
+        FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, b, sh
+        FROM (
+            SELECT doc_id, b,
+                   UNNEST([l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                           FOR i IN GENERATE_SERIES(1, LEN(l) - 2)]) AS sh
+            FROM labeled
+        )
+    ),
+    train_sh AS (SELECT DISTINCT sh FROM shingled WHERE b < 80)
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_overlapping,
+           ROUND(100.0 * SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4)
+               AS contamination_pct
+    FROM shingled e LEFT JOIN train_sh t ON e.sh = t.sh
+    WHERE e.b >= 90
+    GROUP BY e.doc_id
+    """,
+)
+def tp07_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination report: fraction of each held-out doc's
+    word 3-gram shingles that appear anywhere in the train split.
+
+    The governance query every pretraining pipeline runs before an
+    eval is trusted. Splits come from the same deterministic md5
+    bucketing as tp01 (so the check is stable across runs); shingles
+    are slice-zip 3-grams (see tp03 for why not transform-over-index),
+    deduplicated per doc; the overlap is a LEFT join of eval shingles
+    against the distinct train-shingle set — a shuffle on the shingle
+    key, linear in corpus size, with partial aggregation collapsing to
+    one row per eval doc. At 100 TB join on ``xxhash64(shingle)``
+    longs instead of strings (identical result modulo ~0 collision
+    probability) and the train side becomes a bloom-filter-prunable
+    build.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"))
+    words = F.split(F.lower(F.col("text")), " ")
+    sz = F.size(words)
+    zipped = F.arrays_zip(
+        F.slice(words, 1, sz - 2), F.slice(words, 2, sz - 2), F.slice(words, 3, sz - 2)
+    )
+    shingles = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+    shingled = documents.select(
+        "doc_id",
+        bucket.alias("b"),
+        F.explode(F.array_distinct(shingles)).alias("sh"),
+    )
+    train_sh = shingled.filter(F.col("b") < 80).select("sh").distinct()
+    eval_sh = shingled.filter(F.col("b") >= 90).select("doc_id", "sh")
+    hit = train_sh.withColumn("hit", F.lit(1))
+    return (
+        eval_sh.join(hit, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_overlapping"
+            ),
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("contamination_pct"),
+        )
+    )
