@@ -642,3 +642,33 @@ def test_streaming_transform_with_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_lake_compaction_preserves_data(spark, sf_dir, tmp_path):
+    """Compaction rewrites a fragmented partition to N files with
+    identical rows; other partitions untouched."""
+    import glob
+
+    lake = LakeStorage(str(tmp_path / "lake"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lake.write(orders, "processed", "orders", date_key="20240101", files_per_partition=8)
+    lake.write(orders.limit(50), "processed", "orders", date_key="20240102")
+
+    part = f"{tmp_path}/lake/processed/orders/date=20240101"
+    n_before = len(glob.glob(f"{part}/part-*.parquet"))
+    assert 1 < n_before <= 8  # content-salted fan-out, bounded above
+    before = sorted(
+        r["o_orderkey"]
+        for r in lake.read_partition(spark, "processed", "orders", "20240101").collect()
+    )
+
+    out = lake.compact(spark, "processed", "orders", date_key="20240101")
+    assert out == {"20240101": 1}
+    assert len(glob.glob(f"{part}/part-*.parquet")) == 1
+    after = sorted(
+        r["o_orderkey"]
+        for r in lake.read_partition(spark, "processed", "orders", "20240101").collect()
+    )
+    assert after == before
+    # untouched sibling partition still reads
+    assert lake.read_partition(spark, "processed", "orders", "20240102").count() == 50
