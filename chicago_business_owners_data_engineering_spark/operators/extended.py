@@ -354,3 +354,64 @@ def dq02_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     return rows.select("c.check_name", "c.status", "c.violations")
+
+
+@query(
+    "dq03_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT STRFTIME(o_orderdate, '%Y%m%d') AS date_key,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    ),
+    with_prev AS (
+        SELECT date_key, n_orders,
+               LAG(n_orders) OVER (ORDER BY date_key) AS prev_orders
+        FROM daily
+    )
+    SELECT date_key, n_orders, prev_orders,
+           ROUND(100.0 * (n_orders - prev_orders) / prev_orders, 4) AS pct_change,
+           (ABS(n_orders - prev_orders) * 2.0 > prev_orders) AS is_anomaly
+    FROM with_prev
+    WHERE prev_orders IS NOT NULL
+    """,
+)
+def dq03_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume anomaly detection — the monitoring alert the
+    reference computes over its metrics table (events/min thresholds,
+    cbddl/src/monitoring/pipeline_monitor.py:152-207, alert rules
+    :62-75), as one query over the fact stream.
+
+    Pattern: aggregate to the monitoring grain (daily counts collapse
+    map-side, so the window input is tiny regardless of fact volume),
+    then lag() for the baseline and a threshold flag (>50% swing).
+    The unpartitioned window runs AFTER aggregation — thousands of
+    rows on one task, the documented W4/W5 posture, never raw facts.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("date_key")
+    prev = F.lag("n_orders").over(w)
+    return (
+        daily.withColumn("prev_orders", prev)
+        .filter(F.col("prev_orders").isNotNull())
+        .select(
+            "date_key",
+            "n_orders",
+            "prev_orders",
+            F.round(
+                100.0 * (F.col("n_orders") - F.col("prev_orders")) / F.col("prev_orders"),
+                4,
+            ).alias("pct_change"),
+            (
+                F.abs(F.col("n_orders") - F.col("prev_orders")) * 2.0
+                > F.col("prev_orders")
+            ).alias("is_anomaly"),
+        )
+    )
