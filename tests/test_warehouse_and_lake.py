@@ -672,3 +672,31 @@ def test_lake_compaction_preserves_data(spark, sf_dir, tmp_path):
     assert after == before
     # untouched sibling partition still reads
     assert lake.read_partition(spark, "processed", "orders", "20240102").count() == 50
+
+
+def test_streaming_rate_source_drives_foreach_batch(spark, tmp_path):
+    """S15's engine-native mapping: a `rate` source ticking rows that a
+    foreachBatch callback turns into side-effect batches — the poll-
+    loop-to-micro-batch pattern without any file staging."""
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .withColumn("bucket", F.pmod(F.col("value"), F.lit(10)))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_rate"))
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 30
+    while sum(n for _, n in seen) < 20 and _time.time() < deadline:
+        _time.sleep(0.5)
+    q.stop()
+    assert sum(n for _, n in seen) >= 20
+    assert len({b for b, _ in seen}) == len(seen)  # batch ids unique

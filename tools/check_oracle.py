@@ -5,7 +5,12 @@ DuckDB over the same parquet tables, comparing row count, column names,
 and an order-insensitive value hash (columns sorted by name, rows
 sorted, floats rounded). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query_name ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query_name ...]
+
+``--vanilla`` runs the Spark side on a bare SparkSession (UTC timezone
+only — no AQE/Arrow/shuffle tuning from session.get_spark), mimicking
+the DRIVER's environment; catches any query that silently depends on
+our own session configuration.
 """
 
 from __future__ import annotations
@@ -48,13 +53,29 @@ def canon_rows(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as mod
-    from chicago_business_owners_data_engineering_spark.session import get_spark
 
-    spark = get_spark("oracle-check", shuffle_partitions=8)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from chicago_business_owners_data_engineering_spark.session import get_spark
+
+        spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
