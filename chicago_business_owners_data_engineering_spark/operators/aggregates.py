@@ -456,3 +456,54 @@ def a24_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum("count").over(Window.partitionBy())
     return counts.withColumn("pct", F.round(F.col("count") * 100.0 / total, 6))
+
+
+@query(
+    "a25_map_value_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           to_json(map_from_entries(
+               list_sort(list(struct_pack(key := o_orderstatus, value := cnt)))
+           )) AS status_counts
+    FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+          FROM orders
+          GROUP BY o_orderpriority, o_orderstatus)
+    GROUP BY o_orderpriority
+    """,
+)
+def a25_map_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation output: per-group value_counts as a MAP column.
+
+    F20's full form: the reference surfaces ``value_counts().to_dict()``
+    as a python dict (cbddl/src/analytics/demographics_analyzer.py:57,
+    89-93); here the dict is a first-class ``MapType(String,Long)``
+    column (see :func:`map_value_counts`). Two-level plan: the heavy
+    shuffle groups on the (priority, status) pair with map-side combine;
+    the second exchange moves one tiny struct per pair. Entries are
+    sorted before map construction so serialization is deterministic;
+    the comparison surface is ``to_json`` of the map, byte-identical
+    across engines, while the pytest asserts the genuine dict values.
+    """
+    return map_value_counts(spark, sf_dir).select(
+        "o_orderpriority", F.to_json("status_counts").alias("status_counts")
+    )
+
+
+def map_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-status counts as a real MapType(String,Long) column."""
+    orders = load_table(spark, sf_dir, "orders")
+    pair_counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    return pair_counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderstatus").alias("key"),
+                        F.col("cnt").alias("value"),
+                    )
+                )
+            )
+        ).alias("status_counts")
+    )

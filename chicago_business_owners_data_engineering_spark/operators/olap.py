@@ -417,6 +417,184 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH unit_costs AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_cost
+        FROM lineitem
+        WHERE l_quantity > 0
+    ), best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, l_suppkey) AS rn
+        FROM unit_costs
+    )
+    SELECT b.l_partkey AS p_partkey, p.p_name, s.s_name AS best_supplier,
+           ROUND(b.unit_cost, 4) AS min_unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1 AND p.p_size <= 5
+    ORDER BY min_unit_cost DESC, p_partkey ASC
+    LIMIT 20
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: argmin-per-group join (cheapest supplier per part).
+
+    The correlated ``cost = (SELECT MIN(cost) ... WHERE partkey = outer)``
+    pattern becomes a single hash aggregate: ``min(struct(cost, suppkey))``
+    is a lexicographic argmin with the suppkey tiebreak built into the
+    comparison — no sort, map-side combine, one buffer row per part —
+    where the oracle's window ``row_number()=1`` formulation pays a full
+    partition sort (the same hash-agg-beats-window lesson as the upsert's
+    max_by rewrite, PERF.md). The size prefilter broadcasts part so only
+    qualifying parts' lines aggregate; supplier broadcasts for the name.
+    """
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    best = (
+        lineitem.filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 5).select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+                    F.col("l_suppkey").alias("suppkey"),
+                )
+            ).alias("best")
+        )
+    )
+    return (
+        best.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("best.suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("best_supplier"),
+            F.round(F.col("best.unit_cost"), 4).alias("min_unit_cost"),
+        )
+        .orderBy(F.desc("min_unit_cost"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: returned-items revenue ranking (grouped top-k).
+
+    The returnflag filter prunes lineitem AT THE SCAN (pushed predicate)
+    before the one fact-fact shuffle on orderkey; the date window prunes
+    orders the same way. customer is unhinted — it scales with SF, so
+    AQE picks broadcast locally and shuffle join at 100 TB — while the
+    25-row nation always broadcasts. Final top-20 is
+    TakeOrderedAndProject with an explicit custkey tiebreak.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: view-over-aggregate + scalar-max subquery.
+
+    The revenue "view" is one quarter of lineitem aggregated per
+    supplier (map-side combine → one row per supplier); the
+    ``= (SELECT MAX ...)`` filter becomes a 1-row broadcast cross join
+    against the aggregate's own max — the aggregate is computed ONCE and
+    cached for its two consumers (max + filter), where the naive
+    translation re-scans lineitem for the subquery. Equality on the
+    identically-rounded value keeps tie handling exact on both sides.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "skew01_salted_agg",
     oracle="""
     SELECT l_returnflag,

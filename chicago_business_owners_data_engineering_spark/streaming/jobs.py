@@ -431,3 +431,49 @@ def stateful_user_counters_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# State store provider (scale posture for large streaming state)
+
+ROCKSDB_STATE_CONFIG = {
+    # Off-heap, disk-backed state: streaming aggregation state at 100 TB
+    # (millions of windows x users) outgrows the default in-memory
+    # HDFSBackedStateStore; RocksDB keeps state on local SSD with an
+    # in-memory working set.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    # Changelog checkpointing ships per-batch deltas to the checkpoint
+    # location instead of full snapshots — turns checkpoint cost from
+    # O(state size) into O(batch updates).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+class rocksdb_state:
+    """Context manager applying ROCKSDB_STATE_CONFIG for queries started
+    inside it, restoring the previous session values on exit.
+
+    The provider is a per-query setting captured at query START from the
+    session conf and pinned into the query's checkpoint thereafter, so
+    scoping it this way is exact: queries started in the block run on
+    RocksDB; concurrent queries already running are untouched.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self) -> "rocksdb_state":
+        for k, v in ROCKSDB_STATE_CONFIG.items():
+            self._saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for k, old in self._saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)

@@ -138,3 +138,31 @@ def test_countmin_estimates_within_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert exact[k] <= e <= exact[k] + 0.001 * n + 1
+
+
+def test_map_value_counts_is_real_map(spark, sf_dir):
+    """a25's intermediate is a genuine MapType(String,Long) whose dict
+    values equal the flat (priority, status) counts."""
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    from chicago_business_owners_data_engineering_spark.operators.aggregates import (
+        map_value_counts,
+    )
+
+    df = map_value_counts(spark, sf_dir)
+    field = dict(zip(df.schema.names, df.schema.fields))["status_counts"]
+    assert isinstance(field.dataType, MapType)
+    assert isinstance(field.dataType.keyType, StringType)
+    assert isinstance(field.dataType.valueType, LongType)
+
+    maps = {r["o_orderpriority"]: r["status_counts"] for r in df.collect()}
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+
+    flat = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    )
+    for r in flat:
+        assert maps[r["o_orderpriority"]][r["o_orderstatus"]] == r["count"]

@@ -700,3 +700,50 @@ def test_streaming_rate_source_drives_foreach_batch(spark, tmp_path):
     q.stop()
     assert sum(n for _, n in seen) >= 20
     assert len({b for b, _ in seen}) == len(seen)  # batch ids unique
+
+
+def test_streaming_rocksdb_state_store_parity(spark, tmp_path):
+    """The windowed aggregation produces identical results under the
+    RocksDB state store provider as under the default provider, and the
+    query's progress confirms RocksDB actually held the state."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        enrich_events,
+        read_event_stream,
+        rocksdb_state,
+        windowed_user_stats,
+    )
+
+    pdf = duckdb.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    src = tmp_path / "rdb_src"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "batch1.parquet"))
+    pdf.iloc[half:].to_parquet(str(src / "batch2.parquet"))
+
+    def run(name: str, ckpt: str):
+        agg = windowed_user_stats(enrich_events(read_event_stream(spark, str(src))))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}"), progress
+
+    default_out, _ = run("rdb_default", str(tmp_path / "ckpt_default"))
+    with rocksdb_state(spark):
+        rocks_out, progress = run("rdb_rocks", str(tmp_path / "ckpt_rocks"))
+
+    # provider restored after the block
+    assert "RocksDB" not in (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "") or ""
+    )
+    # RocksDB actually held the state (custom metrics only RocksDB emits)
+    state_ops = (progress or {}).get("stateOperators", [])
+    assert state_ops and any("rocksdb" in k.lower() for k in state_ops[0].get("customMetrics", {}))
+    # identical watermark-closed windows
+    assert sorted(map(tuple, default_out.collect())) == sorted(map(tuple, rocks_out.collect()))
