@@ -669,3 +669,228 @@ def skew02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "flag_desc")
         .agg(F.count("*").alias("n_lines"))
     )
+
+
+@query(
+    "q07_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: one dimension joined twice under different roles.
+
+    nation participates as BOTH supplier-nation and customer-nation —
+    two broadcast joins of the same 25-row table under distinct aliases
+    (the dual-role dim pattern Catalyst handles by treating each alias
+    as its own relation). The nation-pair disjunction can't prune
+    either single join alone, but each side's membership (n_name ∈
+    {1,2}) CAN be pushed into its broadcast build, shrinking both hash
+    tables to 2 rows before the cross-pair residual filter. The only
+    fact shuffle remains lineitem⋈orders on orderkey.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_18", "NATION_19")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: outer-join count distribution (histogram of counts).
+
+    The filter lives in the JOIN CONDITION, not WHERE — customers with
+    zero qualifying orders survive with a NULL order side, and
+    ``COUNT(o_orderkey)`` (not COUNT(*)) counts only matches, so the
+    zero bucket is real. Classic two-level shape: the heavy shuffle
+    groups per customer (map-side combine on the custkey the join
+    already partitioned by — no second exchange), then the count-of-
+    counts shuffle moves one row per distinct c_count.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    LIMIT 20
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct-count after a NOT-IN exclusion.
+
+    ``NOT IN (subquery)`` becomes a left_anti join against the excluded
+    supplier keys (safe here because s_suppkey is non-null; a nullable
+    column would need NOT EXISTS semantics — null-safe anti — instead,
+    the classic NOT IN trap). The anti join broadcasts the tiny
+    exclusion set, so the fact stream never shuffles for it; the one
+    real exchange is the distinct-count's (brand, type, size, suppkey)
+    partial-dedup shuffle.
+    """
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            part.filter(F.col("p_brand") != "Brand#1").select(
+                "p_partkey", "p_brand", "p_type", "p_size"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+        .limit(20)
+    )
+
+
+@query(
+    "q21_blocking_suppliers",
+    oracle="""
+    WITH supp_order AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+        FROM lineitem
+        GROUP BY l_orderkey, l_suppkey
+    ), stats AS (
+        SELECT *,
+               MAX(supp_last) OVER (PARTITION BY l_orderkey) AS order_last,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp
+        FROM supp_order
+    ), flagged AS (
+        SELECT *,
+               SUM(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_last
+        FROM stats
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flagged
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE n_supp > 1 AND n_last = 1 AND supp_last = order_last
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: EXISTS + NOT-EXISTS self-joins, decorrelated.
+
+    Q21's "supplier who alone held up a multi-supplier order" is two
+    correlated subqueries over the SAME fact (exists another supplier;
+    not exists another LATE supplier) — the naive plan scans lineitem
+    three times and self-joins twice. Decorrelated: pre-aggregate to
+    one row per (order, supplier), then per-order windows (max ship,
+    supplier count, count-at-max) — ONE lineitem scan, ONE orderkey
+    shuffle that the pre-agg, both window passes, and the residual
+    filter all share. The sole-blocker condition becomes pure column
+    predicates: n_supp > 1, n_last = 1, supp_last = order_last.
+    """
+    from pyspark.sql import Window
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supp_order = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = supp_order.withColumn("order_last", F.max("supp_last").over(w)).withColumn(
+        "n_supp", F.count("*").over(w)
+    )
+    flagged = stats.withColumn(
+        "n_last",
+        F.sum(F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)).over(w),
+    )
+    return (
+        flagged.filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_last") == 1)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
