@@ -415,3 +415,29 @@ def dq03_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "a29_cube",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           COUNT(*) AS count, ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def a29_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping combinations.
+
+    Completes the grouping family next to a26 (ROLLUP) and f21
+    (GROUPING SETS). One Expand + one hash aggregate — Spark expands
+    each input row into the 4 grouping-set shapes BEFORE the shuffle,
+    so partial aggregation still collapses per-task output to the tiny
+    combined key space; no per-set rescan. Both grouping columns are
+    non-null in the data, so output NULLs unambiguously mark subtotal
+    rows (else GROUPING() disambiguates).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube(
+        F.col("o_orderpriority").alias("priority"), F.col("o_orderstatus").alias("status")
+    ).agg(F.count("*").alias("count"), F.round(F.sum("o_totalprice"), 4).alias("total_price"))
