@@ -227,3 +227,105 @@ def ts01_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@query(
+    "ts02_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+        FROM events
+    )
+    SELECT c.cohort_day, DATE_DIFF('day', c.cohort_day, a.active_day) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    WHERE DATE_DIFF('day', c.cohort_day, a.active_day) BETWEEN 0 AND 7
+    GROUP BY c.cohort_day, day_offset
+    ORDER BY c.cohort_day, day_offset
+    """,
+)
+def ts02_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active N days after their first-seen day.
+
+    The standard product-analytics rollup (cohort = first-activity
+    date; cells = distinct users active at each day offset). Dataflow:
+    per-user min-date aggregate (one user-key shuffle) and the DISTINCT
+    (user, day) activity set reuse the SAME user partitioning for their
+    join — at 100 TB the daily-distinct pre-dedup is what keeps the
+    join input one row per user-day instead of one per event. The final
+    (cohort, offset) agg is tiny (cohorts × 8 offsets).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = events.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "ts03_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def ts03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → later click → later purchase, per user.
+
+    Order-dependent sequence matching (NOT three independent filters:
+    each stage's earliest timestamp must follow the previous stage's).
+    Each stage is a conditional min-aggregate joined back on the user
+    key — every shuffle is user-cardinality, and all three stages plus
+    the joins share one user_id partitioning, so Spark plans a single
+    exchange chain rather than re-partitioning per stage. The stage
+    counts land in one row via a 1-row cross join (no collect).
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
