@@ -894,3 +894,243 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure scan-predicate-aggregate, zero joins.
+
+    The whole query is a single scan stage: all three predicates are
+    pushed to the parquet reader (shipdate range prunes row groups via
+    min/max footer stats; discount/quantity filter the remaining
+    batches vectorized), and the ungrouped SUM collapses each scan
+    partition to one partial row — at 100 TB this moves a few bytes
+    per task to the driver. The canonical "is pushdown working"
+    sentinel: if .explain doesn't show all three in PushedFilters,
+    the scan is reading 25× more rows than needed.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of a region's market by year.
+
+    Seven-relation star flattening where every dimension broadcasts:
+    part (filtered to one type) and customer-side nation→region chain
+    prune the fact BEFORE the single fact-fact shuffle
+    (lineitem⋈orders on orderkey); supplier-side nation is a second
+    role of the same dim, aliased. The numerator/denominator pair is
+    one conditional aggregate — NOT two passes — the map-side partial
+    carries both sums per year. Share-of-total inside one groupBy is
+    the pattern that avoids a self-join at 100 TB.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+    amer_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(amer_nations), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0.0)))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q09_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: per-nation yearly profit on a part-name subset.
+
+    The test schema has no partsupp, so supply cost is modeled as
+    0.6 × p_retailprice × quantity (same join/agg DAG as Q9:
+    fact⋈part⋈supplier⋈orders⋈nation with a substring part filter —
+    reference parity for the operator shape, not the constant).
+    The LIKE '%widget%' filter can't use footer stats but IS pushed
+    to the scan as a row-level predicate; part then broadcasts
+    pre-shrunk. Only fact-sized shuffle: lineitem⋈orders on orderkey,
+    then a (25 nations × 7 years)-key agg that map-side-collapses.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%widget%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q20_excess_shipment_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'large%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_name, ROUND(s_acctbal, 4) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 100)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: semi-join through a grouped subquery.
+
+    The inner block (filtered fact ⋈ broadcast part → per-supplier
+    quantity → HAVING) reduces the fact to supplier cardinality before
+    any contact with the outer query; the outer side then LEFT SEMI
+    joins supplier against that tiny keyset (no row duplication, no
+    columns carried from the right). Supplier-side nation filter
+    broadcasts. This decorrelates TPC-H Q20's nested IN chain the way
+    Catalyst's RewritePredicateSubquery would — written explicitly so
+    the semi-join is visible in the plan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("large%")).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name").isin("NATION_3", "NATION_7"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("acctbal"))
+        .orderBy("s_name")
+    )
