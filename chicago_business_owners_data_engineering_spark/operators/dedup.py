@@ -300,3 +300,108 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, simhash, {bands} FROM packed
         """
     )
+
+
+@query(
+    "dd06_neardup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN LEN(t) >= 3
+                    THEN LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
+                                        FOR i IN RANGE(1, LEN(t) - 1)])
+                    ELSE [LOWER(text)] END AS ws
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+              (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON r.node = e.src
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+    )
+    SELECT c.doc_id, c.component, s.csize
+    FROM comp c JOIN sizes s ON c.component = s.component
+    ORDER BY c.doc_id
+    """,
+)
+def dd06_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the similarity graph.
+
+    Pairwise near-dup relations aren't transitive (A~B, B~C but A!~C),
+    so keep-one-per-pair dedup double-drops; the standard fix is
+    connected components over the pair graph, then one survivor per
+    component (min doc_id = the component label). Edge generation here
+    is the brute-force exact-Jaccard baseline (shingle sets, ≥ 0.5) so
+    the DuckDB recursive-CTE oracle sees the identical graph; at 100 TB
+    the edges come from dd04's MinHash-LSH instead — the component step
+    is unchanged.
+
+    Components run as driver-coordinated min-label propagation (the
+    dataflow form of Pregel/GraphX): each round, every node takes the
+    min of its own label and its neighbors' — one shuffle keyed on
+    node per round, rounds = graph diameter (near-dup clusters are
+    shallow; 3-4 rounds in practice). ``localCheckpoint`` after each
+    round truncates lineage so the plan doesn't grow with iterations —
+    the thing that OOMs the driver at round 20 if skipped. Convergence
+    is an exact fixpoint test (no label changed), not a fixed round
+    count.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((inter / union) >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return (
+        comp.join(sizes, "component")
+        .select("doc_id", "component", "csize")
+        .orderBy("doc_id")
+    )
