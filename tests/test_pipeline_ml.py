@@ -109,8 +109,6 @@ def test_asof_join_matches_bruteforce(spark, sf_dir):
     events = {
         r["event_id"]: (r["user_id"], r["ts"])
         for r in spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("event_id", "user_id", (F.col("ts") / 1000).cast("long").alias("us"))
-        .withColumn("ts", F.timestamp_micros("us"))
         .select("event_id", "user_id", "ts")
         .collect()
     }
