@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -37,29 +36,10 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as INT64 TIMESTAMP(NANOS) in the source parquet; Spark
-# reads them as long (see session.py nanosAsLong) and we restore
-# micros-precision TimestampType here — matching how external engines
-# (DuckDB, pandas) surface the same files.
-_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name in _NANOS_TS_COLUMNS:
-        # Runtime-settable; needed even when the session wasn't built by
-        # session.get_spark (e.g. the driver's own session).
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:  # noqa: BLE001 — conf may be static on some builds
-            pass
-    df = spark.read.parquet(table_path(sf_dir, name))
-    dtypes = dict(df.dtypes)
-    for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if dtypes.get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return spark.read.parquet(table_path(sf_dir, name))
 
 
 def load_tables(

@@ -298,10 +298,13 @@ def w11_range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame
     The VALUE-based frame (all rows within 1h of the current row's
     time, however many there are) — complementing w08's ROWS frame.
     Ordering is epoch MICROS as an integer on both engines
-    (``unix_micros`` / ``EPOCH_US``): integer micros sidestep
-    float-epoch drift while keeping frame peers identical — the events
-    timestamps are micros-precision after catalog.load_table's nanos
-    restoration. One shuffle on user_id;
+    (``timestampdiff`` from the NTZ epoch / ``EPOCH_US``): integer
+    micros sidestep float-epoch drift while keeping frame peers
+    identical. The events timestamps surface as TIMESTAMP_NTZ (parquet
+    TIMESTAMP_MICROS, isAdjustedToUTC=false), so the diff-from-epoch
+    form is used rather than ``unix_micros`` (LTZ-only) — it is
+    session-timezone-independent, exactly like DuckDB's naive
+    ``EPOCH_US``. One shuffle on user_id;
     WindowExec evaluates both aggregates in a single pass. This is the
     batch twin of a sliding stream window (streaming/jobs.py) — same
     semantics, no watermark needed because the data is complete.
@@ -309,7 +312,7 @@ def w11_range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us")

@@ -55,10 +55,6 @@ def get_spark(
         # Files >128MB split into tasks; at 100 TB this is the scan-side
         # parallelism knob together with the parquet row-group size.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Some sources write INT64 TIMESTAMP(NANOS) parquet (unsupported by
-        # Spark's reader); surface them as long and let the catalog convert
-        # to micros-precision timestamps (catalog.load_table).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
