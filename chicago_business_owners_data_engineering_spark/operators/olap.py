@@ -1134,3 +1134,64 @@ def q20_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_name", F.round("s_acctbal", 4).alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH national AS (
+        SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_15'
+    ), per_part AS (
+        SELECT l_partkey AS partkey, SUM(val) AS stock_value
+        FROM national GROUP BY 1
+    )
+    SELECT partkey, ROUND(stock_value, 4) AS stock_value
+    FROM per_part
+    WHERE stock_value > (SELECT SUM(stock_value) * 0.001 FROM per_part)
+    ORDER BY stock_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: grouped value share vs a global-total threshold.
+
+    The HAVING-against-a-scalar-subquery pattern (TPC-H Q11's
+    ``sum(ps_supplycost*ps_availqty) > fraction * total``), re-keyed to
+    this schema: per-part shipped value for one nation's suppliers (NATION_15, populated at every SF),
+    kept only where it exceeds 0.1% of that nation's total. The
+    supplier⋈nation prune broadcasts into the fact scan; the per-part
+    aggregate is computed ONCE and cached for its two consumers (the
+    grand total and the threshold filter) — same shared-subplan
+    tactic as q15. The scalar total re-enters as a 1-row broadcast
+    nested-loop join, so no second pass over the fact. Completes the
+    22-query TPC-H shape family (COVERAGE.md §OLAP).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    national_suppliers = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_15")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(
+            F.broadcast(national_suppliers), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "stock_value"
+            )
+        )
+        .cache()
+    )
+    total = per_part.agg((F.sum("stock_value") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("threshold"))
+        .select("partkey", F.round("stock_value", 4).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "partkey")
+    )
