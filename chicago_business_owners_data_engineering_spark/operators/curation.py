@@ -1,0 +1,277 @@
+"""Training-data curation operators, round 2.
+
+Extends the §2.11 beyond-reference surface (SURVEY.md) with the
+curation ops a 100 TB pretraining pipeline runs between "raw corpus"
+and "tokenizer input": repetition-based quality signals (the Gopher
+filters), deterministic source-mixture sampling, token budgeting for
+mixture planning, distribution-drift monitoring between time slices,
+canonical-document selection inside near-dup clusters, and the
+higher-order array-function tier used for embedding math without UDFs.
+
+Seeds in the reference: quality metrics at ingest
+(cbddl/src/data_ingestion/ingestion_pipeline.py:54-74), word frequency
+analysis (cbddl/src/analytics/demographics_analyzer.py:173-182), and
+the monitoring layer's health queries
+(cbddl/src/monitoring/pipeline_monitor.py:152-207) — re-expressed here
+as corpus-scale DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .pipeline_ml import _md5_bucket
+
+
+@query(
+    "tx07_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           SUM(c) AS n_tokens,
+           ROUND(1 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_token_frac,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def tx07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: dup-token and top-token fractions.
+
+    The repetition family of pretraining quality filters (Rae et al.
+    2021 §A1.1): a document whose text is mostly one token repeated, or
+    whose distinct-token ratio collapses, is machine-generated boilerplate
+    and gets dropped before training. Two-level aggregation — explode to
+    (doc, token), count per pair with map-side partial agg, then one
+    row per doc — the same shuffle shape as a18's word frequency, so it
+    scales as a linear scan. No UDF: the fractions are plain column
+    arithmetic over the second-level counts.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    counts = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(1 - F.count("*") / F.sum("c"), 6).alias("dup_token_frac"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+    )
+
+
+@query(
+    "tp08_source_mixture_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 <
+          CASE WHEN source IN ('src0', 'src1', 'src2') THEN 25
+               WHEN source IN ('src3', 'src4', 'src5') THEN 50
+               ELSE 90 END
+    """,
+)
+def tp08_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture downsampling.
+
+    Pretraining mixtures weight sources differently (keep 25% of crawl,
+    90% of curated text, ...). Sampling by key-hash instead of rand()
+    makes the mixture a pure function of (doc_id, source): stable under
+    re-runs, repartitioning, and incremental appends — rerunning over a
+    grown corpus keeps every previously-selected doc selected, so shards
+    can be built incrementally. Pure projection + filter, zero shuffles;
+    the weight table arrives as a CASE expression (at real scale, a
+    broadcast-joined config dim).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 25)
+        .when(F.col("source").isin("src3", "src4", "src5"), 50)
+        .otherwise(90)
+    )
+    return documents.filter(_md5_bucket(F.col("doc_id")) < weight).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "tp09_token_budget",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang, source,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    ), per_group AS (
+        SELECT lang, source, COUNT(*) AS docs, SUM(n_tokens) AS tokens
+        FROM per_doc GROUP BY lang, source
+    )
+    SELECT lang, source, docs, tokens,
+           ROUND(tokens * 1.0 / SUM(tokens) OVER (), 6) AS token_share,
+           ROUND(SUM(tokens) OVER (ORDER BY tokens DESC, source)
+                 * 1.0 / SUM(tokens) OVER (), 6) AS cum_share
+    FROM per_group
+    """,
+)
+def tp09_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting per (lang, source) for mixture planning.
+
+    The planning query behind tp08's weights: how many tokens each
+    source contributes, its share of the corpus, and the cumulative
+    share in descending-size order ("the top k sources cover x% of
+    tokens"). Token count is whitespace arithmetic (length minus
+    blanks), so the per-doc stage is shuffle-free; the group stage
+    aggregates to source cardinality (tiny), and the grand-total /
+    cumulative windows run over that aggregate — single-partition
+    windows over dozens of rows, never over raw documents (the PERF.md
+    post-aggregation-window rule).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    per_group = (
+        documents.select("lang", "source", n_tokens.alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy(F.desc("tokens"), F.asc("source"))
+    return per_group.select(
+        "lang",
+        "source",
+        "docs",
+        "tokens",
+        F.round(F.col("tokens") / F.sum("tokens").over(w_all), 6).alias("token_share"),
+        F.round(
+            F.sum("tokens").over(w_cum) / F.sum("tokens").over(w_all), 6
+        ).alias("cum_share"),
+    )
+
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+_DRIFT_BIN_WIDTH = 50.0
+_DRIFT_BINS = 10
+
+
+@query(
+    "dq04_distribution_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) AS BIGINT),
+                     {_DRIFT_BINS - 1}) AS bin,
+               ts < TIMESTAMP '{_DRIFT_SPLIT}' AS is_ref
+        FROM events
+    ), spine AS (
+        SELECT UNNEST(GENERATE_SERIES(0, {_DRIFT_BINS - 1})) AS bin
+    ), counts AS (
+        SELECT s.bin,
+               COUNT(*) FILTER (b.is_ref) AS c_ref,
+               COUNT(*) FILTER (NOT b.is_ref) AS c_cur
+        FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+        GROUP BY s.bin
+    ), totals AS (
+        SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM counts
+    )
+    SELECT ROUND(SUM(
+               ((c_ref + 1.0) / (n_ref + {_DRIFT_BINS}) -
+                (c_cur + 1.0) / (n_cur + {_DRIFT_BINS})) *
+               LN(((c_ref + 1.0) / (n_ref + {_DRIFT_BINS})) /
+                  ((c_cur + 1.0) / (n_cur + {_DRIFT_BINS})))
+           ), 6) AS psi
+    FROM counts, totals
+    """,
+)
+def dq04_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time slices of a metric.
+
+    The monitoring layer's drift alarm (extending dq03's volume check to
+    SHAPE): bin ``events.value`` into fixed-width buckets, compare the
+    reference window's bin proportions against the current window's, and
+    summarize as PSI = Σ (p−q)·ln(p/q) with +1 Laplace smoothing so
+    empty bins stay finite. One scan computes both histograms as
+    conditional counts (no second pass, no join of two filtered reads);
+    a static 10-row bin spine left-joins the observed counts so missing
+    bins participate. Everything after the first aggregate moves ≤10
+    rows. PSI > 0.2 is the conventional "investigate" threshold.
+    """
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        F.least(
+            F.floor(F.col("value") / _DRIFT_BIN_WIDTH).cast("long"),
+            F.lit(_DRIFT_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    spine = spark.range(_DRIFT_BINS).select(F.col("id").alias("bin"))
+    full = (
+        F.broadcast(spine)
+        .join(counts, "bin", "left")
+        .na.fill({"c_ref": 0, "c_cur": 0})
+    )
+    w = Window.partitionBy()
+    p = (F.col("c_ref") + 1.0) / (F.sum("c_ref").over(w) + _DRIFT_BINS)
+    q = (F.col("c_cur") + 1.0) / (F.sum("c_cur").over(w) + _DRIFT_BINS)
+    return (
+        full.select(((p - q) * F.log(p / q)).alias("term"))
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
+@query(
+    "f24_higher_order_array",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
+           ROUND(SQRT(LIST_AGGREGATE(
+               LIST_TRANSFORM(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')), 6) AS l2_norm,
+           ROUND(CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x)))
+                      AS DOUBLE), 6) AS max_abs
+    FROM embeddings
+    """,
+)
+def f24_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate / max.
+
+    The no-UDF tier for embedding math: every lambda here compiles to a
+    Catalyst expression evaluated inside codegen — no Python worker, no
+    Arrow transfer, no serialization. This is the building block the
+    sim* family composes (dot products via aggregate∘zip_with); shown
+    here standalone so the plan is auditable: a pure projection, zero
+    shuffles, scan-speed at any scale. Squares are computed in double
+    on both engines (float32 widening is exact) and folded in array
+    order, so the oracle comparison is drift-free.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(
+            F.array_max(F.transform(F.col("embedding"), F.abs)).cast("double"), 6
+        ).alias("max_abs"),
+    )

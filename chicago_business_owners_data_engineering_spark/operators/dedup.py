@@ -359,6 +359,22 @@ def dd06_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact fixpoint test (no label changed), not a fixed round
     count.
     """
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return (
+        comp.join(sizes, "component")
+        .select("doc_id", "component", "csize")
+        .orderBy("doc_id")
+    )
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the exact-Jaccard near-dup graph.
+
+    Shared by dd06 (cluster report) and dd07 (canonical selection).
+    Returns (doc_id, component) for every doc that participates in at
+    least one near-dup edge; component = min doc_id reachable.
+    """
     documents = load_table(spark, sf_dir, "documents")
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
     a, b = docs.alias("a"), docs.alias("b")
@@ -398,10 +414,85 @@ def dd06_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
-    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+_DD06_COMPONENT_CTE = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN LEN(t) >= 3
+                    THEN LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
+                                        FOR i IN RANGE(1, LEN(t) - 1)])
+                    ELSE [LOWER(text)] END AS ws
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+              (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON r.node = e.src
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    )
+"""
+
+
+@query(
+    "dd07_canonical_docs",
+    oracle=_DD06_COMPONENT_CTE
+    + """
+    , ranked AS (
+        SELECT c.doc_id, c.component, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    ), canon AS (
+        SELECT component, doc_id AS canonical_doc_id FROM ranked WHERE rn = 1
+    )
+    SELECT r.doc_id, r.component, k.canonical_doc_id,
+           r.doc_id = k.canonical_doc_id AS keep
+    FROM ranked r JOIN canon k ON r.component = k.component
+    ORDER BY r.doc_id
+    """,
+)
+def dd07_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection inside each near-dup cluster.
+
+    The decision step that turns dd06's clusters into a dedup ACTION:
+    keep exactly one survivor per component — the longest document
+    (n_chars), ties broken by min doc_id — and mark the rest as drops.
+    This is how production dedup keeps the best copy rather than an
+    arbitrary one (quality-aware survivor selection). The canonical doc
+    is computed as a ``max_by(doc_id, struct(n_chars, -doc_id))`` hash
+    aggregate — no per-component sort, map-side combine, one buffer row
+    per component (the PERF.md argmax lesson) — then re-joined to the
+    membership list. Components are near-dup-cluster-sized (tiny), so
+    everything after edge generation moves KBs.
+    """
+    comp = neardup_components(spark, sf_dir)
+    documents = load_table(spark, sf_dir, "documents")
+    with_len = comp.join(documents.select("doc_id", "n_chars"), "doc_id")
+    canon = with_len.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("canonical_doc_id")
+    )
     return (
-        comp.join(sizes, "component")
-        .select("doc_id", "component", "csize")
+        with_len.join(canon, "component")
+        .select(
+            "doc_id",
+            "component",
+            "canonical_doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+        )
         .orderBy("doc_id")
     )

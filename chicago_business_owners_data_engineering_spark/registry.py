@@ -51,6 +51,7 @@ def _import_operator_modules() -> None:
     # Import for side effects: each module registers its queries.
     from .operators import (  # noqa: F401
         aggregates,
+        curation,
         dedup,
         diversity,
         extended,

@@ -264,6 +264,22 @@ def foreach_batch_upsert(lake_path: str, keys: list[str], version_col: str):
     return sink
 
 
+def events_enriched_with_dim(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-STATIC join: enrich each micro-batch with a dimension table.
+
+    The most common production streaming join — events against a slowly
+    changing user/account dimension — and a different animal from the
+    stream-stream interval join (purchases_joined_with_errors): the
+    static side needs no watermark and holds no state; Spark simply
+    re-plans the batch side into every micro-batch, broadcast when
+    small. Left join keeps unmatched events flowing (dimension lag must
+    not drop facts). The reference's per-event Redis lookup
+    (streaming_processor.py:309-329) is this join, done a row at a
+    time.
+    """
+    return stream.join(F.broadcast(user_dim), "user_id", "left")
+
+
 def dedup_within_watermark(stream: DataFrame) -> DataFrame:
     """Streaming exactly-once-ish dedup: drop event_id duplicates that
     arrive within the watermark horizon.

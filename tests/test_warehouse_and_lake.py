@@ -747,3 +747,50 @@ def test_streaming_rocksdb_state_store_parity(spark, tmp_path):
     assert state_ops and any("rocksdb" in k.lower() for k in state_ops[0].get("customMetrics", {}))
     # identical watermark-closed windows
     assert sorted(map(tuple, default_out.collect())) == sorted(map(tuple, rocks_out.collect()))
+
+
+def test_streaming_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: every micro-batch row picks up
+    its dimension attributes; unmatched users survive (left join)."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        events_enriched_with_dim,
+        read_event_stream,
+    )
+
+    pdf = duckdb.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    src = tmp_path / "sst_src"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "b1.parquet"))
+    pdf.iloc[half:].to_parquet(str(src / "b2.parquet"))
+
+    # dimension covering only EVEN user ids — odd ids must still flow
+    user_dim = (
+        spark.createDataFrame(pdf[["user_id"]].drop_duplicates())
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+
+    out = events_enriched_with_dim(
+        read_event_stream(spark, str(src), max_files_per_trigger=1), user_dim
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sstatic")
+        .option("checkpointLocation", str(tmp_path / "ck_sstatic"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_sstatic")
+    assert got.count() == len(pdf)  # left join: no fact dropped
+    # enrichment parity with the equivalent batch join
+    batch = spark.createDataFrame(pdf).join(user_dim, "user_id", "left")
+    assert (
+        got.filter(F.col("tier").isNull()).count()
+        == batch.filter(F.col("tier").isNull()).count()
+    )
+    got_gold = {r["event_id"] for r in got.filter(F.col("tier") == "gold").collect()}
+    exp_gold = {r["event_id"] for r in batch.filter(F.col("tier") == "gold").collect()}
+    assert got_gold == exp_gold and got_gold

@@ -29,6 +29,11 @@ EXPECTED_GLOBAL_WINDOW = {
     # lag over the DAILY grain — thousands of post-aggregation rows,
     # the documented W4/W5 posture
     "dq03_volume_anomaly",
+    # grand-total/cumulative windows over the (lang,source) aggregate —
+    # dozens of rows, post-aggregation
+    "tp09_token_budget",
+    # PSI terms over the 10-row bin spine
+    "dq04_distribution_drift",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
@@ -38,6 +43,8 @@ EXPECTED_CARTESIAN = {
     "j06_scalar_subquery_argmax",  # 1-row aggregate broadcast
     "sim03_ivf_topk",            # 1-row query vector broadcast onto centroids/cells
     "sim07_batch_topk",          # N-row query batch broadcast onto the corpus scan
+    "q11_important_stock",       # 1-row threshold aggregate broadcast (Q11 HAVING scalar)
+    "dd07_canonical_docs",       # brute-force edge baseline shared with dd06
 }
 
 
