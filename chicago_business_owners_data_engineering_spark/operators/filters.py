@@ -9,7 +9,7 @@ row-group footers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -328,4 +328,99 @@ def ts03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.agg(F.count("*").alias("n_view"))
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@query(
+    "ts04_deviation_from_mean",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS day_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, day,
+           ROUND(day_value, 4) AS day_value,
+           ROUND(AVG(day_value) OVER (PARTITION BY event_type), 4) AS type_avg,
+           ROUND(ABS(day_value / AVG(day_value) OVER (PARTITION BY event_type) - 1), 4)
+               AS dev_frac
+    FROM daily
+    QUALIFY ABS(day_value / AVG(day_value) OVER (PARTITION BY event_type) - 1) > 0.05
+    ORDER BY event_type, day
+    """,
+)
+def ts04_deviation_from_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous days: daily value vs the series mean (TPC-DS Q47 shape).
+
+    The category-average-vs-member-deviation pattern: aggregate to
+    (event_type, day) grain, window-average within each event_type,
+    keep days deviating >5% from their series mean. Complements dq03
+    (lag vs previous day) and dq04 (distribution shape) with the
+    level-vs-trend check. The window runs post-aggregation over ~150
+    rows partitioned by event_type — the same one Exchange the daily
+    aggregate already needed, so the window adds no shuffle (AQE keeps
+    the partitioning). Deviation is computed from UNROUNDED sums on
+    both engines; rounding happens only at output.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("day_value"))
+    )
+    w = Window.partitionBy("event_type")
+    # Both window columns are materialized BEFORE the deviation filter —
+    # like SQL QUALIFY — otherwise the average would re-evaluate over
+    # only the surviving rows.
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "day_value",
+            F.avg("day_value").over(w).alias("avg_raw"),
+        )
+        .withColumn("dev", F.abs(F.col("day_value") / F.col("avg_raw") - 1))
+        .filter(F.col("dev") > 0.05)
+        .select(
+            "event_type",
+            "day",
+            F.round("day_value", 4).alias("day_value"),
+            F.round("avg_raw", 4).alias("type_avg"),
+            F.round("dev", 4).alias("dev_frac"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "ts05_all_channel_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS first_week_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY user_id
+    HAVING COUNT(DISTINCT event_type) = 5
+    ORDER BY user_id
+    """,
+)
+def ts05_all_channel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in ALL channels in week one (TPC-DS Q38 shape).
+
+    TPC-DS writes this as an INTERSECT chain (customers in store ∩
+    catalog ∩ web); the scalable rewrite is one scan + grouped distinct
+    count = k — no k-way self-join, no repeated scans of the fact. The
+    time predicate pushes to the parquet scan; the only shuffle is the
+    user_id aggregation, with partial distinct-aggregation map-side.
+    Engine-parity note: HAVING on count distinct, output carries the
+    plain per-user event count alongside.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("first_week_events"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .filter(F.col("nt") == 5)
+        .select("user_id", "first_week_events")
+        .orderBy("user_id")
     )
