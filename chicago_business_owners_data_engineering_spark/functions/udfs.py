@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import udtf
 
 from ..catalog import load_table
 from ..registry import query
@@ -138,3 +139,59 @@ def u03_apply_in_pandas_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 exercised end-to-end over events (see w06 for the native form)."""
     events = load_table(spark, sf_dir, "events")
     return leadership_score_apply_in_pandas(events)
+
+
+@udtf(returnType="pos: bigint, tok: string")
+class LongTokensUDTF:
+    """Python UDTF (Spark 4 surface): one input row → N output rows.
+
+    Emits (1-based position, token) for every token of length ≥ 6.
+    U5's native twin is ``explode`` (a18); this is the programmable
+    form for logic that genuinely can't be an expression — with the
+    same caveat as every Python-worker path: rows cross the
+    JVM↔Python boundary, so it's the slow path and stays OUT of hot
+    queries (the oracle states the native/SQL-expressible semantics).
+    """
+
+    def eval(self, text: str):  # noqa: D102 — contract defined by Spark
+        if text is None:
+            return
+        for i, t in enumerate(text.split(" ")):
+            if len(t) >= 6:
+                yield i + 1, t
+
+
+@query(
+    "u05_python_udtf",
+    oracle="""
+    WITH lists AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents
+    ), toks AS (
+        SELECT doc_id,
+               UNNEST([{'pos': i, 'tok': ts[i]} FOR i IN RANGE(1, LEN(ts) + 1)],
+                      recursive := true)
+        FROM lists
+    )
+    SELECT doc_id, pos, tok FROM toks WHERE LENGTH(tok) >= 6
+    """,
+)
+def u05_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL correlated table-function call.
+
+    The row-multiplying UDF tier (UDTF) exercised end-to-end: register,
+    then ``FROM documents d, LATERAL long_tokens_udtf(d.text)`` — the
+    engine plans a Generate-style fan-out with the Python worker batched
+    over Arrow. Differentially checked against the pure-SQL ordinality
+    unnest, proving the UDTF's semantics are exactly the native
+    explode-with-position (use THAT in production; this demonstrates
+    the escape hatch for non-expressible generators).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    documents.createOrReplaceTempView("__u05_documents")
+    spark.udtf.register("long_tokens_udtf", LongTokensUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.tok
+        FROM __u05_documents d, LATERAL long_tokens_udtf(d.text) s
+        """
+    )

@@ -275,3 +275,56 @@ def f24_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform(F.col("embedding"), F.abs)).cast("double"), 6
         ).alias("max_abs"),
     )
+
+
+@query(
+    "tx09_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+    ), tot AS (
+        SELECT SUM(c) AS n FROM tf
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-LOG2(f.c * 1.0 / tot.n)), 4) AS avg_surprisal
+    FROM toks t
+    JOIN tf f ON t.tok = f.tok
+    CROSS JOIN tot
+    WHERE t.tok <> ''
+    GROUP BY t.doc_id
+    """,
+)
+def tx09_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal — a perplexity-proxy score.
+
+    The cheap language-model quality signal: score each document by the
+    average self-information −log2 p(token) of its tokens under the
+    corpus unigram distribution (the degenerate KenLM). Unusually low
+    surprisal → repetitive boilerplate; unusually high → noise/garbage —
+    both ends get filtered before pretraining. Plan: ONE explode feeds
+    both the corpus term-frequency aggregate and (re-scanned) the
+    per-token scoring join; the vocabulary relation stays unhinted —
+    tiny here (broadcast), vocabulary-sized at 100 TB where AQE picks
+    the shuffle join and the tf aggregate's map-side partials bound the
+    traffic. The grand total re-enters as a 1-row broadcast.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = tf.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("c") / F.col("n"))), 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )

@@ -20,7 +20,13 @@ sys.path.insert(0, "/root/repo")
 
 # Queries where a Python-eval / single-partition flag is the documented
 # point of the query, not a plan bug.
-EXPECTED_PYTHON = {"u01_pandas_udf_combine", "u02_entropy_udaf", "u03_apply_in_pandas_scores", "mm02_decode_features"}
+EXPECTED_PYTHON = {
+    "u01_pandas_udf_combine",
+    "u02_entropy_udaf",
+    "u03_apply_in_pandas_scores",
+    "mm02_decode_features",
+    "u05_python_udtf",  # the UDTF demo IS the Python path, by design
+}
 EXPECTED_GLOBAL_WINDOW = {
     "o04_pagination",
     "w04_rank_by_aggregate",
@@ -45,6 +51,7 @@ EXPECTED_CARTESIAN = {
     "sim07_batch_topk",          # N-row query batch broadcast onto the corpus scan
     "q11_important_stock",       # 1-row threshold aggregate broadcast (Q11 HAVING scalar)
     "dd07_canonical_docs",       # brute-force edge baseline shared with dd06
+    "tx09_unigram_surprisal",    # 1-row corpus-total broadcast into the scoring join
 }
 
 
