@@ -794,3 +794,38 @@ def test_streaming_stream_static_join(spark, tmp_path):
     got_gold = {r["event_id"] for r in got.filter(F.col("tier") == "gold").collect()}
     exp_gold = {r["event_id"] for r in batch.filter(F.col("tier") == "gold").collect()}
     assert got_gold == exp_gold and got_gold
+
+
+def test_jdbc_roundtrip_derby(spark, sf_dir, tmp_path):
+    """S10: batched parallel JDBC sink + sharded parallel read, exercised
+    against the embedded Derby driver that ships with Spark."""
+    from chicago_business_owners_data_engineering_spark.sources.jdbc import (
+        derby_url,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = derby_url(str(tmp_path / "derbydb"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_jdbc(nation, url, "nation_sink", batch_size=7, max_connections=2)
+
+    back = read_jdbc(spark, url, "nation_sink")
+    assert back.count() == nation.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+    # sharded parallel read: 4 range-partitioned connections, same rows
+    sharded = read_jdbc(
+        spark,
+        url,
+        "nation_sink",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=24,
+        num_partitions=4,
+    )
+    assert sharded.rdd.getNumPartitions() == 4
+    assert sharded.count() == nation.count()
+
+    # filter pushdown reaches the remote scan
+    plan = sharded.filter(F.col("n_regionkey") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan
