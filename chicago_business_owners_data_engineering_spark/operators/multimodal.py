@@ -180,3 +180,47 @@ def mm04_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return src.mapInArrow(batch_stats, schema="doc_id long, byte_len long, first_tile long")
+
+
+SHARD_BUDGET_BYTES = 4000
+
+
+@query(
+    "mm05_shard_manifest",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_chars) / {SHARD_BUDGET_BYTES}.0) AS BIGINT) AS shard_id
+    FROM documents
+    """,
+)
+def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard assignment — the webdataset-style shard planner.
+
+    Media-training pipelines pack payloads into fixed-size shards
+    (~N MB of tar/parquet per file) so a training job streams whole
+    shards sequentially. The planner is a running byte sum per source
+    (ordered by doc_id for determinism), with a document assigned to
+    ``floor(bytes_before_it / budget)`` — documents never split across
+    shards and shard boundaries are stable under append (new docs only
+    extend the tail). One shuffle on source; the subsequent payload
+    write is ``partitionBy(source, shard_id)``. A single source bigger
+    than one task's memory upgrades to the standard two-phase prefix
+    sum (per-partition subtotals + broadcast offsets) — the plan shape
+    the docstring of tp05 (sequence packing) shares.
+    """
+    from pyspark.sql import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bytes_before = F.sum("n_chars").over(w) - F.col("n_chars")
+    return documents.select(
+        "doc_id",
+        "source",
+        F.floor(bytes_before / float(SHARD_BUDGET_BYTES)).alias("shard_id"),
+    )

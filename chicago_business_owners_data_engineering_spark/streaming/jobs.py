@@ -199,6 +199,66 @@ def foreach_batch_multi_sink(parquet_out: str, dead_letter_out: str):
     return sink
 
 
+class TTLCache:
+    """Driver-side key-value cache with per-entry expiry (S13's shape).
+
+    Stands in for the reference's Redis ``setex(key, 3600, json)``
+    (streaming_processor.py:309-329): same contract — set with TTL,
+    get returns None past expiry, writes refresh the clock. The
+    ``now`` callable is injectable so tests control time. In
+    production this is a Redis client inside the same foreachBatch;
+    the cache is a side output, never the system of record (the lake
+    write in the same batch is)."""
+
+    def __init__(self, ttl_s: float, now=None):
+        import time as _time
+
+        self.ttl_s = ttl_s
+        self._now = now or _time.monotonic
+        self._data: dict = {}
+
+    def set(self, key, value) -> None:
+        self._data[key] = (value, self._now() + self.ttl_s)
+
+    def get(self, key):
+        hit = self._data.get(key)
+        if hit is None:
+            return None
+        value, expires_at = hit
+        if self._now() >= expires_at:
+            del self._data[key]
+            return None
+        return value
+
+    def sweep(self) -> int:
+        """Evict every expired entry; returns surviving count."""
+        now = self._now()
+        self._data = {k: v for k, v in self._data.items() if v[1] > now}
+        return len(self._data)
+
+
+def foreach_batch_cache_latest(cache: TTLCache, key_col: str = "user_id"):
+    """ST5/S13: cache each key's LATEST event per micro-batch with TTL.
+
+    The per-key reduction happens in Spark (max_by over ts — one small
+    shuffle per batch); only the reduced rows cross to the driver, so
+    the cache write is O(distinct keys), not O(events). This mirrors
+    the reference's \"hot entity state in Redis for the API layer\"
+    pattern with engine-side aggregation replacing its per-event
+    round-trips."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = (
+            batch_df.groupBy(key_col)
+            .agg(F.max_by(F.struct("ts", "event_type", "value"), F.col("ts")).alias("s"))
+            .select(key_col, "s.ts", "s.event_type", "s.value")
+        )
+        for row in latest.toLocalIterator():
+            cache.set(row[key_col], row.asDict())
+
+    return sink
+
+
 def kafka_sink_plan(df: DataFrame, brokers: str, topic: str):
     """S11 Kafka sink plan (requires the kafka connector jar + broker).
 

@@ -829,3 +829,42 @@ def test_jdbc_roundtrip_derby(spark, sf_dir, tmp_path):
     # filter pushdown reaches the remote scan
     plan = sharded.filter(F.col("n_regionkey") == 2)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "n_regionkey" in plan
+
+
+def test_streaming_ttl_cache_sink(spark, tmp_path):
+    """S13: TTL cache fed from foreachBatch — latest value per key wins,
+    entries expire on the injected clock, lake stays the record."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        TTLCache,
+        foreach_batch_cache_latest,
+        read_event_stream,
+    )
+
+    pdf = duckdb.sql("SELECT * FROM '/root/testdata/sf0.001/events.parquet'").df()
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    pdf.to_parquet(str(src / "b1.parquet"))
+
+    clock = {"t": 0.0}
+    cache = TTLCache(ttl_s=3600, now=lambda: clock["t"])
+    q = (
+        read_event_stream(spark, str(src), max_files_per_trigger=10)
+        .writeStream.foreachBatch(foreach_batch_cache_latest(cache))
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # cache holds exactly the distinct keys, each at its latest event
+    assert cache.sweep() == pdf["user_id"].nunique()
+    latest = pdf.sort_values("ts").groupby("user_id").last()
+    some_user = int(latest.index[0])
+    got = cache.get(some_user)
+    assert got is not None
+    assert got["event_type"] == latest.loc[some_user, "event_type"]
+
+    # past the TTL horizon every entry is gone (setex semantics)
+    clock["t"] = 3601.0
+    assert cache.get(some_user) is None
+    assert cache.sweep() == 0
