@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from .pipeline_ml import _md5_bucket
 
 
 @query(
@@ -95,6 +94,10 @@ def tp08_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weight table arrives as a CASE expression (at real scale, a
     broadcast-joined config dim).
     """
+    # Imported lazily: registry's import sweep reaches this module before
+    # pipeline_ml, so a top-level import would be circular.
+    from .pipeline_ml import _md5_bucket
+
     documents = load_table(spark, sf_dir, "documents")
     weight = (
         F.when(F.col("source").isin("src0", "src1", "src2"), 25)

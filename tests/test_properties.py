@@ -257,3 +257,91 @@ def test_zorder_key_is_monotone_per_dimension(spark, data):
     for x in xs:
         keys = [out[(x, y)] for y in range(nb)]
         assert keys == sorted(keys) and len(set(keys)) == nb
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["srcA", "srcB"]), st.integers(1, 900)),
+        min_size=2,
+        max_size=24,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_shard_manifest_append_stable(spark, rows):
+    """mm05's law: shard assignment of existing docs is unchanged when
+    docs with LARGER ids are appended — prefix sums only grow the tail."""
+    from pyspark.sql import Window
+
+    budget = 1000.0
+    rows = sorted(rows)
+    base, appended = rows[: len(rows) // 2], rows
+
+    def manifest(data):
+        df = spark.createDataFrame(data, "doc_id long, source string, n_chars long")
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return {
+            (r["doc_id"], r["source"]): r["shard"]
+            for r in df.select(
+                "doc_id",
+                "source",
+                F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / budget).alias(
+                    "shard"
+                ),
+            ).collect()
+        }
+
+    if not base:
+        return
+    before, after = manifest(base), manifest(appended)
+    for key, shard in before.items():
+        assert after[key] == shard
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.booleans()), min_size=1, max_size=60)
+)
+def test_psi_nonnegative_and_zero_iff_identical(spark, obs):
+    """dq04's law: smoothed PSI is ≥ 0 on any pair of histograms, and
+    exactly 0 when both time slices have identical bin counts."""
+    nbins = 10
+    ref = [0] * nbins
+    cur = [0] * nbins
+    for b, is_ref in obs:
+        (ref if is_ref else cur)[b] += 1
+
+    def psi(a, b):
+        na, nb = sum(a), sum(b)
+        total = 0.0
+        for i in range(nbins):
+            p = (a[i] + 1.0) / (na + nbins)
+            q = (b[i] + 1.0) / (nb + nbins)
+            total += (p - q) * math.log(p / q)
+        return total
+
+    assert psi(ref, cur) >= 0.0
+    assert abs(psi(ref, ref)) < 1e-12 and abs(psi(cur, cur)) < 1e-12
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 1_000_000), min_size=1, max_size=40, unique=True))
+def test_mixture_sample_membership_is_pointwise(spark, ids):
+    """tp08's law: a doc's inclusion depends only on its own key hash —
+    identical verdicts whether scored alone or in any batch."""
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in df.select(
+            "doc_id", (_md5_bucket(F.col("doc_id")) < 50).alias("keep")
+        ).collect()
+    }
+    solo_df = spark.createDataFrame([(ids[0],)], "doc_id long")
+    solo = solo_df.select((_md5_bucket(F.col("doc_id")) < 50).alias("keep")).collect()[0][
+        "keep"
+    ]
+    assert solo == batch[ids[0]]
