@@ -1,0 +1,181 @@
+"""Staged training-data curation pipeline — the §2.11 flagship.
+
+Composes the beyond-reference curation operators into the multi-stage
+job a 100 TB pretraining corpus actually runs, end to end:
+
+    1 gate     quality filters: Gopher repetition signals + length
+               floor (tx07's fractions as predicates)
+    2 dedup    exact dedup (first copy per text hash), then near-dup
+               canonical selection (keep the longest doc per connected
+               component — dd06/dd07 machinery)
+    3 mix      deterministic per-source mixture downsampling (tp08)
+    4 split    hash-based train/valid/test assignment (tp01)
+    5 shard    byte-budget shard manifest per (split, source) (mm05)
+    6 card     dataset card: one JSON-able summary row per stage with
+               docs in/out — the datasheet that ships with the corpus
+
+Every stage is a lazy DataFrame lineage; the only materialization
+points are the curated-corpus write (partitioned by split/source) and
+the card. Stage order matters and is load-bearing: dedup runs BEFORE
+mixture sampling so duplicates can't vote themselves into the mixture,
+and splits are assigned AFTER dedup so near-identical docs can't
+straddle train/eval (the contamination vector tp07 checks for).
+
+Scale notes: the gate + hash stages are shuffle-free projections; exact
+dedup is one hash-key shuffle with map-side partials; the near-dup edge
+generation is the pluggable piece (brute-force exact Jaccard here,
+dd04's MinHash-LSH at real scale — identical downstream contract:
+a (doc_id, component) relation); shard manifests reuse the per-source
+prefix-sum shape.  The curated write repartitions on the partition
+columns first (the PERF.md small-files rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import neardup_components
+
+MIN_TOKENS = 5
+MAX_DUP_TOKEN_FRAC = 0.6
+MAX_TOP_TOKEN_FRAC = 0.3
+SHARD_BUDGET_BYTES = 4000
+
+SOURCE_WEIGHTS = {
+    ("src0", "src1", "src2"): 25,
+    ("src3", "src4", "src5"): 50,
+}
+DEFAULT_WEIGHT = 90
+
+
+def gate_quality(documents: DataFrame) -> DataFrame:
+    """Stage 1: repetition + length gates as ONE scan's worth of flags."""
+    counts = (
+        documents.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (1 - F.count("*") / F.sum("c")).alias("dup_token_frac"),
+        (F.max("c") / F.sum("c")).alias("top_token_frac"),
+    )
+    return (
+        documents.join(stats, "doc_id", "left")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("dup_token_frac") <= MAX_DUP_TOKEN_FRAC)
+            & (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
+        )
+        .drop("dup_token_frac", "top_token_frac")
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Stage 2a: one survivor per exact text (min doc_id), one shuffle."""
+    survivor = (
+        docs.groupBy(F.xxhash64("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(survivor, "doc_id", "left_semi")
+
+
+def dedup_near(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """Stage 2b: drop non-canonical members of near-dup clusters.
+
+    Canonical = longest doc (ties → min doc_id) per connected
+    component, exactly dd07's rule; docs outside any component pass
+    through untouched.
+    """
+    comp = neardup_components(spark, sf_dir)
+    members = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    canonical = members.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("doc_id")
+    )
+    drops = members.join(canonical.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id"
+    )
+    return docs.join(drops, "doc_id", "left_anti")
+
+
+def sample_mixture(docs: DataFrame) -> DataFrame:
+    """Stage 3: per-source hash-deterministic downsampling (tp08)."""
+    from ..operators.pipeline_ml import _md5_bucket
+
+    weight = F.lit(DEFAULT_WEIGHT)
+    for sources, w in SOURCE_WEIGHTS.items():
+        weight = F.when(F.col("source").isin(*sources), w).otherwise(weight)
+    return docs.filter(_md5_bucket(F.col("doc_id")) < weight)
+
+
+def assign_splits(docs: DataFrame) -> DataFrame:
+    """Stage 4: stable 80/10/10 split by key hash (tp01)."""
+    from ..operators.pipeline_ml import _md5_bucket
+
+    bucket = _md5_bucket(F.concat(F.lit("split:"), F.col("doc_id")))
+    return docs.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    )
+
+
+def assign_shards(docs: DataFrame) -> DataFrame:
+    """Stage 5: byte-budget shard ids per (split, source) (mm05)."""
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bytes_before = F.sum("n_chars").over(w) - F.col("n_chars")
+    return docs.withColumn(
+        "shard_id", F.floor(bytes_before / float(SHARD_BUDGET_BYTES))
+    )
+
+
+def run_curation_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Run all six stages; write the curated corpus + card; return the card.
+
+    The card is the per-stage funnel (docs surviving each stage) — the
+    dataset datasheet. Assertable invariants the test pins: no
+    duplicate texts survive, every doc carries exactly one split, and
+    shard byte sums stay under budget + one max-doc overhang.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    gated = gate_quality(documents)
+    exact = dedup_exact(gated)
+    near = dedup_near(spark, sf_dir, exact).cache()
+    mixed = sample_mixture(near)
+    split = assign_splits(mixed)
+    sharded = assign_shards(split).cache()
+
+    (
+        sharded.repartition("split", "source")
+        .write.mode("overwrite")
+        .partitionBy("split", "source")
+        .parquet(os.path.join(out_dir, "curated"))
+    )
+
+    def n(df: DataFrame) -> int:
+        return df.count()
+
+    card_rows = [
+        ("0_raw", n(documents)),
+        ("1_gated", n(gated)),
+        ("2_exact_dedup", n(exact)),
+        ("3_near_dedup", n(near)),
+        ("4_mixture", n(mixed)),
+        ("5_final", n(sharded)),
+    ]
+    card = spark.createDataFrame(card_rows, "stage string, docs long")
+    card.coalesce(1).write.mode("overwrite").json(os.path.join(out_dir, "card"))
+    return card

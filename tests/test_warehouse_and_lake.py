@@ -868,3 +868,39 @@ def test_streaming_ttl_cache_sink(spark, tmp_path):
     clock["t"] = 3601.0
     assert cache.get(some_user) is None
     assert cache.sweep() == 0
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """§2.11 flagship: the staged curation funnel holds its invariants."""
+    from chicago_business_owners_data_engineering_spark.plans.curation_pipeline import (
+        SHARD_BUDGET_BYTES,
+        run_curation_pipeline,
+    )
+
+    card = run_curation_pipeline(spark, sf_dir, str(tmp_path / "cur"))
+    funnel = {r["stage"]: r["docs"] for r in card.collect()}
+    # monotone funnel, nothing lost after shard assignment
+    assert (
+        funnel["0_raw"]
+        >= funnel["1_gated"]
+        >= funnel["2_exact_dedup"]
+        >= funnel["3_near_dedup"]
+        >= funnel["4_mixture"]
+        == funnel["5_final"]
+        > 0
+    )
+
+    curated = spark.read.parquet(str(tmp_path / "cur/curated"))
+    assert curated.count() == funnel["5_final"]
+    # no exact duplicates survive
+    assert curated.select("text").distinct().count() == curated.count()
+    # every doc has exactly one split; all three splits materialized as partitions
+    assert curated.filter(~F.col("split").isin("train", "valid", "test")).count() == 0
+    # shard budget: each (split, source, shard) holds docs whose preceding
+    # bytes fit the budget -> total ≤ budget + its largest member
+    over = (
+        curated.groupBy("split", "source", "shard_id")
+        .agg(F.sum("n_chars").alias("b"), F.max("n_chars").alias("mx"))
+        .filter(F.col("b") > SHARD_BUDGET_BYTES + F.col("mx"))
+    )
+    assert over.count() == 0
