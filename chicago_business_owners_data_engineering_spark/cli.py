@@ -20,6 +20,9 @@ Modes:
   stream     replay the events table through the micro-batch
              enrich→window pipeline into the lake
              (streaming_processor.py:395-418 analog)
+  curate     the staged training-data curation funnel over documents
+             (gate → dedup → mixture → split → shard → dataset card;
+             plans/curation_pipeline.py)
   full       ingestion → warehouse → analytics
 
 Every mode is driver-thin: it only composes lazy DataFrames from the
@@ -88,6 +91,14 @@ def run_warehouse_mode(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return {"mode": "warehouse", "validation": checks, "status": status}
 
 
+def run_curate_mode(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    from .plans.curation_pipeline import run_curation_pipeline
+
+    card = run_curation_pipeline(spark, sf_dir, os.path.join(out_dir, "curation"))
+    funnel = {r["stage"]: r["docs"] for r in card.collect()}
+    return {"mode": "curate", "funnel": funnel}
+
+
 def run_stream_mode(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     import duckdb
 
@@ -111,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument(
         "--mode",
-        choices=["ingestion", "analytics", "warehouse", "stream", "full"],
+        choices=["ingestion", "analytics", "warehouse", "stream", "curate", "full"],
         default="full",
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -131,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         "analytics": run_analytics_mode,
         "warehouse": run_warehouse_mode,
         "stream": run_stream_mode,
+        "curate": run_curate_mode,
     }
     for mode in modes:
         results.append(runners[mode](spark, args.sf_dir, args.out))
