@@ -306,3 +306,72 @@ def sim07_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BATCH_K)
         .select("query_id", "vec_id", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+HYBRID_TERMS = ("spark", "join", "query", "window")
+HYBRID_K = 15
+
+
+@query(
+    "sim08_hybrid_search",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT d.doc_id,
+               LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(d.text, ' ')),
+                                  {list(HYBRID_TERMS)!r})) / {len(HYBRID_TERMS)}.0
+                   AS lex,
+               LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) AS cos
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, q
+    )
+    SELECT doc_id,
+           ROUND(lex, 6) AS lex_score,
+           ROUND(cos, 6) AS cos_sim,
+           ROUND(0.5 * cos + 0.5 * lex, 6) AS fused
+    FROM scored
+    ORDER BY fused DESC, doc_id ASC
+    LIMIT {HYBRID_K}
+    """,
+)
+def sim08_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical term overlap fused with vector cosine.
+
+    The RAG-serving pattern — a keyword score (fraction of query terms
+    present in the doc) averaged with embedding cosine, top-k by the
+    fused score. Documents join their vectors 1:1 on doc_id = vec_id;
+    at 100 TB both tables are bucketed on that key so the join is
+    shuffle-free (sources/lake.py write_bucketed), the 1-row query
+    vector broadcasts, and TakeOrderedAndProject keeps k rows per
+    partition. Lexical scoring is array_intersect over the tokenized
+    text — JVM-side, no inverted index needed for a fixed small term
+    set (an index materializes as the a18-style token relation when
+    term sets grow).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = embeddings.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    terms = F.array(*[F.lit(t) for t in HYBRID_TERMS])
+    lex = F.size(
+        F.array_intersect(F.array_distinct(F.split(F.col("text"), " ")), terms)
+    ) / float(len(HYBRID_TERMS))
+    cos = cosine(F.col("embedding").cast("array<double>"), F.col("qv"))
+    return (
+        documents.join(
+            embeddings, documents["doc_id"] == embeddings["vec_id"]
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(lex, 6).alias("lex_score"),
+            F.round(cos, 6).alias("cos_sim"),
+            F.round(0.5 * cos + 0.5 * lex, 6).alias("fused"),
+        )
+        .orderBy(F.desc("fused"), F.asc("doc_id"))
+        .limit(HYBRID_K)
+    )

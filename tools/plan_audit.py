@@ -52,6 +52,7 @@ EXPECTED_CARTESIAN = {
     "q11_important_stock",       # 1-row threshold aggregate broadcast (Q11 HAVING scalar)
     "dd07_canonical_docs",       # brute-force edge baseline shared with dd06
     "tx09_unigram_surprisal",    # 1-row corpus-total broadcast into the scoring join
+    "sim08_hybrid_search",       # 1-row query vector broadcast onto the doc⋈vector scan
 }
 
 
