@@ -904,3 +904,65 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
         .filter(F.col("b") > SHARD_BUDGET_BYTES + F.col("mx"))
     )
     assert over.count() == 0
+
+
+def test_python_datasource_batch_pages(spark):
+    """S15 as a custom Python DataSource: pages read as parallel
+    partitions, rows deterministic."""
+    from chicago_business_owners_data_engineering_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("business_events")
+        .option("pages", 3)
+        .option("page_size", 50)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 150
+    assert df.select("event_id").distinct().count() == 150
+    # deterministic: second read returns identical rows
+    again = (
+        spark.read.format("business_events")
+        .option("pages", 3)
+        .option("page_size", 50)
+        .load()
+    )
+    assert {tuple(r) for r in df.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_python_datasource_stream_cursor_resumes(spark, tmp_path):
+    """S14/ST2 as a custom streaming source: the poll cursor is the
+    engine-managed offset — a restarted query continues, never re-reads."""
+    from chicago_business_owners_data_engineering_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    ckpt = str(tmp_path / "ds_ckpt")
+    out = tmp_path / "ds_out"
+
+    def run_once():
+        q = (
+            spark.readStream.format("business_events")
+            .option("page_size", 25)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(str(out)).count()
+    assert first >= 25
+    run_once()
+    got = spark.read.parquet(str(out))
+    # monotone growth, and no event ever delivered twice
+    assert got.count() > first
+    assert got.select("event_id").distinct().count() == got.count()
