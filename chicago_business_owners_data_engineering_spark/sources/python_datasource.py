@@ -23,11 +23,18 @@ all live in the engine.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -111,3 +118,79 @@ class BusinessEventsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(BusinessEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom streaming SINK: the two-phase commit protocol, visible
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _TaskFileCommit(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class _WebhookStreamWriter(DataSourceStreamWriter):
+    """S11-shaped delivery sink with an explicit 2-phase commit.
+
+    The reference fires Kafka/webhook sends per event with no
+    transactional boundary (streaming_processor.py:331-352) — a task
+    retry double-delivers. Here the engine's sink protocol makes the
+    boundary real: ``write`` (executor-side) stages each task's rows to
+    a temp file and returns it as the commit message; ``commit``
+    (driver-side, once per micro-batch, only after EVERY task
+    succeeded) atomically renames the staged files into the output
+    directory; ``abort`` discards them. A consumer polling the output
+    dir therefore never observes a partially-delivered batch — the
+    per-sink half of exactly-once (the source offset half is
+    _PollCursorStreamReader's job).
+    """
+
+    def __init__(self, options):
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError("webhook sink requires option 'path'")
+        self.stage_dir = os.path.join(self.out_dir, "_staging")
+
+    def write(self, iterator):
+        os.makedirs(self.stage_dir, exist_ok=True)
+        tmp = os.path.join(self.stage_dir, f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _TaskFileCommit(tmp_path=tmp, rows=n)
+
+    def commit(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.out_dir, f"batch-{batchId}-{os.path.basename(m.tmp_path)}"
+            )
+            os.rename(m.tmp_path, final)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class WebhookSinkDataSource(DataSource):
+    """``webhook_sink`` — registerable streaming sink (2-phase commit)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webhook_sink"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def streamWriter(self, schema, overwrite):
+        return _WebhookStreamWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(WebhookSinkDataSource)

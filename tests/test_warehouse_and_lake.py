@@ -966,3 +966,44 @@ def test_python_datasource_stream_cursor_resumes(spark, tmp_path):
     # monotone growth, and no event ever delivered twice
     assert got.count() > first
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_python_datasource_webhook_sink_two_phase(spark, tmp_path):
+    """S11-shaped custom sink: staged task files publish atomically at
+    commit — the output dir never holds a partial batch."""
+    import json as _json
+
+    from chicago_business_owners_data_engineering_spark.sources.python_datasource import (
+        register,
+        register_sink,
+    )
+
+    register(spark)
+    register_sink(spark)
+    out = tmp_path / "webhook_out"
+    out.mkdir()
+    q = (
+        spark.readStream.format("business_events")
+        .option("page_size", 40)
+        .load()
+        .writeStream.format("webhook_sink")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck_webhook"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    batch_files = [p for p in out.iterdir() if p.name.startswith("batch-")]
+    assert batch_files, "committed batch files expected"
+    rows = [
+        _json.loads(line)
+        for p in batch_files
+        for line in p.read_text().splitlines()
+    ]
+    assert len(rows) >= 40
+    # delivered ids unique (no double delivery) and staging fully drained
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert list((out / "_staging").iterdir()) == []
