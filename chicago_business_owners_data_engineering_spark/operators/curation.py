@@ -331,3 +331,60 @@ def tx09_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tp10_curriculum_order",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+    ), tot AS (
+        SELECT SUM(c) AS n FROM tf
+    ), scored AS (
+        SELECT t.doc_id,
+               ROUND(AVG(-LOG2(f.c * 1.0 / tot.n)), 4) AS difficulty
+        FROM toks t JOIN tf f ON t.tok = f.tok CROSS JOIN tot
+        WHERE t.tok <> ''
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, difficulty,
+           ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS curriculum_rank,
+           NTILE(10) OVER (ORDER BY difficulty, doc_id) AS decile
+    FROM scored
+    """,
+)
+def tp10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank the corpus easy → hard by surprisal.
+
+    Curriculum-learning data schedules feed low-perplexity documents
+    first; this materializes the schedule as (rank, decile) over tx09's
+    unigram-surprisal difficulty score. Ranking on the ROUNDED score
+    with a doc_id tiebreak keeps the order identical across engines.
+    The global ROW_NUMBER/NTILE windows run post-aggregation over one
+    row per document — at 100 TB the schedule is computed per shard
+    (rank within shard), or via range-partitioned sort; the global
+    window here documents the small-result form.
+    """
+    from pyspark.sql import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = tf.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log2(F.col("c") / F.col("n"))), 4).alias("difficulty"))
+    )
+    w = Window.partitionBy().orderBy("difficulty", "doc_id")
+    return scored.select(
+        "doc_id",
+        "difficulty",
+        F.row_number().over(w).alias("curriculum_rank"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -40,6 +40,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "tp09_token_budget",
     # PSI terms over the 10-row bin spine
     "dq04_distribution_drift",
+    # global rank/ntile over one row per document (post-aggregation);
+    # the docstring documents the per-shard form at scale
+    "tp10_curriculum_order",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
@@ -53,6 +56,7 @@ EXPECTED_CARTESIAN = {
     "dd07_canonical_docs",       # brute-force edge baseline shared with dd06
     "tx09_unigram_surprisal",    # 1-row corpus-total broadcast into the scoring join
     "sim08_hybrid_search",       # 1-row query vector broadcast onto the doc⋈vector scan
+    "tp10_curriculum_order",     # 1-row corpus-total broadcast (shares tx09's scoring shape)
 }
 
 
