@@ -178,4 +178,9 @@ def run_curation_pipeline(
     ]
     card = spark.createDataFrame(card_rows, "stage string, docs long")
     card.coalesce(1).write.mode("overwrite").json(os.path.join(out_dir, "card"))
+    # release the two intermediate caches — the pipeline may run inside a
+    # long-lived session (CLI full mode, tests) and cached RDDs otherwise
+    # pin executor memory for the rest of the session
+    near.unpersist()
+    sharded.unpersist()
     return card
