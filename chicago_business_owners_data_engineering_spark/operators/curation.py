@@ -280,41 +280,40 @@ def f24_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tx09_unigram_surprisal",
-    oracle="""
+# Shared oracle prefix for the surprisal family: corpus unigram tf ->
+# per-doc mean self-information. tx09 and tp10 BOTH compose from this
+# constant (and from surprisal_scores on the Spark side), so the
+# difficulty score tp10 ranks on can never silently diverge from the
+# avg_surprisal tx09 reports.
+_SURPRISAL_CTE = """
     WITH toks AS (
         SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
     ), tf AS (
         SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
     ), tot AS (
         SELECT SUM(c) AS n FROM tf
+    ), scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(-LOG2(f.c * 1.0 / tot.n)), 4) AS avg_surprisal
+        FROM toks t
+        JOIN tf f ON t.tok = f.tok
+        CROSS JOIN tot
+        WHERE t.tok <> ''
+        GROUP BY t.doc_id
     )
-    SELECT t.doc_id,
-           COUNT(*) AS n_tokens,
-           ROUND(AVG(-LOG2(f.c * 1.0 / tot.n)), 4) AS avg_surprisal
-    FROM toks t
-    JOIN tf f ON t.tok = f.tok
-    CROSS JOIN tot
-    WHERE t.tok <> ''
-    GROUP BY t.doc_id
-    """,
-)
-def tx09_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean unigram surprisal — a perplexity-proxy score.
+"""
 
-    The cheap language-model quality signal: score each document by the
-    average self-information −log2 p(token) of its tokens under the
-    corpus unigram distribution (the degenerate KenLM). Unusually low
-    surprisal → repetitive boilerplate; unusually high → noise/garbage —
-    both ends get filtered before pretraining. Plan: ONE explode feeds
-    both the corpus term-frequency aggregate and (re-scanned) the
-    per-token scoring join; the vocabulary relation stays unhinted —
-    tiny here (broadcast), vocabulary-sized at 100 TB where AQE picks
-    the shuffle join and the tf aggregate's map-side partials bound the
-    traffic. The grand total re-enters as a 1-row broadcast.
+
+def surprisal_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_surprisal) — the shared scoring plan.
+
+    ONE explode feeds both the corpus term-frequency aggregate and the
+    per-token scoring join; the grand total re-enters as a 1-row
+    broadcast. The vocabulary relation stays unhinted — tiny here
+    (broadcast), vocabulary-sized at 100 TB where AQE picks the shuffle
+    join and the tf aggregate's map-side partials bound the traffic.
     """
-    documents = load_table(spark, sf_dir, "documents")
     toks = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -334,24 +333,29 @@ def tx09_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx09_unigram_surprisal",
+    oracle=_SURPRISAL_CTE + "SELECT doc_id, n_tokens, avg_surprisal FROM scored",
+)
+def tx09_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal — a perplexity-proxy score.
+
+    The cheap language-model quality signal: score each document by the
+    average self-information −log2 p(token) of its tokens under the
+    corpus unigram distribution (the degenerate KenLM). Unusually low
+    surprisal → repetitive boilerplate; unusually high → noise/garbage —
+    both ends get filtered before pretraining. Plan shape: see
+    surprisal_scores (shared with tp10).
+    """
+    return surprisal_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "tp10_curriculum_order",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
-    ), tf AS (
-        SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
-    ), tot AS (
-        SELECT SUM(c) AS n FROM tf
-    ), scored AS (
-        SELECT t.doc_id,
-               ROUND(AVG(-LOG2(f.c * 1.0 / tot.n)), 4) AS difficulty
-        FROM toks t JOIN tf f ON t.tok = f.tok CROSS JOIN tot
-        WHERE t.tok <> ''
-        GROUP BY t.doc_id
-    )
-    SELECT doc_id, difficulty,
-           ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS curriculum_rank,
-           NTILE(10) OVER (ORDER BY difficulty, doc_id) AS decile
+    oracle=_SURPRISAL_CTE
+    + """
+    SELECT doc_id, avg_surprisal AS difficulty,
+           ROW_NUMBER() OVER (ORDER BY avg_surprisal, doc_id) AS curriculum_rank,
+           NTILE(10) OVER (ORDER BY avg_surprisal, doc_id) AS decile
     FROM scored
     """,
 )
@@ -367,19 +371,8 @@ def tp10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank within shard), or via range-partitioned sort; the global
     window here documents the small-result form.
     """
-    from pyspark.sql import Window
-
-    documents = load_table(spark, sf_dir, "documents")
-    toks = documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    tf = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    tot = tf.agg(F.sum("c").alias("n"))
-    scored = (
-        toks.join(tf, "tok")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(F.round(F.avg(-F.log2(F.col("c") / F.col("n"))), 4).alias("difficulty"))
+    scored = surprisal_scores(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("avg_surprisal").alias("difficulty")
     )
     w = Window.partitionBy().orderBy("difficulty", "doc_id")
     return scored.select(

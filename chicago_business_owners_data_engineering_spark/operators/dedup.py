@@ -302,9 +302,12 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd06_neardup_components",
-    oracle="""
+# Shared DuckDB oracle prefix for the near-dup component family:
+# shingle sets -> exact-Jaccard edges -> recursive-CTE reachability ->
+# min-label components. dd06 and dd07 BOTH compose their oracles from
+# this single constant so the two queries can never silently verify
+# against different similarity graphs.
+_DD06_COMPONENT_CTE = """
     WITH RECURSIVE toks AS (
         SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
     ), sh AS (
@@ -329,7 +332,15 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.dst, r.r FROM reach r JOIN edges e ON r.node = e.src
     ), comp AS (
         SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
-    ), sizes AS (
+    )
+"""
+
+
+@query(
+    "dd06_neardup_components",
+    oracle=_DD06_COMPONENT_CTE
+    + """
+    , sizes AS (
         SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
     )
     SELECT c.doc_id, c.component, s.csize
@@ -415,35 +426,6 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
-
-
-_DD06_COMPONENT_CTE = """
-    WITH RECURSIVE toks AS (
-        SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               CASE WHEN LEN(t) >= 3
-                    THEN LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
-                                        FOR i IN RANGE(1, LEN(t) - 1)])
-                    ELSE [LOWER(text)] END AS ws
-        FROM toks
-    ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
-              (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.5
-    ), edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ), reach(node, r) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.dst, r.r FROM reach r JOIN edges e ON r.node = e.src
-    ), comp AS (
-        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
-    )
-"""
 
 
 @query(

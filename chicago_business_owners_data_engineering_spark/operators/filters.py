@@ -355,11 +355,13 @@ def ts04_deviation_from_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, day) grain, window-average within each event_type,
     keep days deviating >5% from their series mean. Complements dq03
     (lag vs previous day) and dq04 (distribution shape) with the
-    level-vs-trend check. The window runs post-aggregation over ~150
-    rows partitioned by event_type — the same one Exchange the daily
-    aggregate already needed, so the window adds no shuffle (AQE keeps
-    the partitioning). Deviation is computed from UNROUNDED sums on
-    both engines; rounding happens only at output.
+    level-vs-trend check. The executed plan carries TWO hash exchanges
+    — one for the (event_type, day) aggregate, then a re-shuffle to
+    event_type alone for the window (the coarser key does NOT satisfy
+    the finer partitioning) — but both move post-aggregation rows
+    (~150 at sf0.01), so the cost is noise; what matters at scale is
+    that no window touches raw events. Deviation is computed from
+    UNROUNDED sums on both engines; rounding happens only at output.
     """
     events = load_table(spark, sf_dir, "events")
     daily = (

@@ -185,6 +185,26 @@ def mm04_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_BUDGET_BYTES = 4000
 
 
+def shard_id_over(partition_cols: tuple[str, ...], budget: int = SHARD_BUDGET_BYTES):
+    """Byte-budget shard id: ``floor(bytes_before_this_doc / budget)``.
+
+    The single definition of the shard-assignment rule — mm05 and the
+    curation pipeline's stage 5 both use it, so a budget or ordering
+    change can't silently diverge the pipeline from the operator it
+    composes. Prefix sums run per partition-key group ordered by
+    doc_id (append-stable: new docs only extend the tail).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bytes_before = F.sum("n_chars").over(w) - F.col("n_chars")
+    return F.floor(bytes_before / float(budget))
+
+
 @query(
     "mm05_shard_manifest",
     oracle=f"""
@@ -210,17 +230,9 @@ def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (per-partition subtotals + broadcast offsets) — the plan shape
     the docstring of tp05 (sequence packing) shares.
     """
-    from pyspark.sql import Window
-
     documents = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bytes_before = F.sum("n_chars").over(w) - F.col("n_chars")
     return documents.select(
         "doc_id",
         "source",
-        F.floor(bytes_before / float(SHARD_BUDGET_BYTES)).alias("shard_id"),
+        shard_id_over(("source",)).alias("shard_id"),
     )

@@ -1167,7 +1167,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total and the threshold filter) — same shared-subplan
     tactic as q15. The scalar total re-enters as a 1-row broadcast
     nested-loop join, so no second pass over the fact. Completes the
-    22-query TPC-H shape family (COVERAGE.md §OLAP).
+    22-query TPC-H shape family (COVERAGE.md §OLAP). Like q15, the
+    cache is part-cardinality-sized and left to Spark's LRU eviction
+    (MEMORY_AND_DISK); a job that owns the session lifecycle can
+    unpersist after collecting.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")

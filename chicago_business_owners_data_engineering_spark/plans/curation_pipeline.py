@@ -34,16 +34,16 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import neardup_components
+from ..operators.multimodal import SHARD_BUDGET_BYTES, shard_id_over
 
 MIN_TOKENS = 5
 MAX_DUP_TOKEN_FRAC = 0.6
 MAX_TOP_TOKEN_FRAC = 0.3
-SHARD_BUDGET_BYTES = 4000
 
 SOURCE_WEIGHTS = {
     ("src0", "src1", "src2"): 25,
@@ -77,9 +77,20 @@ def gate_quality(documents: DataFrame) -> DataFrame:
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
-    """Stage 2a: one survivor per exact text (min doc_id), one shuffle."""
+    """Stage 2a: one survivor per exact text (min doc_id), one shuffle.
+
+    Groups on (xxhash64(text), length(text)) rather than the hash
+    alone: at billions of documents a bare 64-bit hash hits birthday
+    collisions in expectation (~4.3e9 docs), and a collision here
+    silently DELETES a distinct document. The length component makes a
+    false merge require a same-length hash collision; pipelines that
+    can't tolerate even that residual risk confirm with a text-equality
+    join on the collided groups (cheap — only groups with >1 doc).
+    """
     survivor = (
-        docs.groupBy(F.xxhash64("text").alias("h"))
+        docs.groupBy(
+            F.xxhash64("text").alias("h"), F.length("text").alias("len")
+        )
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -128,16 +139,9 @@ def assign_splits(docs: DataFrame) -> DataFrame:
 
 
 def assign_shards(docs: DataFrame) -> DataFrame:
-    """Stage 5: byte-budget shard ids per (split, source) (mm05)."""
-    w = (
-        Window.partitionBy("split", "source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bytes_before = F.sum("n_chars").over(w) - F.col("n_chars")
-    return docs.withColumn(
-        "shard_id", F.floor(bytes_before / float(SHARD_BUDGET_BYTES))
-    )
+    """Stage 5: byte-budget shard ids per (split, source) — mm05's rule,
+    imported, not re-implemented."""
+    return docs.withColumn("shard_id", shard_id_over(("split", "source")))
 
 
 def run_curation_pipeline(
@@ -151,7 +155,9 @@ def run_curation_pipeline(
     shard byte sums stay under budget + one max-doc overhang.
     """
     documents = load_table(spark, sf_dir, "documents")
-    gated = gate_quality(documents)
+    # gate is the heaviest pre-dedup scan (full token explode); cache it
+    # so the card's funnel counts don't replay it per stage
+    gated = gate_quality(documents).cache()
     exact = dedup_exact(gated)
     near = dedup_near(spark, sf_dir, exact).cache()
     mixed = sample_mixture(near)
@@ -181,6 +187,7 @@ def run_curation_pipeline(
     # release the two intermediate caches — the pipeline may run inside a
     # long-lived session (CLI full mode, tests) and cached RDDs otherwise
     # pin executor memory for the rest of the session
+    gated.unpersist()
     near.unpersist()
     sharded.unpersist()
     return card

@@ -69,6 +69,14 @@ def read_jdbc(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """JDBC scan; pass the partition quadruple for a sharded parallel read."""
+    partition_opts = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(o is not None for o in partition_opts) and any(
+        o is None for o in partition_opts
+    ):
+        raise ValueError(
+            "sharded JDBC reads need ALL of partition_column/lower_bound/"
+            f"upper_bound/num_partitions; got {partition_opts!r}"
+        )
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

@@ -140,11 +140,20 @@ class _WebhookStreamWriter(DataSourceStreamWriter):
     boundary real: ``write`` (executor-side) stages each task's rows to
     a temp file and returns it as the commit message; ``commit``
     (driver-side, once per micro-batch, only after EVERY task
-    succeeded) atomically renames the staged files into the output
-    directory; ``abort`` discards them. A consumer polling the output
-    dir therefore never observes a partially-delivered batch — the
-    per-sink half of exactly-once (the source offset half is
-    _PollCursorStreamReader's job).
+    succeeded) gathers the staged files into a per-batch directory and
+    publishes it with ONE atomic rename — a consumer listing the
+    output dir sees each ``batch-N`` directory fully or not at all,
+    regardless of how many tasks wrote it. ``abort`` discards the
+    staged files. Commit also sweeps orphans left by tasks that died
+    mid-write (they returned no commit message, so nothing else would
+    ever clean them); micro-batches are serial per query, so anything
+    in staging at commit time belongs to this batch's failed attempts.
+
+    Assumes driver and executors share a filesystem (local mode, NFS,
+    fuse mounts) — the same assumption Spark's own file sinks make of
+    their staging dirs. On an object store, the atomic-rename step
+    becomes a manifest/_SUCCESS-marker publish; the protocol shape is
+    unchanged.
     """
 
     def __init__(self, options):
@@ -164,18 +173,32 @@ class _WebhookStreamWriter(DataSourceStreamWriter):
         return _TaskFileCommit(tmp_path=tmp, rows=n)
 
     def commit(self, messages, batchId):
+        publish_tmp = os.path.join(self.stage_dir, f"publish-{batchId}")
+        os.makedirs(publish_tmp, exist_ok=True)
         for m in messages:
             if m is None:
                 continue
-            final = os.path.join(
-                self.out_dir, f"batch-{batchId}-{os.path.basename(m.tmp_path)}"
+            os.rename(
+                m.tmp_path,
+                os.path.join(publish_tmp, os.path.basename(m.tmp_path)),
             )
-            os.rename(m.tmp_path, final)
+        # single atomic publish: the whole batch appears at once
+        os.rename(publish_tmp, os.path.join(self.out_dir, f"batch-{batchId}"))
+        self._sweep_orphans()
 
     def abort(self, messages, batchId):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        self._sweep_orphans()
+
+    def _sweep_orphans(self):
+        if not os.path.isdir(self.stage_dir):
+            return
+        for name in os.listdir(self.stage_dir):
+            p = os.path.join(self.stage_dir, name)
+            if os.path.isfile(p):
+                os.remove(p)
 
 
 class WebhookSinkDataSource(DataSource):

@@ -995,11 +995,14 @@ def test_python_datasource_webhook_sink_two_phase(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
 
-    batch_files = [p for p in out.iterdir() if p.name.startswith("batch-")]
-    assert batch_files, "committed batch files expected"
+    batch_dirs = [p for p in out.iterdir() if p.name.startswith("batch-")]
+    assert batch_dirs and all(p.is_dir() for p in batch_dirs), (
+        "each batch publishes as ONE atomically-renamed directory"
+    )
     rows = [
         _json.loads(line)
-        for p in batch_files
+        for d in batch_dirs
+        for p in d.iterdir()
         for line in p.read_text().splitlines()
     ]
     assert len(rows) >= 40
