@@ -1010,3 +1010,45 @@ def test_python_datasource_webhook_sink_two_phase(spark, tmp_path):
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids))
     assert list((out / "_staging").iterdir()) == []
+
+
+def test_webhook_sink_sweeps_orphaned_task_files(spark, tmp_path):
+    """A task that died mid-write leaves a staged file with no commit
+    message; the next batch commit sweeps it, so staging can't grow
+    without bound in a long-running stream."""
+    from chicago_business_owners_data_engineering_spark.sources.python_datasource import (
+        register,
+        register_sink,
+    )
+
+    register(spark)
+    register_sink(spark)
+    out = tmp_path / "orphan_out"
+    staging = out / "_staging"
+    staging.mkdir(parents=True)
+    orphan = staging / "task-deadbeef.jsonl"
+    orphan.write_text('{"event_id": -1}\n')
+
+    q = (
+        spark.readStream.format("business_events")
+        .option("page_size", 10)
+        .load()
+        .writeStream.format("webhook_sink")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck_orphan"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    assert not orphan.exists(), "orphaned staging file must be swept at commit"
+    # the orphan's content was NOT published
+    published = [
+        line
+        for d in out.iterdir()
+        if d.name.startswith("batch-")
+        for p in d.iterdir()
+        for line in p.read_text().splitlines()
+    ]
+    assert published and all('"event_id": -1' not in line for line in published)
