@@ -236,3 +236,46 @@ def mm05_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         shard_id_over(("source",)).alias("shard_id"),
     )
+
+
+RESIZE_BOX = 64  # target bounding box (square), aspect-preserving
+
+
+@query("mm06_resize_batch", oracle=None)  # binary payload out → rows-only check
+def mm06_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving batched resize — the third mapInPandas stage.
+
+    Completes the decode → feature-extract → RESIZE → frame-sample
+    multimodal quartet: payloads stream through Arrow batches, each
+    "image" is scaled into a RESIZE_BOX² bounding box preserving aspect
+    ratio, and the resized payload comes back as a binary column next
+    to its new dimensions. The pixel work is the environment-gated stub
+    (a real deployment calls pillow's ``Image.resize`` in the same
+    loop); everything Spark-side — binary-in/binary-out schema, bounded
+    Arrow batch shape, scale arithmetic, partition-preserving plan — is
+    real and tested (aspect ratio, box fit, determinism).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    src = documents.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_media(bytes(payload), "image")
+                w, h = meta["width"], meta["height"]
+                scale = min(RESIZE_BOX / w, RESIZE_BOX / h, 1.0)
+                out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+                # STUB resample: real code produces out_w*out_h pixels;
+                # the fake keeps a deterministic byte budget instead
+                body = bytes(payload)[: out_w * out_h]
+                rows.append((int(doc_id), w, h, out_w, out_h, body))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_width", "out_height", "resized"],
+            )
+
+    return src.mapInPandas(
+        resize,
+        schema="doc_id long, width int, height int, out_width int, out_height int, resized binary",
+    )

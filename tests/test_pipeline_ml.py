@@ -179,3 +179,28 @@ def test_scalar_quantization_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["max_err"] <= r["scale"] / 2 + 1e-6
+
+
+def test_mm06_resize_preserves_aspect_and_fits_box(spark, sf_dir):
+    from chicago_business_owners_data_engineering_spark.operators.multimodal import (
+        RESIZE_BOX,
+        mm06_resize_batch,
+    )
+
+    out = mm06_resize_batch(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["out_width"] <= RESIZE_BOX
+        assert 1 <= r["out_height"] <= RESIZE_BOX
+        # aspect preserved within integer-floor rounding
+        if r["width"] >= r["height"]:
+            assert r["out_width"] >= r["out_height"]
+        else:
+            assert r["out_height"] >= r["out_width"]
+        # never upscaled
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+    # deterministic across runs
+    again = mm06_resize_batch(spark, sf_dir).collect()
+    assert {(r["doc_id"], bytes(r["resized"])) for r in out} == {
+        (r["doc_id"], bytes(r["resized"])) for r in again
+    }
