@@ -26,6 +26,7 @@ EXPECTED_PYTHON = {
     "u03_apply_in_pandas_scores",
     "mm02_decode_features",
     "u05_python_udtf",  # the UDTF demo IS the Python path, by design
+    "mm06_resize_batch",  # mapInPandas resize stage — Python by design
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o04_pagination",
