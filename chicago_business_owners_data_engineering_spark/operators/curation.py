@@ -18,6 +18,7 @@ as corpus-scale DataFrame plans.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -380,4 +381,62 @@ def tp10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difficulty",
         F.row_number().over(w).alias("curriculum_rank"),
         F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@query("a31_freq_items", oracle=None)  # single-pass sketch: superset guarantee only
+def a31_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (Karp-Papadimitriou-Shenker sketch).
+
+    ``df.stat.freqItems`` finds all items with frequency above the
+    support threshold in ONE pass with bounded memory — no shuffle of
+    the full value distribution, unlike the exact a08/a09 count-by.
+    The guarantee is one-sided (a SUPERSET: every truly-frequent item
+    is present, false positives possible), which is why this is
+    rows-only: the companion pytest asserts the superset property
+    against the exact counts. The a28 count-min sketch is the
+    frequency-ESTIMATE sibling; this one answers membership.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+
+
+BLOCKLISTED_SOURCES = ("src2", "src7", "src11")
+
+
+@query(
+    "tx10_blocklist_filter",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE source NOT IN {BLOCKLISTED_SOURCES!r}
+    """,
+)
+def tx10_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering via an executor-shared broadcast variable.
+
+    Curation pipelines drop documents from denied domains/sources. For
+    a FIXED small list the native form is ``~col.isin(...)`` (and
+    that's what the oracle states); this implementation demonstrates
+    the broadcast-variable pattern the real op needs when the
+    blocklist is operationally large (millions of domains, refreshed
+    daily): ``sc.broadcast`` ships the set to each executor ONCE per
+    job, and an Arrow-batched pandas UDF probes it per value — no
+    per-row driver lookup, no join shuffle, no re-serialization per
+    task. At even larger list sizes the pattern upgrades to a
+    broadcast left_anti JOIN; the differential check proves the UDF
+    path equals the native semantics exactly.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    documents = load_table(spark, sf_dir, "documents")
+    blocked = spark.sparkContext.broadcast(frozenset(BLOCKLISTED_SOURCES))
+
+    @pandas_udf("boolean")
+    def is_blocked(source: pd.Series) -> pd.Series:
+        deny = blocked.value
+        return source.map(lambda s: s in deny)
+
+    return documents.filter(~is_blocked(F.col("source"))).select(
+        "doc_id", "source", "lang"
     )

@@ -204,3 +204,25 @@ def test_mm06_resize_preserves_aspect_and_fits_box(spark, sf_dir):
     assert {(r["doc_id"], bytes(r["resized"])) for r in out} == {
         (r["doc_id"], bytes(r["resized"])) for r in again
     }
+
+
+def test_a31_freq_items_superset_of_truly_frequent(spark, sf_dir):
+    """KPS sketch guarantee: every item with frequency > support appears
+    in the freqItems result (false positives allowed, misses not)."""
+    from chicago_business_owners_data_engineering_spark.operators.curation import (
+        a31_freq_items,
+    )
+
+    row = a31_freq_items(spark, sf_dir).collect()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    for col, out_field in [
+        ("o_orderpriority", "o_orderpriority_freqItems"),
+        ("o_orderstatus", "o_orderstatus_freqItems"),
+    ]:
+        exact = {
+            r[col]
+            for r in orders.groupBy(col).count().collect()
+            if r["count"] > 0.2 * n
+        }
+        assert exact <= set(row[out_field]), (col, exact, row[out_field])

@@ -27,6 +27,7 @@ EXPECTED_PYTHON = {
     "mm02_decode_features",
     "u05_python_udtf",  # the UDTF demo IS the Python path, by design
     "mm06_resize_batch",  # mapInPandas resize stage — Python by design
+    "tx10_blocklist_filter",  # broadcast-variable pandas-UDF demo — Python by design
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o04_pagination",
