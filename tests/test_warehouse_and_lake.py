@@ -1052,3 +1052,31 @@ def test_webhook_sink_sweeps_orphaned_task_files(spark, tmp_path):
         for line in p.read_text().splitlines()
     ]
     assert published and all('"event_id": -1' not in line for line in published)
+
+
+def test_storage_format_matrix_roundtrip(spark, sf_dir, tmp_path):
+    """S3/S4 beyond parquet: the same relation round-trips through every
+    columnar/text format this build ships (parquet, ORC, JSON-lines,
+    CSV) with identical rows. Text formats need the schema re-applied
+    on read — exactly the posture S1 takes for the reference's CSV."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    expected = {tuple(r) for r in nation.collect()}
+    base = tmp_path / "fmt"
+
+    nation.write.mode("overwrite").parquet(str(base / "p"))
+    nation.write.mode("overwrite").orc(str(base / "o"))
+    nation.write.mode("overwrite").json(str(base / "j"))
+    nation.write.mode("overwrite").option("header", True).csv(str(base / "c"))
+
+    got_p = spark.read.parquet(str(base / "p"))
+    got_o = spark.read.orc(str(base / "o"))
+    # self-describing formats keep the schema
+    assert got_p.schema == nation.schema and got_o.schema == nation.schema
+    # text formats: declare the schema on read (never inferSchema in
+    # production — one full extra pass at 100 TB, and types can drift)
+    got_j = spark.read.schema(nation.schema).json(str(base / "j"))
+    got_c = (
+        spark.read.schema(nation.schema).option("header", True).csv(str(base / "c"))
+    )
+    for got in (got_p, got_o, got_j, got_c):
+        assert {tuple(r) for r in got.collect()} == expected
