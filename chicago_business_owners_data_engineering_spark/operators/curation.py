@@ -36,7 +36,9 @@ from ..registry import query
         FROM toks WHERE tok <> '' GROUP BY doc_id, tok
     )
     SELECT doc_id,
-           SUM(c) AS n_tokens,
+           -- CAST: DuckDB SUM(BIGINT) yields HUGEINT -> pandas float64,
+           -- but Spark emits int64; the driver's hash is dtype-sensitive.
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
            ROUND(1 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_token_frac,
            ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_token_frac
     FROM counts
@@ -118,7 +120,9 @@ def tp08_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
         FROM documents
     ), per_group AS (
-        SELECT lang, source, COUNT(*) AS docs, SUM(n_tokens) AS tokens
+        SELECT lang, source, COUNT(*) AS docs,
+               -- CAST: HUGEINT->float64 vs Spark int64 (driver dtype hash)
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens
         FROM per_doc GROUP BY lang, source
     )
     SELECT lang, source, docs, tokens,
@@ -396,9 +400,32 @@ def a31_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only: the companion pytest asserts the superset property
     against the exact counts. The a28 count-min sketch is the
     frequency-ESTIMATE sibling; this one answers membership.
+
+    ``freqItems`` returns ONE row of array columns; downstream
+    comparators (and most sinks) want scalar rows, so the arrays are
+    unpivoted to (column, item) pairs in the same single pass — one
+    explode over a concat of struct-tagged transforms, no second
+    sketch evaluation.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    freq = orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    tagged = F.concat(
+        F.transform(
+            "o_orderpriority_freqItems",
+            lambda x: F.struct(
+                F.lit("o_orderpriority").alias("column"), x.alias("item")
+            ),
+        ),
+        F.transform(
+            "o_orderstatus_freqItems",
+            lambda x: F.struct(F.lit("o_orderstatus").alias("column"), x.alias("item")),
+        ),
+    )
+    return (
+        freq.select(F.explode(tagged).alias("pair"))
+        .select("pair.column", "pair.item")
+        .orderBy("column", "item")
+    )
 
 
 BLOCKLISTED_SOURCES = ("src2", "src7", "src11")
@@ -434,8 +461,9 @@ def tx10_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("boolean")
     def is_blocked(source: pd.Series) -> pd.Series:
-        deny = blocked.value
-        return source.map(lambda s: s in deny)
+        # Vectorized probe over the whole Arrow batch — no per-row
+        # Python lambda between pandas and the broadcast set.
+        return source.isin(blocked.value)
 
     return documents.filter(~is_blocked(F.col("source"))).select(
         "doc_id", "source", "lang"

@@ -354,11 +354,14 @@ def dd06_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise near-dup relations aren't transitive (A~B, B~C but A!~C),
     so keep-one-per-pair dedup double-drops; the standard fix is
     connected components over the pair graph, then one survivor per
-    component (min doc_id = the component label). Edge generation here
-    is the brute-force exact-Jaccard baseline (shingle sets, ≥ 0.5) so
-    the DuckDB recursive-CTE oracle sees the identical graph; at 100 TB
-    the edges come from dd04's MinHash-LSH instead — the component step
-    is unchanged.
+    component (min doc_id = the component label). The EXECUTED edge
+    path is dd04's MinHash-LSH (banded candidates → exact-Jaccard
+    verify at ≥ 0.5, recall-tuned bands — no CartesianProduct in the
+    plan); the DuckDB recursive-CTE oracle derives the same graph from
+    the brute-force all-pairs definition, so the differential check
+    proves the LSH band parameters lose no component structure.
+    ``neardup_components(..., use_lsh_edges=False)`` keeps the
+    brute-force twin runnable for recall audits.
 
     Components run as driver-coordinated min-label propagation (the
     dataflow form of Pregel/GraphX): each round, every node takes the
@@ -379,26 +382,68 @@ def dd06_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the exact-Jaccard near-dup graph.
+def neardup_edges(
+    docs: DataFrame,
+    set_col: str = "ws",
+    threshold: float = 0.5,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b) near-dup pairs over a (doc_id, token-set) relation.
+
+    ``use_lsh=True`` (the scale path) routes through dd04's machinery
+    with recall-aggressive banding: 32 minhash slots in 16 bands of 2,
+    so a pair at exactly the 0.5 threshold is missed with probability
+    (1-s²)^16 ≈ 1% and anything ≥0.7 with < 1e-4 — and because the
+    candidates are then verified with EXACT Jaccard, band tuning only
+    affects recall, never precision. ``use_lsh=False`` is the O(n²)
+    brute-force twin (the oracle's definition), kept for recall audits.
+    """
+    if use_lsh:
+        return minhash_lsh_pairs(
+            docs, "doc_id", set_col, threshold=threshold, num_hashes=32, band_size=2
+        ).select("doc_a", "doc_b")
+    a, b = docs.alias("a"), docs.alias("b")
+    sa, sb = F.col(f"a.{set_col}"), F.col(f"b.{set_col}")
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((inter / union) >= threshold)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+def neardup_components(
+    spark: SparkSession, sf_dir: str, use_lsh_edges: bool = True
+) -> DataFrame:
+    """Connected components of the shingle-Jaccard near-dup graph.
 
     Shared by dd06 (cluster report) and dd07 (canonical selection).
     Returns (doc_id, component) for every doc that participates in at
-    least one near-dup edge; component = min doc_id reachable.
+    least one near-dup edge; component = min doc_id reachable. Edges
+    come from MinHash-LSH by default (see neardup_edges); the component
+    step is identical either way.
     """
     documents = load_table(spark, sf_dir, "documents")
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter((inter / union) >= 0.5)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    pairs = neardup_edges(docs, "ws", threshold=0.5, use_lsh=use_lsh_edges)
+    return components_from_pairs(pairs)
+
+
+def components_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Min-label connected components over a (doc_a, doc_b) pair relation.
+
+    Driver-coordinated label propagation (the dataflow form of
+    Pregel/GraphX): each round every node takes the min of its own and
+    its neighbors' labels — one shuffle keyed on node per round, rounds
+    = graph diameter. ``localCheckpoint`` after each round truncates
+    lineage so the plan doesn't grow with iterations. Convergence is an
+    exact fixpoint (no label changed), not a fixed round count.
+    """
+    directed = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -239,7 +239,10 @@ def ts01_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
         FROM events
     )
-    SELECT c.cohort_day, DATE_DIFF('day', c.cohort_day, a.active_day) AS day_offset,
+    -- cohort_day ships as an ISO string: Spark DATE -> pandas date
+    -- objects vs DuckDB DATE -> datetime64 breaks the driver's hash.
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           DATE_DIFF('day', c.cohort_day, a.active_day) AS day_offset,
            COUNT(DISTINCT a.user_id) AS n_users
     FROM activity a JOIN cohorts c ON a.user_id = c.user_id
     WHERE DATE_DIFF('day', c.cohort_day, a.active_day) BETWEEN 0 AND 7
@@ -267,7 +270,10 @@ def ts02_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.join(cohorts, "user_id")
         .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
         .filter(F.col("day_offset").between(0, 7))
-        .groupBy("cohort_day", "day_offset")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset"),
+        )
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
@@ -338,7 +344,9 @@ def ts03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS day_value
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     )
-    SELECT event_type, day,
+    -- day ships as an ISO string (Spark date objects vs DuckDB
+    -- datetime64 breaks the driver's dtype-sensitive hash)
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
            ROUND(day_value, 4) AS day_value,
            ROUND(AVG(day_value) OVER (PARTITION BY event_type), 4) AS type_avg,
            ROUND(ABS(day_value / AVG(day_value) OVER (PARTITION BY event_type) - 1), 4)
@@ -383,7 +391,7 @@ def ts04_deviation_from_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dev") > 0.05)
         .select(
             "event_type",
-            "day",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.round("day_value", 4).alias("day_value"),
             F.round("avg_raw", 4).alias("type_avg"),
             F.round("dev", 4).alias("dev_frac"),

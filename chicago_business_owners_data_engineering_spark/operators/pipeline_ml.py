@@ -202,10 +202,13 @@ def tp04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, event_id, ts,
-               SUM(CASE WHEN prev IS NULL
-                        OR DATE_DIFF('second', prev, ts) > {SESSION_GAP_S}
-                        THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+               -- CAST: windowed SUM(int) is HUGEINT in DuckDB ->
+               -- pandas float64; Spark emits int64 (driver dtype hash)
+               CAST(SUM(CASE WHEN prev IS NULL
+                             OR DATE_DIFF('second', prev, ts) > {SESSION_GAP_S}
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -460,10 +463,13 @@ def tp05_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           -- CASTs: DuckDB SUM(int) -> HUGEINT -> pandas float64, vs
+           -- Spark int64; the driver's hash is dtype-sensitive.
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            ROUND(100.0 * SUM(CASE WHEN keep THEN 1 ELSE 0 END) / COUNT(*), 4)
                AS keep_pct,
-           SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS kept_chars,
+           CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
            ROUND(AVG(CASE WHEN keep THEN CAST(n_words AS DOUBLE) END), 6)
                AS avg_kept_words
     FROM scored
@@ -538,7 +544,9 @@ def tp06_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh AS (SELECT DISTINCT sh FROM shingled WHERE b < 80)
     SELECT e.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_overlapping,
+           -- CAST: HUGEINT->float64 vs Spark int64 (driver dtype hash)
+           CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlapping,
            ROUND(100.0 * SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4)
                AS contamination_pct
     FROM shingled e LEFT JOIN train_sh t ON e.sh = t.sh

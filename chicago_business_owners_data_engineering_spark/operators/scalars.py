@@ -297,7 +297,10 @@ def f19_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f13b_date_sequence",
     oracle="""
-    SELECT CAST(d AS DATE) AS cal_date,
+    -- Dates ship as ISO strings: pandas renders Spark DATE as date
+    -- objects but DuckDB DATE as datetime64 — a dtype split the
+    -- driver's hash flags even when the values match.
+    SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS cal_date,
            CAST(YEAR(d) AS INT) AS yr,
            CAST(MONTH(d) AS INT) AS mon
     FROM (
@@ -321,7 +324,7 @@ def f13b_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cal_date")
     ).select(
-        "cal_date",
+        F.date_format("cal_date", "yyyy-MM-dd").alias("cal_date"),
         F.year("cal_date").cast("int").alias("yr"),
         F.month("cal_date").cast("int").alias("mon"),
     )

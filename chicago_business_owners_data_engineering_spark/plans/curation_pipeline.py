@@ -23,10 +23,11 @@ straddle train/eval (the contamination vector tp07 checks for).
 
 Scale notes: the gate + hash stages are shuffle-free projections; exact
 dedup is one hash-key shuffle with map-side partials; the near-dup edge
-generation is the pluggable piece (brute-force exact Jaccard here,
-dd04's MinHash-LSH at real scale — identical downstream contract:
-a (doc_id, component) relation); shard manifests reuse the per-source
-prefix-sum shape.  The curated write repartitions on the partition
+generation runs dd04's MinHash-LSH (banded candidates + exact verify,
+no cross join) over the surviving docs, with the brute-force exact
+Jaccard twin selectable for recall audits — identical downstream
+contract: a (doc_id, component) relation; shard manifests reuse the
+per-source prefix-sum shape.  The curated write repartitions on the partition
 columns first (the PERF.md small-files rule).
 """
 
@@ -38,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.dedup import neardup_components
+from ..operators.dedup import _shingle_set, components_from_pairs, neardup_edges
 from ..operators.multimodal import SHARD_BUDGET_BYTES, shard_id_over
 
 MIN_TOKENS = 5
@@ -97,14 +98,21 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     return docs.join(survivor, "doc_id", "left_semi")
 
 
-def dedup_near(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+def dedup_near(docs: DataFrame, use_lsh_edges: bool = True) -> DataFrame:
     """Stage 2b: drop non-canonical members of near-dup clusters.
 
     Canonical = longest doc (ties → min doc_id) per connected
     component, exactly dd07's rule; docs outside any component pass
-    through untouched.
+    through untouched. The similarity graph is computed over the
+    SURVIVORS this stage receives — not the raw table — so a
+    gated-out or exact-deduped document can never bridge two
+    otherwise-separate clusters and over-drop survivors. Edges come
+    from MinHash-LSH by default (the 100 TB path, no cross join);
+    ``use_lsh_edges=False`` selects the brute-force oracle twin.
     """
-    comp = neardup_components(spark, sf_dir)
+    shingled = docs.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    pairs = neardup_edges(shingled, "ws", threshold=0.5, use_lsh=use_lsh_edges)
+    comp = components_from_pairs(pairs)
     members = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     canonical = members.groupBy("component").agg(
         F.max_by(
@@ -159,7 +167,7 @@ def run_curation_pipeline(
     # so the card's funnel counts don't replay it per stage
     gated = gate_quality(documents).cache()
     exact = dedup_exact(gated)
-    near = dedup_near(spark, sf_dir, exact).cache()
+    near = dedup_near(exact).cache()
     mixed = sample_mixture(near)
     split = assign_splits(mixed)
     sharded = assign_shards(split).cache()

@@ -173,6 +173,15 @@ class _WebhookStreamWriter(DataSourceStreamWriter):
         return _TaskFileCommit(tmp_path=tmp, rows=n)
 
     def commit(self, messages, batchId):
+        # Replay-safe: if the query crashed AFTER the atomic publish
+        # rename but BEFORE the engine recorded the batch commit, the
+        # restarted query re-runs the same batchId. An existing
+        # batch-N target is proof the batch was already delivered —
+        # re-publishing would rename onto a non-empty directory and
+        # wedge the query, so discard this attempt's staging instead.
+        if os.path.isdir(os.path.join(self.out_dir, f"batch-{batchId}")):
+            self._sweep_orphans()
+            return
         publish_tmp = os.path.join(self.stage_dir, f"publish-{batchId}")
         os.makedirs(publish_tmp, exist_ok=True)
         for m in messages:

@@ -259,31 +259,75 @@ def foreach_batch_cache_latest(cache: TTLCache, key_col: str = "user_id"):
     return sink
 
 
-def kafka_sink_plan(df: DataFrame, brokers: str, topic: str):
-    """S11 Kafka sink plan (requires the kafka connector jar + broker).
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """The exact option map the kafka sink needs — split out so tests
+    can pin it without a broker (a typo'd option key otherwise fails
+    only at runtime, against live infrastructure)."""
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
+def kafka_source_options(brokers: str, topic: str) -> dict[str, str]:
+    """Option map for the kafka source (subscribe mode)."""
+    return {"kafka.bootstrap.servers": brokers, "subscribe": topic}
+
+
+# to_json's DEFAULT timestamp formats truncate to milliseconds —
+# microsecond event times silently lose precision on the wire (caught
+# by the round-trip test). Pin a micros format on BOTH directions, for
+# BOTH timestamp kinds: parquet event times arrive as TIMESTAMP_NTZ
+# (which to_json formats via timestampNTZFormat, silently ignoring
+# timestampFormat), while EVENT_SCHEMA decodes to TIMESTAMP_LTZ. The
+# wire format is offset-free wall-clock micros; the session is pinned
+# UTC, so LTZ values render and parse as the same instant.
+_WIRE_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+_WIRE_JSON_OPTS = {
+    "timestampFormat": _WIRE_TS_FORMAT,
+    "timestampNTZFormat": _WIRE_TS_FORMAT,
+}
+
+
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """The kafka wire projection: (key string, value string).
 
     key = event key, value = full-row JSON — the reference's
     ``producer.send(topic, key, json)`` (streaming_processor.py:331-352).
+    Split from the sink plan so the payload schema and its JSON
+    round-trip (to_json → from_json(EVENT_SCHEMA) is lossless) are
+    testable against any micro-batch, broker or not.
     """
-    return (
-        df.selectExpr("CAST(event_id AS STRING) AS key", "to_json(struct(*)) AS value")
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
+    return df.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct("*"), _WIRE_JSON_OPTS).alias("value"),
     )
+
+
+def decode_kafka_value(raw: DataFrame) -> DataFrame:
+    """JSON-decode the kafka ``value`` column to typed event columns.
+
+    Works on anything shaped like the kafka wire schema (``value``
+    binary or string) — the unit-testable half of the source plan.
+    """
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), EVENT_SCHEMA, _WIRE_JSON_OPTS
+        ).alias("e")
+    ).select("e.*")
+
+
+def kafka_sink_plan(df: DataFrame, brokers: str, topic: str):
+    """S11 Kafka sink plan (requires the kafka connector jar + broker)."""
+    writer = kafka_payload(df).writeStream.format("kafka")
+    for k, v in kafka_sink_options(brokers, topic).items():
+        writer = writer.option(k, v)
+    return writer
 
 
 def kafka_source_plan(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     """S12 Kafka source plan: subscribe + JSON-decode to typed columns."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .load()
-    )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e")
-    ).select("e.*")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(brokers, topic).items():
+        reader = reader.option(k, v)
+    return decode_kafka_value(reader.load())
 
 
 def foreach_batch_upsert(lake_path: str, keys: list[str], version_col: str):

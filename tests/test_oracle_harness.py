@@ -1,70 +1,101 @@
 """Self-tests for the differential-oracle comparator (tools/check_oracle).
 
-The entire correctness story routes through canon_rows/canon_value; a
+The entire correctness story routes through canon_frame/canon_cell; a
 comparator that canonicalizes two DIFFERENT results to the same string
 would green-light broken queries. These tests pin that it detects every
-mismatch class the harness claims to check — and stays insensitive to
-the things it claims to ignore (row order, column order, float noise
-below the rounding grain).
+mismatch class the harness claims to check — including the dtype
+classes the external driver's pandas-level hash distinguishes (round 2
+lost two queries to int64-vs-float64, and one to array-typed cells) —
+while staying insensitive to row and column order.
 """
 
 from __future__ import annotations
 
+import datetime
 import importlib.util
-import sys
+
+import numpy as np
+import pandas as pd
+import pytest
 
 spec = importlib.util.spec_from_file_location(
     "check_oracle", "/root/repo/tools/check_oracle.py"
 )
 check_oracle = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(check_oracle)
-canon_rows = check_oracle.canon_rows
-canon_value = check_oracle.canon_value
+canon_frame = check_oracle.canon_frame
+canon_cell = check_oracle.canon_cell
+UnhashableCell = check_oracle.UnhashableCell
 
 
 def test_insensitive_to_row_and_column_order():
-    a = canon_rows([(1, "x"), (2, "y")], ["k", "v"])
-    b = canon_rows([("y", 2), ("x", 1)], ["v", "k"])
+    a = canon_frame(pd.DataFrame({"k": [1, 2], "v": ["x", "y"]}))
+    b = canon_frame(pd.DataFrame({"v": ["y", "x"], "k": [2, 1]}))
     assert a == b
 
 
 def test_detects_value_mismatch():
-    a = canon_rows([(1, "x")], ["k", "v"])
-    b = canon_rows([(1, "z")], ["k", "v"])
+    a = canon_frame(pd.DataFrame({"k": [1], "v": ["x"]}))
+    b = canon_frame(pd.DataFrame({"k": [1], "v": ["z"]}))
     assert a != b
 
 
 def test_detects_row_count_mismatch():
-    a = canon_rows([(1,), (2,)], ["k"])
-    b = canon_rows([(1,)], ["k"])
+    a = canon_frame(pd.DataFrame({"k": [1, 2]}))
+    b = canon_frame(pd.DataFrame({"k": [1]}))
     assert a != b
 
 
 def test_detects_swapped_values_across_columns():
     # same multiset of cell values, different row composition
-    a = canon_rows([(1, "x"), (2, "y")], ["k", "v"])
-    b = canon_rows([(1, "y"), (2, "x")], ["k", "v"])
+    a = canon_frame(pd.DataFrame({"k": [1, 2], "v": ["x", "y"]}))
+    b = canon_frame(pd.DataFrame({"k": [1, 2], "v": ["y", "x"]}))
     assert a != b
 
 
-def test_float_noise_below_grain_ignored_above_grain_detected():
-    assert canon_value(1.23456789012) == canon_value(1.23456789019)
-    assert canon_value(1.2345) != canon_value(1.2346)
+def test_int_vs_float_dtype_detected():
+    # THE round-2 driver bug: DuckDB HUGEINT -> float64 3.0 vs Spark
+    # int64 3. The driver hashes them apart; so must we.
+    assert canon_cell(3) != canon_cell(3.0)
+    assert canon_cell(np.int64(3)) != canon_cell(np.float64(3.0))
+
+
+def test_int_width_insensitive():
+    # the driver's hash casts integer widths to u64 — int32 ntile vs
+    # BIGINT NTILE passed in r02, so widths must canonicalize equal
+    assert canon_cell(np.int32(7)) == canon_cell(np.int64(7))
+
+
+def test_float_bits_exact():
+    # the driver hashes raw float64 bits; last-ulp jitter must flag
+    assert canon_cell(1.23456789012) != canon_cell(1.23456789019)
+    assert canon_cell(0.5) == canon_cell(np.float64(0.5))
+
+
+def test_date_vs_timestamp_dtype_detected():
+    # Spark DATE -> pandas date objects; DuckDB DATE -> datetime64.
+    # Same instant, different dtype — the driver's hash flags it.
+    d = datetime.date(2024, 1, 1)
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    assert canon_cell(d) != canon_cell(ts)
+    assert canon_cell(ts) == canon_cell(datetime.datetime(2024, 1, 1))
 
 
 def test_null_vs_string_null_distinct():
-    assert canon_value(None) != canon_value("None")
-    assert canon_value(None) != canon_value("")
+    assert canon_cell(None) != canon_cell("None")
+    assert canon_cell(None) != canon_cell("")
+    assert canon_cell(float("nan")) == canon_cell(None)  # NULL-in-float
 
 
-def test_nested_lists_compared_elementwise():
-    assert canon_value([1.0, 2.0]) == canon_value((1.0, 2.0))
-    assert canon_value([1.0, 2.0]) != canon_value([2.0, 1.0])
+def test_array_cells_raise():
+    # the driver's canonicalizer crashes on unhashable list cells
+    # (r02: a31_freq_items); the harness must surface, not mask, that
+    with pytest.raises(UnhashableCell):
+        canon_cell([1.0, 2.0])
+    with pytest.raises(UnhashableCell):
+        canon_cell(np.array([1, 2]))
 
 
 def test_bool_not_conflated_with_int():
-    # engines disagreeing on bool vs int types must still hash equal
-    # only when the VALUES agree under python str semantics
-    assert canon_value(True) == "True"
-    assert canon_value(1) == "1"
-    assert canon_value(True) != canon_value(1)
+    assert canon_cell(True) != canon_cell(1)
+    assert canon_cell(np.bool_(True)) == canon_cell(True)

@@ -2,8 +2,30 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, comparing row count, column names,
-and an order-insensitive value hash (columns sorted by name, rows
-sorted, floats rounded). Usage:
+and an order-insensitive, DTYPE-SENSITIVE value hash.
+
+Why dtype-sensitive: the external driver fetches both sides into pandas
+and hashes values at the pandas level (hash_pandas_object-style), so
+``3`` (int64) and ``3.0`` (float64) hash differently even though a
+string comparison would call them equal.  Round 2 lost two queries to
+exactly this — DuckDB ``SUM(BIGINT)`` returns HUGEINT which ``.df()``
+converts to float64, while Spark returns int64.  This harness therefore:
+
+- fetches the DuckDB side via ``.df()`` (NOT ``fetchall()``, whose
+  HUGEINT→int conversion masks the divergence) and the Spark side via
+  ``toPandas()``;
+- canonicalizes every cell with a type tag: integral values (any width —
+  the driver's hash is width-insensitive: int32 ntile vs BIGINT NTILE
+  passed in r02) vs floats vs bools vs timestamps vs dates vs decimals
+  all hash apart;
+- canonicalizes float64 by exact ``repr`` bits — the driver hashes raw
+  float bits, so outputs must be ROUND()ed identically on both engines,
+  and a last-ulp divergence must flag here before the driver sees it;
+- flags array-/list-typed output cells in ANY query (including
+  rows-only ones): the driver's canonicalizer pandas-sorts all columns
+  and crashes on unhashable lists (r02: a31_freq_items).
+
+Usage:
 
     python tools/check_oracle.py [--vanilla] [sf_dir] [query_name ...]
 
@@ -15,11 +37,14 @@ our own session configuration.
 
 from __future__ import annotations
 
-import math
+import datetime
+import decimal
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -28,28 +53,65 @@ TABLES = (
 ).split()
 
 
-def canon_value(v):
-    if v is None:
+class UnhashableCell(Exception):
+    """An array/map-typed cell the driver's canonicalizer would crash on."""
+
+
+def canon_cell(v) -> str:
+    # Containers first: pd.isna() on them returns an array, and the
+    # driver crashes on them — surface that as a distinct failure.
+    if isinstance(v, (list, tuple, set, np.ndarray, dict)):
+        raise UnhashableCell(type(v).__name__)
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}" if abs(v) < 1e15 else f"{v:.6e}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        fv = float(v)
+        if fv != fv:  # NaN — both engines emit NaN for NULL-in-float
+            return "∅"
+        # Exact bits: the driver hashes the float64 payload, so any
+        # cross-engine jitter must be visible here, not masked by %.6g.
+        return f"f:{fv!r}"
+    if isinstance(v, (pd.Timestamp, np.datetime64, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        if pd.isna(ts):
+            return "∅"
+        return f"ts:{ts.isoformat()}"
+    if isinstance(v, datetime.date):
+        # Deliberately distinct from ts: — a Spark DATE column arrives in
+        # pandas as date objects while DuckDB DATE becomes datetime64, a
+        # dtype split the driver's hash would flag.
+        return f"date:{v.isoformat()}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    if pd.isna(v):
+        return "∅"
+    return f"s:{v}"
 
 
-def canon_rows(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def canon_frame(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
     out = []
-    for row in rows:
-        vals = list(row)
-        out.append("|".join(canon_value(vals[i]) for i in order))
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append("|".join(canon_cell(v) for v in row))
     out.sort()
     return out
+
+
+def array_typed_cols(df: pd.DataFrame) -> list[str]:
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and len(col):
+            head = col.iloc[0]
+            if isinstance(head, (list, tuple, set, np.ndarray, dict)):
+                bad.append(c)
+    return bad
 
 
 def main() -> int:
@@ -91,42 +153,54 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        # The driver canonicalizes rows-only results too — array-typed
+        # cells crash it regardless of whether an oracle exists.
+        arr_cols = array_typed_cols(spd)
+        if arr_cols:
+            failures.append(
+                (name, f"driver-crash risk: array-typed output columns {arr_cols}")
+            )
+            print(f"FAIL  {name}: array-typed output columns {arr_cols}")
+            continue
         if name not in oracles:
             rows_only.append(name)
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(spd)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpd = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns differ: spark={sorted(scols)} duckdb={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"row count differs: spark={len(srows)} duckdb={len(drows)}")
+        if sorted(spd.columns) != sorted(dpd.columns):
+            problems.append(
+                f"columns differ: spark={sorted(spd.columns)} duckdb={sorted(dpd.columns)}"
+            )
+        if len(spd) != len(dpd):
+            problems.append(f"row count differs: spark={len(spd)} duckdb={len(dpd)}")
         if not problems:
-            sc = canon_rows(srows, scols)
-            dc = canon_rows(drows, dcols)
-            if sc != dc:
-                diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diffs}")
+            try:
+                sc = canon_frame(spd)
+                dc = canon_frame(dpd)
+            except UnhashableCell as e:
+                problems.append(f"driver-crash risk: unhashable cell ({e})")
+            else:
+                if sc != dc:
+                    diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                    problems.append(f"values differ, first diffs: {diffs}")
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             passes.append(name)
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"ok    {name}: {len(spd)} rows [{time.time()-t0:.1f}s]")
 
     print(
         f"\n{len(passes)} ok, {len(rows_only)} rows-only, {len(failures)} failed"
