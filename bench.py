@@ -60,6 +60,19 @@ BENCH_QUERIES = [
     "skew01_salted_agg",
 ]
 
+# Extended set: operators added AFTER the headline set froze (freezing
+# keeps the headline total comparable round-over-round; this second
+# metric makes regressions in newer code visible). Same measurement
+# protocol; reported as extra keys on the same JSON line.
+BENCH_EXTENDED = [
+    "sim08_hybrid_search",
+    "tx09_unigram_surprisal",
+    "tp10_curriculum_order",
+    "dq04_distribution_drift",
+    "tp08_source_mixture_sample",
+    "dd06_neardup_components",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,19 +97,24 @@ def main() -> None:
     # runs disagree by >1.5× the query gets ONE extra run — observed
     # host CPU-steal spikes inflate a full best-of-2 sweep ~2.5×, and
     # the adaptive third sample only costs time when noise is present.
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry.QUERIES[name]
-        samples = []
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            samples.append(time.time() - t0)
-        if max(samples) > 1.5 * min(samples):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            samples.append(time.time() - t0)
-        timings[name] = round(min(samples), 3)
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            if max(samples) > 1.5 * min(samples):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            timings[name] = round(min(samples), 3)
+        return timings
+
+    timings = run_set(BENCH_QUERIES)
+    extended = run_set(BENCH_EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -107,6 +125,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extended_metric": "extended_queries_total_runtime",
+                "extended_value": round(sum(extended.values()), 3),
+                "extended_queries": extended,
             }
         )
     )

@@ -278,14 +278,16 @@ def a28_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe goes through the JVM sketch class directly.
     """
     orders = load_table(spark, sf_dir, "orders")
-    blob = orders.agg(
-        F.expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42) AS cms")
-    ).collect()[0]["cms"]
-    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
-    keys = sorted(
-        r["o_orderpriority"] for r in orders.select("o_orderpriority").distinct().collect()
+    # ONE job computes the sketch AND the probe-key set (collect_set in
+    # the same aggregate) — no second scan for distinct keys.
+    agg = orders.agg(
+        F.expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").alias("cms"),
+        F.collect_set("o_orderpriority").alias("keys"),
+    ).collect()[0]
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg["cms"])
     )
-    rows = [(k, sketch.estimateCount(k)) for k in keys]
+    rows = [(k, sketch.estimateCount(k)) for k in sorted(agg["keys"])]
     return spark.createDataFrame(rows, "o_orderpriority string, est_count long")
 
 

@@ -57,6 +57,7 @@ def _import_operator_modules() -> None:
         extended,
         filters,
         joins,
+        monitoring,
         multimodal,
         olap,
         pipeline_ml,

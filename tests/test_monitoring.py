@@ -1,0 +1,63 @@
+"""Monitoring operators: rolling RANGE-frame semantics + snapshot shape."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_range_frame_is_calendar_not_row_count(spark):
+    """The load-bearing RANGE-vs-ROWS distinction in ts05: with a gap
+    in the series, the trailing frame is bounded by the CALENDAR window
+    (day_num distance), not by a count of observed rows."""
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 1, 20.0),
+        # days 2..30 missing entirely
+        ("a", 31, 40.0),  # 30-day frame reaches back to day 2 -> alone
+        ("a", 32, 60.0),  # frame covers days 3..32 -> {31, 32}
+    ]
+    df = spark.createDataFrame(rows, "event_type string, day_num int, day_value double")
+    w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-29, 0)
+    got = {
+        r["day_num"]: (r["n"], r["avg"])
+        for r in df.select(
+            "day_num",
+            F.count("*").over(w).alias("n"),
+            F.avg("day_value").over(w).alias("avg"),
+        ).collect()
+    }
+    assert got[1] == (2, 15.0)  # days 0,1 both inside
+    assert got[31] == (1, 40.0)  # day 1 is 30 days back -> outside
+    assert got[32] == (2, 50.0)  # days 31,32
+
+
+def test_ts06_day_strings_and_frame_cap(spark, sf_dir):
+    from chicago_business_owners_data_engineering_spark.operators.monitoring import (
+        ROLLING_DAYS,
+        ts06_rolling_30d_frame,
+    )
+
+    out = ts06_rolling_30d_frame(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    # day ships as an ISO string (driver dtype posture), frames bounded
+    for r in rows[:50]:
+        datetime.date.fromisoformat(r["day"])
+        assert 1 <= r["days_in_frame"] <= ROLLING_DAYS
+        assert r["events_30d"] >= 1
+
+
+def test_mon01_snapshot_longform_gauges(spark, sf_dir):
+    from chicago_business_owners_data_engineering_spark.operators.monitoring import (
+        mon01_metrics_snapshot,
+    )
+
+    snap = {r["metric"]: r["value"] for r in mon01_metrics_snapshot(spark, sf_dir).collect()}
+    orders_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert snap["orders_rows"] == float(orders_n)
+    assert 0.0 <= snap["events_null_props_frac"] <= 1.0
+    # freshness is a real 2024 epoch instant
+    assert 1.7e9 < snap["events_freshness_epoch_s"] < 1.8e9

@@ -48,14 +48,14 @@ EXPECTED_GLOBAL_WINDOW = {
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
-    "dd06_neardup_components",   # brute-force edge baseline (LSH at scale)
+    # dd06/dd07 now run on MinHash-LSH edges (r3) — any cartesian there
+    # is a regression, so they are deliberately NOT allow-listed.
     "sim01_bruteforce_topk",     # brute-force oracle baseline
     "sim02_near_dup_vectors",    # brute-force oracle baseline
     "j06_scalar_subquery_argmax",  # 1-row aggregate broadcast
     "sim03_ivf_topk",            # 1-row query vector broadcast onto centroids/cells
     "sim07_batch_topk",          # N-row query batch broadcast onto the corpus scan
     "q11_important_stock",       # 1-row threshold aggregate broadcast (Q11 HAVING scalar)
-    "dd07_canonical_docs",       # brute-force edge baseline shared with dd06
     "tx09_unigram_surprisal",    # 1-row corpus-total broadcast into the scoring join
     "sim08_hybrid_search",       # 1-row query vector broadcast onto the doc⋈vector scan
     "tp10_curriculum_order",     # 1-row corpus-total broadcast (shares tx09's scoring shape)
