@@ -35,6 +35,10 @@ NUM_HASHES = 16  # minhash signature length
 BAND_SIZE = 4  # rows per LSH band → 4 bands
 SHINGLE_N = 3  # words per shingle
 
+# Bounded cache registry for minhash_lsh_pairs' per-doc relation (at
+# most one persisted DataFrame live; see the unpersist note there).
+_PERSISTED_PER_DOC: list[DataFrame] = []
+
 
 def _word_set(text: Column) -> Column:
     return F.array_sort(F.array_distinct(F.split(F.lower(text), " ")))
@@ -198,11 +202,20 @@ def minhash_lsh_pairs(
         "th", F.xxhash64("token")
     )
     sig_aggs = [F.min(F.xxhash64("th", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+    # Release the PREVIOUS call's cache before pinning a new one: four
+    # call paths (dd04, dd06, dd07, pipeline dedup_near) plus repeated
+    # bench/harness sweeps would otherwise each leak a persisted
+    # DataFrame for the session lifetime. Calls are sequential in every
+    # consumer, so at most one cache is live at a time; an unpersisted
+    # plan that re-executes later just recomputes (correct, slower).
+    while _PERSISTED_PER_DOC:
+        _PERSISTED_PER_DOC.pop().unpersist()
     per_doc = (
         tokens.groupBy(id_col)
         .agg(*sig_aggs, F.collect_set("th").alias("hset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED_PER_DOC.append(per_doc)
     sigs = per_doc
 
     n_bands = num_hashes // band_size
@@ -397,6 +410,16 @@ def neardup_edges(
     candidates are then verified with EXACT Jaccard, band tuning only
     affects recall, never precision. ``use_lsh=False`` is the O(n²)
     brute-force twin (the oracle's definition), kept for recall audits.
+
+    Honest caveat on the differential check: dd06/dd07's oracle derives
+    edges from the EXACT all-pairs definition, so its green status
+    proves the band parameters lose no component structure ON THE TEST
+    CORPORA (whose planted near-dups sit well above threshold) — it is
+    a recall measurement, not a theorem. A corpus with a borderline
+    ~0.5-Jaccard bridge edge can legitimately diverge with ~1%
+    probability per such edge; production deployments pick (bands,
+    rows) for their threshold and audit recall with the brute-force
+    twin on samples, exactly as done here.
     """
     if use_lsh:
         return minhash_lsh_pairs(

@@ -24,6 +24,22 @@ ROLLING_DAYS = 30
 _EPOCH_DAY0 = "2024-01-01"
 
 
+def epoch_seconds_ntz(col_name: str):
+    """Epoch seconds (fractional micros kept) of an NTZ timestamp column.
+
+    Field extraction, not unix_timestamp (session-TZ-dependent and
+    truncates to seconds) or unix_micros (LTZ-only). unix_date is
+    int32, so it is cast to long BEFORE the 86400 multiply — the bare
+    int product overflows (ANSI: throws) for dates >= 2038-01-19.
+    """
+    return (
+        F.unix_date(F.col(col_name).cast("date")).cast("long") * 86400
+        + F.hour(col_name) * 3600
+        + F.minute(col_name) * 60
+        + F.expr(f"date_part('SECOND', {col_name})")
+    )
+
+
 @query(
     "ts06_rolling_30d_frame",
     oracle=f"""
@@ -58,8 +74,11 @@ def ts06_rolling_30d_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame to 30 *observed* rows — the frame is defined by the calendar,
     so missing days shrink it. The window runs over the daily
     aggregate, never raw events (at 100 TB the daily grain is ~10^5
-    rows per key-year — window input stays post-aggregation), and both
-    the aggregate and the window share the event_type-keyed exchange.
+    rows per key-year — window input stays post-aggregation). The plan
+    carries two exchanges — (event_type, day) for the aggregate, then
+    event_type alone for the window (the coarser key does not satisfy
+    the finer partitioning; same posture as ts04) — but both move
+    daily-grain rows, never raw events.
     ``days_in_frame`` makes partial frames (series head) explicit so
     consumers can suppress alerts until the window fills.
     """
@@ -145,16 +164,8 @@ def mon01_metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         gauge(
             "events_freshness_epoch_s",
-            # TZ-independent epoch of an NTZ timestamp with micros kept:
-            # field extraction, not unix_timestamp (session-TZ-dependent,
-            # truncates to seconds) or unix_micros (LTZ-only).
             events.agg(F.max("ts").alias("mx")).select(
-                (
-                    F.unix_date(F.col("mx").cast("date")) * 86400
-                    + F.hour("mx") * 3600
-                    + F.minute("mx") * 60
-                    + F.expr("date_part('SECOND', mx)")
-                ).alias("value")
+                epoch_seconds_ntz("mx").alias("value")
             ),
         ),
         gauge(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass
 
@@ -183,7 +184,14 @@ class _WebhookStreamWriter(DataSourceStreamWriter):
             self._sweep_orphans()
             return
         publish_tmp = os.path.join(self.stage_dir, f"publish-{batchId}")
-        os.makedirs(publish_tmp, exist_ok=True)
+        # A leftover publish dir is a PRIOR attempt that crashed between
+        # gathering and the atomic rename; its task files belong to that
+        # dead attempt (this attempt's complete set is in `messages`).
+        # Reusing the dir would publish BOTH attempts' files — double
+        # delivery — so clear it first.
+        if os.path.isdir(publish_tmp):
+            shutil.rmtree(publish_tmp)
+        os.makedirs(publish_tmp)
         for m in messages:
             if m is None:
                 continue
@@ -202,12 +210,18 @@ class _WebhookStreamWriter(DataSourceStreamWriter):
         self._sweep_orphans()
 
     def _sweep_orphans(self):
+        # Removes stranded task files (tasks that died mid-write) AND
+        # stranded publish-* dirs (commit attempts that died before the
+        # atomic rename). Safe because micro-batches are serial per
+        # query: nothing else can be staging concurrently.
         if not os.path.isdir(self.stage_dir):
             return
         for name in os.listdir(self.stage_dir):
             p = os.path.join(self.stage_dir, name)
             if os.path.isfile(p):
                 os.remove(p)
+            elif os.path.isdir(p):
+                shutil.rmtree(p)
 
 
 class WebhookSinkDataSource(DataSource):

@@ -123,3 +123,31 @@ def test_webhook_commit_replay_idempotent(tmp_path):
     assert (published / "task-old.jsonl").read_text() == '{"event_id": 1}\n'
     assert os.listdir(writer.stage_dir) == []
     assert sorted(os.listdir(out)) == ["_staging", "batch-0"]
+
+
+def test_webhook_commit_discards_stale_publish_dir(tmp_path):
+    """Crash BETWEEN gathering and the atomic publish rename leaves a
+    stale publish-N dir holding the dead attempt's task files. The
+    replayed commit must publish ONLY its own attempt's files — reusing
+    the stale dir would double-deliver every row of the batch."""
+    from chicago_business_owners_data_engineering_spark.sources.python_datasource import (
+        _TaskFileCommit,
+        _WebhookStreamWriter,
+    )
+
+    out = tmp_path / "out"
+    writer = _WebhookStreamWriter({"path": str(out)})
+    stale = os.path.join(writer.stage_dir, "publish-3")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "task-dead.jsonl"), "w") as f:
+        f.write('{"event_id": 9}\n')
+
+    replay_tmp = os.path.join(writer.stage_dir, "task-new.jsonl")
+    with open(replay_tmp, "w") as f:
+        f.write('{"event_id": 9}\n')
+
+    writer.commit([_TaskFileCommit(tmp_path=replay_tmp, rows=1)], batchId=3)
+
+    published = out / "batch-3"
+    assert sorted(os.listdir(published)) == ["task-new.jsonl"]
+    assert os.listdir(writer.stage_dir) == []

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 
 def test_range_frame_is_calendar_not_row_count(spark):
-    """The load-bearing RANGE-vs-ROWS distinction in ts05: with a gap
+    """The load-bearing RANGE-vs-ROWS distinction in ts06: with a gap
     in the series, the trailing frame is bounded by the CALENDAR window
     (day_num distance), not by a count of observed rows."""
     rows = [
@@ -48,6 +48,22 @@ def test_ts06_day_strings_and_frame_cap(spark, sf_dir):
         datetime.date.fromisoformat(r["day"])
         assert 1 <= r["days_in_frame"] <= ROLLING_DAYS
         assert r["events_30d"] >= 1
+
+
+def test_epoch_seconds_survives_2038_and_keeps_micros(spark):
+    """unix_date is int32; without the long cast, day*86400 overflows
+    (ANSI mode: throws) for any timestamp from 2038-01-19 on."""
+    from chicago_business_owners_data_engineering_spark.operators.monitoring import (
+        epoch_seconds_ntz,
+    )
+
+    df = spark.createDataFrame(
+        [("2040-06-01 12:00:00.500123",), ("2024-01-31 00:37:12.194062",)],
+        "s string",
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    got = sorted(float(r[0]) for r in df.select(epoch_seconds_ntz("ts")).collect())
+    assert got[0] == 1706661432.194062  # micros preserved
+    assert got[1] == 2222164800.500123  # > 2^31: would overflow int32
 
 
 def test_mon01_snapshot_longform_gauges(spark, sf_dir):

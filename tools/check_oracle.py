@@ -108,8 +108,12 @@ def array_typed_cols(df: pd.DataFrame) -> list[str]:
     for c in df.columns:
         col = df[c]
         if col.dtype == object and len(col):
-            head = col.iloc[0]
-            if isinstance(head, (list, tuple, set, np.ndarray, dict)):
+            # first NON-NULL value: a null in row 0 must not hide an
+            # array-typed column from the driver-crash check
+            non_null = col.dropna()
+            if len(non_null) and isinstance(
+                non_null.iloc[0], (list, tuple, set, np.ndarray, dict)
+            ):
                 bad.append(c)
     return bad
 
