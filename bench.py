@@ -73,6 +73,16 @@ BENCH_EXTENDED = [
     "dd06_neardup_components",
 ]
 
+# Round-3 additions (same freezing rationale: each round's new
+# operators get their own comparable total).
+BENCH_R3 = [
+    "er01_blocked_fuzzy_pairs",
+    "er02_entity_clusters",
+    "inc01_incremental_rollup",
+    "bf01_bloom_join_prefilter",
+    "ml01_kmeans_lloyd",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,6 +125,7 @@ def main() -> None:
 
     timings = run_set(BENCH_QUERIES)
     extended = run_set(BENCH_EXTENDED)
+    r3 = run_set(BENCH_R3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -128,6 +139,9 @@ def main() -> None:
                 "extended_metric": "extended_queries_total_runtime",
                 "extended_value": round(sum(extended.values()), 3),
                 "extended_queries": extended,
+                "r3_metric": "round3_queries_total_runtime",
+                "r3_value": round(sum(r3.values()), 3),
+                "r3_queries": r3,
             }
         )
     )

@@ -1,0 +1,150 @@
+"""Distributed k-means over the embeddings table (beyond-reference, §2.11).
+
+Embedding-space clustering is the semantic-dedup / corpus-mapping
+primitive a training-data pipeline runs right after embedding: cluster,
+then sample per cluster (coverage) or drop near-empty clusters (noise).
+sim03's IVF index already builds one k-means-ish centroid pass; this
+module is the full iterative Lloyd's algorithm in its scale-correct
+dataflow form:
+
+- **Assignment is map-side only.** Centroids are k·d doubles — driver
+  material by definition (MLlib's KMeans does the same) — collected
+  once per iteration and re-broadcast as an array literal, so assigning
+  a vector is a per-row array_min over k distances: zero shuffle, no
+  matter how many billion rows the corpus has.
+- **The update step is one partial-agg shuffle.** Recomputing centroids
+  = explode (cluster, dim, value) and average per (cluster, dim) —
+  map-side combine reduces every partition to at most k·d rows before
+  the exchange, so the shuffle moves O(partitions · k · d), not O(rows).
+- Deterministic everywhere: init = the k lowest vec_ids, distance in
+  float64, argmin tiebreak on (distance, cluster_id) — bit-matched by
+  the DuckDB recursive-CTE-free oracle twin so the differential check
+  covers the whole two-iteration trajectory.
+
+Iterations are fixed (ITERATIONS=2) rather than convergence-tested so
+the oracle SQL can mirror the exact trajectory; the loop body is the
+same either way (components_from_pairs in dedup.py shows the
+fixpoint-loop variant of driver-coordinated iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+K = 8
+DIM = 64
+ITERATIONS = 2
+
+
+def _dist_sq(v: Column, c: Column) -> Column:
+    """Squared L2 distance between two array<double> columns (codegen)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-side cluster assignment against a broadcast centroid literal.
+
+    ``array_min`` over struct(dist, cid) picks the lexicographic min —
+    nearest centroid, ties to the lowest cluster id — inside
+    whole-stage codegen. sqrt is monotonic so squared distance orders
+    identically to the oracle's list_distance.
+    """
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda s: F.struct(_dist_sq(F.col("v"), s["c"]).alias("d"), s["cid"].alias("cid")),
+        )
+    )
+    return emb.select("vec_id", "v", best["cid"].alias("cluster"))
+
+
+def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """Update step: mean per (cluster, dim) → k·d rows → driver.
+
+    posexplode keeps the dim index; the groupBy has map-side combine so
+    the exchange carries at most partitions·k·d rows. The k·d result is
+    driver-sized by construction.
+    """
+    rows = (
+        assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["cx"]
+    return [
+        (cid, [dims[d] for d in range(DIM)]) for cid, dims in sorted(by_cluster.items())
+    ]
+
+
+@query(
+    "ml01_kmeans_lloyd",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {K})
+    ), d1 AS (
+        SELECT e.vec_id, c0.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c0.c), c0.cid) AS rn
+        FROM emb e CROSS JOIN cents0 c0
+    ), a1 AS (
+        SELECT vec_id, cid AS cluster FROM d1 WHERE rn = 1
+    ), expl AS (
+        SELECT a1.cluster AS cid, g.dim, e.v[g.dim + 1] AS x
+        FROM a1 JOIN emb e ON a1.vec_id = e.vec_id
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {DIM})) AS dim) g
+    ), cents1 AS (
+        SELECT cid, LIST(cx ORDER BY dim) AS c
+        FROM (SELECT cid, dim, AVG(x) AS cx FROM expl GROUP BY cid, dim)
+        GROUP BY cid
+    ), d2 AS (
+        SELECT e.vec_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c1.c), c1.cid) AS rn
+        FROM emb e CROSS JOIN cents1 c1
+    )
+    SELECT vec_id, cid AS cluster FROM d2 WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def ml01_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over embeddings; final assignment.
+
+    See the module docstring for the scale argument (map-side assign,
+    partial-agg update). The DuckDB oracle replays the identical
+    trajectory — same init, same float64 distances, same (dist, cid)
+    tiebreak — so the hash comparison certifies every assignment after
+    the second iteration, not just cluster counts.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    init_rows = emb.orderBy("vec_id").limit(K).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+    assigned = _assign(emb, centroids)
+    for _ in range(ITERATIONS - 1):
+        centroids = _recompute(assigned)
+        assigned = _assign(emb, centroids)
+    return assigned.select("vec_id", "cluster").orderBy("vec_id")

@@ -1,0 +1,208 @@
+"""Incremental aggregation maintenance + runtime join pre-filtering.
+
+Two scale patterns the reference approximates with hand-rolled SQL:
+
+- The warehouse maintains precomputed daily aggregate tables with
+  ``INSERT ... ON CONFLICT DO UPDATE`` re-runs over the whole staging
+  batch (cbddl/src/etl/pipeline.py:479-565). At 100 TB you cannot
+  recompute the gold table per batch; the production form keeps
+  **algebraic partial aggregates** (sum, count — mergeable state) and
+  folds only the new partition in: cost O(|gold| + |delta|), never
+  O(|history|). inc01 proves the merged result is bit-equal to a full
+  recompute — the invariant that makes incremental maintenance safe.
+
+- Selective dim-filtered joins ship the whole fact side into the join
+  shuffle even when few keys survive the dim filter. Engines inject
+  **runtime bloom filters** (Spark does this in AQE for some shapes);
+  bf01 builds the same structure explicitly from native aggregates —
+  xxhash64 bit positions OR-folded into an int64 bitmap — broadcasts
+  it, and pre-filters the fact scan before the exact join. False
+  positives are removed by the exact join, so the result is provably
+  identical to the unfiltered plan; the bloom only cuts shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Everything shipped on or after the cutoff is the "new" increment; the
+# base partials stand in for the persisted gold state.
+INC_CUTOFF = "2001-01-01"
+
+
+def _monthly_partials(lineitem: DataFrame) -> DataFrame:
+    """Mergeable per-month partial state: (sum_qty, sum_price, n_items).
+
+    Only algebraic aggregates — each is merged across increments by
+    SUM, and finalizers (avg) are computed at read time. This is the
+    same partial/merge split Spark's own HashAggregate does between its
+    partial and final modes, lifted to the storage layer.
+    """
+    return lineitem.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "inc01_incremental_rollup",
+    oracle=f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY ship_month
+    """,
+)
+def inc01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via mergeable partials.
+
+    The executed plan computes the base partials (shipdate < cutoff)
+    and the delta partials (>= cutoff) as separate aggregations — at
+    scale the base is a stored gold table and only the delta is scanned
+    — then merges by summing partial state and finalizes (avg =
+    sum/count). The oracle recomputes the rollup from the full history
+    in one pass; equality IS the incremental-maintenance invariant.
+    Counts stay BIGINT on both sides; avg is finalized with the same
+    ROUND on both engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+    base = _monthly_partials(lineitem.filter(F.col("l_shipdate") < cutoff))
+    delta = _monthly_partials(lineitem.filter(F.col("l_shipdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("ship_month")
+        .agg(
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("sum_price").alias("sum_price"),
+            F.sum("n_items").alias("n_items"),
+        )
+    )
+    return merged.select(
+        "ship_month",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        "n_items",
+        F.round(F.col("sum_price") / F.col("n_items"), 4).alias("avg_price"),
+    ).orderBy("ship_month")
+
+
+# Bloom sizing: ~3k urgent orders at sf0.01 scale with the date filter;
+# 64K bits / 3 probes keeps the false-positive rate ~1% and the whole
+# bitmap at 8 KB — broadcastable at any scale because it's O(bits), not
+# O(keys).
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Single-row (map<word_idx,bits>) bloom filter over a key column.
+
+    Native-aggregate construction: k seeded xxhash64 positions per key,
+    exploded, grouped into int64 words with BIT_OR — two tiny shuffles
+    over at most k·|keys| ints, then one map literal row. No UDF, no
+    driver-side loop over keys.
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(BLOOM_BITS))
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("p")
+    )
+    # F.shiftleft only takes a literal shift amount; call_function routes
+    # the column-valued shift through the same JVM expression.
+    word = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("long").alias("word_idx")).agg(
+        F.bit_or(word).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias("bloom")
+    )
+
+
+def bloom_probe(bloom_col: Column, key: Column) -> Column:
+    """True when every seeded hash position is set (candidate member)."""
+    checks = []
+    for i in range(BLOOM_HASHES):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+        word = F.coalesce(
+            F.element_at(bloom_col, (p / 64).cast("long")), F.lit(0).cast("long")
+        )
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+@query(
+    "bf01_bloom_join_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def bf01_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join accelerated by an explicit runtime bloom pre-filter.
+
+    Build a bloom over the urgent-recent order keys, broadcast the 8 KB
+    bitmap, drop ~97% of lineitem rows map-side BEFORE the exact semi
+    join, then aggregate. The exact join removes bloom false positives,
+    so output == the plain semi join (the oracle). At test scale the
+    key set itself is broadcastable and the bloom is redundant; at
+    100 TB the bitmap stays 8 KB while the key set does not, and the
+    map-side drop is what keeps the join shuffle small — same reasoning
+    as Spark's AQE runtime filters, made explicit and testable.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    ).select("o_orderkey")
+    bloom = bloom_build(keys, "o_orderkey")
+    candidates = (
+        lineitem.crossJoin(F.broadcast(bloom))
+        .filter(bloom_probe(F.col("bloom"), F.col("l_orderkey")))
+        .drop("bloom")
+    )
+    exact = candidates.join(
+        F.broadcast(keys),
+        candidates["l_orderkey"] == keys["o_orderkey"],
+        "left_semi",
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,175 @@
+"""Entity resolution / record linkage (beyond-reference, §2.11 family).
+
+The reference links records across datasets by an exact natural key
+(``Account Number`` joins Business Owners ↔ Business Licenses,
+readme.md:70-71,83) and dedups dimension rows on a composed name key
+(cbddl/src/etl/pipeline.py:344). Real catalogs rarely have clean keys —
+the production pattern is **blocked fuzzy matching**:
+
+1. BLOCK: partition candidates by cheap deterministic keys so the
+   quadratic comparison only runs inside small blocks (here: the product
+   noun + brand). At 100 TB this is the whole ballgame — one shuffle on
+   the block key, never an all-pairs cross join; cost is
+   Σ block_size², bounded by the blocking-key design.
+2. COMPARE: an edit-distance predicate inside each block
+   (``levenshtein`` is JVM whole-stage-codegen — no Python).
+3. CLUSTER: matched pairs are not transitive, so connected components
+   turn pairwise matches into entities (reusing the same min-label
+   propagation as near-dup dedup, dedup.py:components_from_pairs).
+4. SURVIVE: pick one canonical record per entity (cheapest listing),
+   a ``min_by`` hash aggregate.
+
+Oracle twins: DuckDB ``levenshtein`` + a recursive-CTE reachability for
+the component step (same proven pattern as dd06/dd07).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+from .dedup import components_from_pairs
+
+MAX_EDIT = 2
+
+
+def _blocked_pairs(part: DataFrame) -> DataFrame:
+    """Candidate pairs inside (product-noun, brand) blocks, scored.
+
+    The self-join key is the block key, so Spark plans one shuffle on
+    (noun, brand) and compares only within blocks. Edit distance 0
+    (identical names) is exact-dup territory (dd01's job); the fuzzy
+    band is 1..MAX_EDIT.
+    """
+    sides = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_retailprice",
+        F.element_at(F.split("p_name", " "), -1).alias("block_noun"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_noun") == F.col("b.block_noun"),
+                F.col("a.p_brand") == F.col("b.p_brand"),
+                F.col("a.p_partkey") < F.col("b.p_partkey"),
+            ],
+        )
+        .filter(dist.between(1, MAX_EDIT))
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "er01_blocked_fuzzy_pairs",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def er01_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match candidate pairs over the part catalog.
+
+    "Same brand, same product noun, near-identical name" — the classic
+    variant-listing detector. The block key keeps the comparison count
+    at Σ block², and the levenshtein predicate runs inside whole-stage
+    codegen; the plan is scan → one shuffle on the block key → SMJ →
+    filter. No cross join, no UDF.
+    """
+    return _blocked_pairs(load_table(spark, sf_dir, "part"))
+
+
+# Shared recursive-CTE oracle prefix: blocked fuzzy edges -> two-way
+# reachability -> min-label components. er02 composes survivorship on
+# top, guaranteeing both queries verify against the same match graph.
+_ER_COMPONENT_CTE = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+        FROM part a JOIN part b
+          ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+         AND a.p_brand = b.p_brand
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ), edges AS (
+        SELECT part_a AS src, part_b AS dst FROM pairs
+        UNION ALL
+        SELECT part_b, part_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON r.node = e.src
+    ), comp AS (
+        SELECT node AS p_partkey, MIN(r) AS entity_id FROM reach GROUP BY node
+    )
+"""
+
+
+@query(
+    "er02_entity_clusters",
+    oracle=_ER_COMPONENT_CTE
+    + """
+    , ranked AS (
+        SELECT c.p_partkey, c.entity_id, p.p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY c.entity_id
+                                  ORDER BY p.p_retailprice ASC, c.p_partkey ASC) AS rn
+        FROM comp c JOIN part p ON c.p_partkey = p.p_partkey
+    ), canon AS (
+        SELECT entity_id, p_partkey AS canonical_partkey FROM ranked WHERE rn = 1
+    )
+    SELECT r.p_partkey, r.entity_id, k.canonical_partkey,
+           r.p_partkey = k.canonical_partkey AS keep
+    FROM ranked r JOIN canon k ON r.entity_id = k.entity_id
+    ORDER BY r.p_partkey
+    """,
+)
+def er02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entities from matched pairs + cheapest-listing survivorship.
+
+    Connected components over er01's match graph (min-label
+    propagation, one shuffle per round, rounds = graph diameter), then
+    one canonical record per entity: lowest retail price, ties broken
+    by min partkey — a single ``min_by`` hash aggregate with map-side
+    combine, no per-entity sort.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pairs = _blocked_pairs(part).select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+    )
+    comp = components_from_pairs(pairs).select(
+        F.col("doc_id").alias("p_partkey"), F.col("component").alias("entity_id")
+    )
+    priced = comp.join(part.select("p_partkey", "p_retailprice"), "p_partkey")
+    canon = priced.groupBy("entity_id").agg(
+        F.min_by(
+            "p_partkey", F.struct(F.col("p_retailprice"), F.col("p_partkey"))
+        ).alias("canonical_partkey")
+    )
+    return (
+        priced.join(canon, "entity_id")
+        .select(
+            "p_partkey",
+            "entity_id",
+            "canonical_partkey",
+            (F.col("p_partkey") == F.col("canonical_partkey")).alias("keep"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -51,12 +51,15 @@ def _import_operator_modules() -> None:
     # Import for side effects: each module registers its queries.
     from .operators import (  # noqa: F401
         aggregates,
+        clustering,
         curation,
         dedup,
         diversity,
         extended,
         filters,
+        incremental,
         joins,
+        linkage,
         monitoring,
         multimodal,
         olap,

@@ -1,0 +1,195 @@
+"""Tests for entity resolution, incremental rollup, bloom pre-filter, k-means.
+
+Each asserts the operator's defining invariant (not just row counts):
+blocking soundness for er01/er02, merge-equals-recompute for inc01,
+no-false-negatives + exact-equality for bf01, and monotone inertia for
+ml01 — plus plan-shape checks for the scale claims in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chicago_business_owners_data_engineering_spark.catalog import load_table
+from chicago_business_owners_data_engineering_spark.operators.clustering import (
+    K,
+    _assign,
+    _recompute,
+)
+from chicago_business_owners_data_engineering_spark.operators.incremental import (
+    bf01_bloom_join_prefilter,
+    bloom_build,
+    bloom_probe,
+    inc01_incremental_rollup,
+)
+from chicago_business_owners_data_engineering_spark.operators.linkage import (
+    MAX_EDIT,
+    er01_blocked_fuzzy_pairs,
+    er02_entity_clusters,
+)
+
+
+def test_er01_blocking_soundness(spark, sf_dir):
+    pairs = er01_blocked_fuzzy_pairs(spark, sf_dir).collect()
+    assert pairs, "fuzzy-variant pairs expected in the synthetic catalog"
+    part = {
+        r["p_partkey"]: r
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    for r in pairs:
+        a, b = part[r["part_a"]], part[r["part_b"]]
+        assert a["p_brand"] == b["p_brand"]
+        assert a["p_name"].split()[-1] == b["p_name"].split()[-1]
+        assert 1 <= r["edit_dist"] <= MAX_EDIT
+        assert r["part_a"] < r["part_b"]
+
+
+def test_er01_plan_has_no_cartesian(spark, sf_dir):
+    plan = er01_blocked_fuzzy_pairs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er02_canonical_is_cheapest_in_entity(spark, sf_dir):
+    rows = er02_entity_clusters(spark, sf_dir).collect()
+    assert rows
+    price = {
+        r["p_partkey"]: r["p_retailprice"]
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    by_entity: dict[int, list] = {}
+    for r in rows:
+        by_entity.setdefault(r["entity_id"], []).append(r)
+    for members in by_entity.values():
+        canon = [r for r in members if r["keep"]]
+        assert len(canon) == 1
+        canon_key = canon[0]["p_partkey"]
+        assert all(r["canonical_partkey"] == canon_key for r in members)
+        best = min((price[r["p_partkey"]], r["p_partkey"]) for r in members)
+        assert (price[canon_key], canon_key) == best
+
+
+def test_inc01_merge_equals_full_recompute(spark, sf_dir):
+    merged = {r["ship_month"]: r for r in inc01_incremental_rollup(spark, sf_dir).collect()}
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    full = {
+        r["ship_month"]: r
+        for r in lineitem.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_items"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for m, r in merged.items():
+        assert r["n_items"] == full[m]["n_items"]
+        assert abs(r["sum_qty"] - full[m]["sum_qty"]) < 1e-6
+        assert abs(r["sum_price"] - full[m]["sum_price"]) < 1e-6
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = bloom_build(keys, "o_orderkey")
+    probed = (
+        keys.crossJoin(F.broadcast(bloom))
+        .filter(~bloom_probe(F.col("bloom"), F.col("o_orderkey")))
+        .count()
+    )
+    assert probed == 0, "a bloom filter must never reject a member"
+
+
+def test_bloom_prefilter_is_selective(spark, sf_dir):
+    """The bitmap must actually drop most non-matching fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    ).select("o_orderkey")
+    bloom = bloom_build(keys, "o_orderkey")
+    total = lineitem.count()
+    candidates = (
+        lineitem.crossJoin(F.broadcast(bloom))
+        .filter(bloom_probe(F.col("bloom"), F.col("l_orderkey")))
+        .count()
+    )
+    true_matches = lineitem.join(
+        keys, lineitem["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    ).count()
+    assert candidates >= true_matches
+    # false-positive overhead stays small relative to the rows dropped
+    assert candidates - true_matches < 0.05 * total
+
+
+def test_bf01_equals_plain_semi_join(spark, sf_dir):
+    via_bloom = {
+        r["l_returnflag"]: (r["n_items"], r["sum_qty"])
+        for r in bf01_bloom_join_prefilter(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    ).select("o_orderkey")
+    plain = {
+        r["l_returnflag"]: (r["n_items"], r["sum_qty"])
+        for r in lineitem.join(
+            keys, lineitem["l_orderkey"] == keys["o_orderkey"], "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert via_bloom == plain
+
+
+def _inertia(assigned, centroids):
+    cents = {cid: vec for cid, vec in centroids}
+    total = 0.0
+    for r in assigned.collect():
+        c = cents[r["cluster"]]
+        total += sum((x - y) ** 2 for x, y in zip(r["v"], c))
+    return total
+
+
+def test_ml01_lloyd_iteration_reduces_inertia(spark, sf_dir):
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    init_rows = emb.orderBy("vec_id").limit(K).collect()
+    cents0 = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+    a0 = _assign(emb, cents0)
+    cents1 = _recompute(a0)
+    a1 = _assign(emb, cents1)
+    # every cluster id is in range and all K get members on this data
+    clusters = {r["cluster"] for r in a1.collect()}
+    assert clusters <= set(range(K))
+    assert len(clusters) == K
+    # Lloyd's monotonicity: recomputed centroids never increase inertia
+    assert _inertia(a0, cents1) <= _inertia(a0, cents0) + 1e-9
+    assert _inertia(a1, cents1) <= _inertia(a0, cents1) + 1e-9
+
+
+def test_ml01_assignment_is_nearest_centroid(spark, sf_dir):
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    init_rows = emb.orderBy("vec_id").limit(K).collect()
+    cents = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+    sample = _assign(emb, cents).limit(20).collect()
+    for r in sample:
+        dists = [
+            (sum((x - y) ** 2 for x, y in zip(r["v"], vec)), cid) for cid, vec in cents
+        ]
+        assert min(dists)[1] == r["cluster"]
