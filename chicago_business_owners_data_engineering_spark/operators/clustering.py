@@ -72,7 +72,9 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
             lambda s: F.struct(_dist_sq(F.col("v"), s["c"]).alias("d"), s["cid"].alias("cid")),
         )
     )
-    return emb.select("vec_id", "v", best["cid"].alias("cluster"))
+    return emb.select(
+        "vec_id", "v", best["cid"].alias("cluster"), best["d"].alias("dist_sq")
+    )
 
 
 def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
@@ -96,9 +98,11 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     ]
 
 
-@query(
-    "ml01_kmeans_lloyd",
-    oracle=f"""
+# Shared DuckDB replay of the two-iteration trajectory: deterministic
+# init -> assign -> centroid update -> assign, with the final
+# assignment's distance kept in d2. ml01 and ml02 both compose on this
+# constant so they can never verify against different trajectories.
+_KMEANS_CTE = f"""
     WITH emb AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), cents0 AS (
@@ -120,11 +124,33 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
         FROM (SELECT cid, dim, AVG(x) AS cx FROM expl GROUP BY cid, dim)
         GROUP BY cid
     ), d2 AS (
-        SELECT e.vec_id, c1.cid,
+        SELECT e.vec_id, c1.cid, list_distance(e.v, c1.c) AS dist,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY list_distance(e.v, c1.c), c1.cid) AS rn
         FROM emb e CROSS JOIN cents1 c1
     )
+"""
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cluster, dist_sq) after ITERATIONS Lloyd rounds."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    init_rows = emb.orderBy("vec_id").limit(K).collect()
+    centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
+    assigned = _assign(emb, centroids)
+    for _ in range(ITERATIONS - 1):
+        centroids = _recompute(assigned)
+        assigned = _assign(emb, centroids)
+    return assigned
+
+
+@query(
+    "ml01_kmeans_lloyd",
+    oracle=_KMEANS_CTE
+    + """
     SELECT vec_id, cid AS cluster FROM d2 WHERE rn = 1 ORDER BY vec_id
     """,
 )
@@ -137,14 +163,54 @@ def ml01_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak — so the hash comparison certifies every assignment after
     the second iteration, not just cluster counts.
     """
-    embeddings = load_table(spark, sf_dir, "embeddings")
-    emb = embeddings.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    return kmeans_assignments(spark, sf_dir).select("vec_id", "cluster").orderBy("vec_id")
+
+
+# Representatives per cluster for ml02.
+REPS_PER_CLUSTER = 5
+
+
+@query(
+    "ml02_cluster_representatives",
+    oracle=_KMEANS_CTE
+    + f"""
+    , final AS (
+        SELECT vec_id, cid AS cluster, dist FROM d2 WHERE rn = 1
+    ), ranked AS (
+        SELECT cluster, vec_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY dist, vec_id) AS rep_rank
+        FROM final
     )
-    init_rows = emb.orderBy("vec_id").limit(K).collect()
-    centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
-    assigned = _assign(emb, centroids)
-    for _ in range(ITERATIONS - 1):
-        centroids = _recompute(assigned)
-        assigned = _assign(emb, centroids)
-    return assigned.select("vec_id", "cluster").orderBy("vec_id")
+    SELECT cluster, rep_rank, vec_id, ROUND(dist, 6) AS dist
+    FROM ranked WHERE rep_rank <= {REPS_PER_CLUSTER}
+    ORDER BY cluster, rep_rank
+    """,
+)
+def ml02_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster representative vectors: the m closest to each centroid.
+
+    The corpus-mapping step after clustering — each cluster is
+    summarized by its most central members (the "prototypes" a human
+    or a labeling model inspects). Top-m per group runs as a window
+    rank over the (tiny, map-side-computed) assignment relation; at
+    scale the partitionBy(cluster) shuffle moves one row per vector,
+    and the rank early-outs at m per cluster. Distance is rounded
+    identically on both engines: sqrt and the left-fold summation
+    order match DuckDB's list_distance bit-for-bit on this data.
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans_assignments(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy(F.sqrt("dist_sq"), F.col("vec_id"))
+    return (
+        assigned.withColumn("rep_rank", F.row_number().over(w))
+        .filter(F.col("rep_rank") <= REPS_PER_CLUSTER)
+        .select(
+            "cluster",
+            "rep_rank",
+            "vec_id",
+            F.round(F.sqrt("dist_sq"), 6).alias("dist"),
+        )
+        .orderBy("cluster", "rep_rank")
+    )

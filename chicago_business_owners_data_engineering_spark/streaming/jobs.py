@@ -597,3 +597,58 @@ class rocksdb_state:
                 self.spark.conf.unset(k)
             else:
                 self.spark.conf.set(k, old)
+
+
+def foreach_batch_incremental_rollup(gold_path: str):
+    """Streaming maintenance of a mergeable-partials gold table.
+
+    The streaming twin of inc01 (operators/incremental.py): each
+    micro-batch reduces to per-key partial aggregates (sum/count —
+    algebraic, mergeable state), which are merged into the stored gold
+    parquet with one groupBy over O(|gold| + |batch-partials|) rows —
+    the incremental form of the reference's per-batch agg-table rebuild
+    (cbddl/src/etl/pipeline.py:479-565).
+
+    Exactly-once under micro-batch replay via a batch-id ledger: SUM
+    merges are NOT naturally idempotent (replaying a batch would
+    double-count, unlike latest-wins upsert), so each epoch writes a
+    `_ledger/epoch=N` marker after its merge commits and a replayed
+    epoch that finds its marker is skipped — the same
+    publish-then-record protocol as the webhook sink
+    (sources/python_datasource.py).
+    """
+    import os
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(gold_path, "_ledger", f"epoch={epoch_id}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already merged, skip
+        spark = batch_df.sparkSession
+        partials = batch_df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        ).agg(
+            F.sum("value").alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        data_path = os.path.join(gold_path, "data")
+        try:
+            existing = spark.read.parquet(data_path)
+        except Exception:  # noqa: BLE001 — first batch, no gold yet
+            existing = None
+        merged = (
+            existing.unionByName(partials) if existing is not None else partials
+        )
+        merged = merged.groupBy("day", "event_type").agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("n_events").alias("n_events"),
+        )
+        tmp = data_path + f"._epoch_{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(data_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(marker, exist_ok=True)
+
+    return sink
