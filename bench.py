@@ -81,6 +81,8 @@ BENCH_R3 = [
     "inc01_incremental_rollup",
     "bf01_bloom_join_prefilter",
     "ml01_kmeans_lloyd",
+    "ml02_cluster_representatives",
+    "ml03_semantic_dedup",
 ]
 
 

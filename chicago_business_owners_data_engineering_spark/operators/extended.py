@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from .similarity import cosine
+# NOTE: .similarity is imported lazily where needed — a module-level
+# import would leave similarity partially initialized whenever
+# similarity itself is the first module imported (it pulls in registry,
+# which imports extended before similarity finishes).
 
 
 @query("a02_approx_distinct", oracle=None)  # HLL estimate is engine-specific → rows-only
@@ -207,6 +210,8 @@ def hyperplane_lsh_pairs(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    from .similarity import cosine
+
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         candidates.filter(cos >= threshold)

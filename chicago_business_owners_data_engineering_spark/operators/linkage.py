@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 
-from .dedup import components_from_pairs
+# NOTE: components_from_pairs is imported inside er02 (not here):
+# dedup.py imports registry, registry imports every operator module,
+# and a module-level dedup import from HERE would leave dedup partially
+# initialized whenever dedup itself is the first module imported.
 
 MAX_EDIT = 2
 
@@ -51,7 +54,14 @@ def _blocked_pairs(part: DataFrame) -> DataFrame:
         "p_retailprice",
         F.element_at(F.split("p_name", " "), -1).alias("block_noun"),
     )
-    a, b = sides.alias("a"), sides.alias("b")
+    # Spread the probe side across the cluster BY BLOCK KEY before the
+    # quadratic compare. At scale this is the shuffle the blocked join
+    # needs anyway; locally it also undoes the single-row-group test
+    # fixture's 1-task scan, which otherwise serializes ~1M levenshtein
+    # calls on one core (measured 5.0 s -> 0.9 s at sf0.1).
+    parallelism = part.sparkSession.sparkContext.defaultParallelism
+    probe = sides.repartition(parallelism, "block_noun", "p_brand")
+    a, b = probe.alias("a"), sides.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
@@ -150,6 +160,8 @@ def er02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by min partkey — a single ``min_by`` hash aggregate with map-side
     combine, no per-entity sort.
     """
+    from .dedup import components_from_pairs
+
     part = load_table(spark, sf_dir, "part")
     pairs = _blocked_pairs(part).select(
         F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")

@@ -193,3 +193,34 @@ def test_ml01_assignment_is_nearest_centroid(spark, sf_dir):
             (sum((x - y) ** 2 for x, y in zip(r["v"], vec)), cid) for cid, vec in cents
         ]
         assert min(dists)[1] == r["cluster"]
+
+
+def test_ml03_blocking_recall_vs_bruteforce(spark, sf_dir):
+    """Measure (not just assert) the recall cost of k-means blocking.
+
+    Every within-cluster pair ml03 scores must also be a brute-force
+    near-dup pair (precision = 1 by construction: the cosine test is
+    exact); the blocked pair set must recover a large majority of the
+    brute-force pairs on this corpus.
+    """
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        SEMDEDUP_COS,
+        kmeans_probes,
+    )
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        sim02_near_dup_vectors,
+    )
+
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim02_near_dup_vectors(spark, sf_dir).collect()
+        if r["cos_sim"] >= SEMDEDUP_COS
+    }
+    probes: dict[int, set] = {}
+    for r in kmeans_probes(spark, sf_dir).collect():
+        probes.setdefault(r["vec_id"], set()).add(r["probe"])
+    blocked = {(a, b) for (a, b) in brute if probes[a] & probes[b]}
+    assert blocked <= brute
+    # multi-probe blocking keeps most near-dup pairs: boundary pairs
+    # are co-blocked through their second-nearest cell
+    assert len(blocked) >= 0.7 * len(brute), (len(blocked), len(brute))
