@@ -56,3 +56,21 @@ def register_views(
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    For compute-heavy per-row pipelines (shingling, edit distance,
+    vector math) whose input is a SINGLE-row-group parquet fixture:
+    Spark can only split parquet at row-group boundaries, so the scan —
+    and every projection fused into it — runs as one task locally no
+    matter what maxPartitionBytes says. Spreading the raw rows first
+    costs one narrow shuffle of the (small) input and buys full-core
+    evaluation of the expensive expressions above it. On a production
+    table with many files/row groups this is a near-no-op (the scan is
+    already parallel), so the call is safe to leave in at scale; put it
+    BELOW the expensive projection — Spark does not push project
+    through a user repartition, which is exactly the point.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 
 NUM_HASHES = 16  # minhash signature length
@@ -161,14 +161,18 @@ def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signature(docs: DataFrame, id_col: str, set_col: str, num_hashes: int = NUM_HASHES) -> DataFrame:
     """Per-doc MinHash signature as ``num_hashes`` min-of-hash columns.
 
-    One explode of the token set and a single groupBy(id) computing all
-    signature slots as parallel min-aggregates — one shuffle total.
+    A pure projection — each slot is array_min over the seeded hash of
+    the token set, evaluated per row in whole-stage codegen with NO
+    shuffle (value-identical to the explode + groupBy(min) formulation,
+    which costs an O(docs·tokens) exchange).
     """
-    exploded = docs.select(id_col, F.explode(set_col).alias("token"))
-    sig_aggs = [
-        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col(set_col), lambda t: F.xxhash64(t, F.lit(i)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*sig_aggs)
+    return docs.select(id_col, *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -188,20 +192,30 @@ def minhash_lsh_pairs(
     self-join, whose size is controlled by the band collision
     probability s^band_size.
 
-    One explode + ONE groupBy(id) computes both the signature slots and
-    the hashed token set (``collect_set(xxhash64(token))``), so the
-    expensive tokenization runs exactly once; the per-doc result is
-    persisted (MEMORY_AND_DISK) because three downstream branches
-    (bands, verify-left, verify-right) reuse it. Verification
+    Signatures and the hashed token set are computed as a pure per-row
+    projection (array_min over transform — zero shuffle); the per-doc
+    result is persisted (MEMORY_AND_DISK) because three downstream
+    branches (bands, verify-left, verify-right) reuse it. Verification
     intersects long arrays, not strings — same Jaccard value (hashing
     is injective modulo 2^-64 collisions), far cheaper to shuffle.
     """
     from pyspark import StorageLevel
 
-    tokens = docs.select(id_col, F.explode(set_col).alias("token")).withColumn(
-        "th", F.xxhash64("token")
-    )
-    sig_aggs = [F.min(F.xxhash64("th", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+    # Signature computation is a PURE PROJECTION — no explode, no
+    # groupBy, no shuffle: each minhash slot is array_min over the
+    # hashed token set, evaluated per row inside whole-stage codegen.
+    # (Identical values to the explode+groupBy formulation: min over
+    # t∈set of xxhash64(xxhash64(t), i); the token set is already
+    # distinct.) At 100 TB this removes the one O(docs·tokens) shuffle
+    # the old plan had; the only exchanges left are the band bucket
+    # join and the candidate-verify joins.
+    hset = F.transform(F.col(set_col), lambda t: F.xxhash64(t))
+    sig_cols = [
+        F.array_min(F.transform(F.col("hset"), lambda h: F.xxhash64(h, F.lit(i)))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
     # Release the PREVIOUS call's cache before pinning a new one: four
     # call paths (dd04, dd06, dd07, pipeline dedup_near) plus repeated
     # bench/harness sweeps would otherwise each leak a persisted
@@ -211,8 +225,8 @@ def minhash_lsh_pairs(
     while _PERSISTED_PER_DOC:
         _PERSISTED_PER_DOC.pop().unpersist()
     per_doc = (
-        tokens.groupBy(id_col)
-        .agg(*sig_aggs, F.collect_set("th").alias("hset"))
+        docs.select(id_col, hset.alias("hset"))
+        .select(id_col, "hset", *sig_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _PERSISTED_PER_DOC.append(per_doc)
@@ -272,7 +286,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and makes the similarity meaningless. Shingles concentrate
     similarity on genuine near-copies.
     """
-    documents = load_table(spark, sf_dir, "documents")
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("shingles"))
     return minhash_lsh_pairs(docs, "doc_id", "shingles", threshold=0.5)
 
@@ -448,7 +462,7 @@ def neardup_components(
     come from MinHash-LSH by default (see neardup_edges); the component
     step is identical either way.
     """
-    documents = load_table(spark, sf_dir, "documents")
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
     pairs = neardup_edges(docs, "ws", threshold=0.5, use_lsh=use_lsh_edges)
     return components_from_pairs(pairs)
