@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 
 K = 8
@@ -134,7 +134,7 @@ _KMEANS_CTE = f"""
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cluster, dist_sq) after ITERATIONS Lloyd rounds."""
-    embeddings = load_table(spark, sf_dir, "embeddings")
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
     emb = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -229,7 +229,7 @@ N_PROBES = 2
 def kmeans_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, probe) — each vector exploded to its N_PROBES nearest
     final centroids, ordered by (distance, cid) like the assignment."""
-    embeddings = load_table(spark, sf_dir, "embeddings")
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
     emb = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )

@@ -296,33 +296,39 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document, computed natively.
 
     For each bit position: sum(+1/-1 votes of each token's hash bit) →
-    majority sign. Expressed as explode(tokens) + 64 conditional-sum
-    aggregates in ONE groupBy — a single shuffle, no UDF. Near-dup
-    lookup then buckets on fingerprint prefixes (hamming-ball probing);
-    here we return (doc_id, simhash, band16_0..3) prefix buckets.
+    majority sign. Computed as a pure per-row projection — each bit's
+    vote is an ``aggregate`` fold over the hashed token array, so the
+    whole fingerprint needs NO explode and NO shuffle (same values as
+    the explode + 64-conditional-sum groupBy, minus its O(docs·tokens)
+    exchange). Near-dup lookup then buckets on fingerprint prefixes
+    (hamming-ball probing); here we return (doc_id, simhash,
+    band16_0..3) prefix buckets.
     """
-    documents = load_table(spark, sf_dir, "documents")
-    tokens = documents.select(
-        "doc_id", F.explode(_word_set(F.col("text"))).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
-    tokens.createOrReplaceTempView("__dd05_tokens")
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    documents.createOrReplaceTempView("__dd05_docs")
 
     # One generated SQL statement instead of ~400 Column-builder calls:
-    # the py4j round-trips to assemble 64 vote aggregates + a 64-term
+    # the py4j round-trips to assemble 64 vote folds + a 64-term
     # bit-pack dominate wall time (~2 s driver-side) when built
     # column-by-column; Catalyst parses the equivalent SQL in ~ms.
     # Bit terms are disjoint, so `+` packs them (same as OR) and stays
-    # a flat, parser-friendly sum. 2*sum(bit)-count(*) > 0 is the
-    # majority vote without a branch per row.
-    votes = ", ".join(f"SUM((h >> {b}) & 1) AS s{b}" for b in range(64))
+    # a flat, parser-friendly sum. 2*sum(bit)-count > 0 is the majority
+    # vote without a branch per row.
+    votes = ", ".join(
+        f"aggregate(h, 0L, (a, x) -> a + (shiftright(x, {b}) & 1)) AS s{b}"
+        for b in range(64)
+    )
     pack = " + ".join(f"(CAST(2 * s{b} > n AS LONG) << {b})" for b in range(64))
     bands = ", ".join(f"(simhash >> {16 * i}) & 65535 AS band16_{i}" for i in range(4))
     return spark.sql(
         f"""
-        WITH votes AS (
-            SELECT doc_id, COUNT(*) AS n, {votes}
-            FROM __dd05_tokens GROUP BY doc_id
+        WITH hs AS (
+            SELECT doc_id,
+                   transform(array_distinct(split(lower(text), ' ')),
+                             t -> xxhash64(t)) AS h
+            FROM __dd05_docs
         ),
+        votes AS (SELECT doc_id, size(h) AS n, {votes} FROM hs),
         packed AS (SELECT doc_id, {pack} AS simhash FROM votes)
         SELECT doc_id, simhash, {bands} FROM packed
         """

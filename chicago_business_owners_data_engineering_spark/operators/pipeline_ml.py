@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 
 CHUNK_SIZE = 200
@@ -99,7 +99,7 @@ def tp02_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token-based chunking swaps substring for a slice of the tokenizer's
     output array; the plan shape is identical.
     """
-    documents = load_table(spark, sf_dir, "documents")
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
     n_chunks = (
         F.when(F.col("n_chars") <= CHUNK_SIZE, F.lit(1).cast("long"))
         .otherwise(F.ceil((F.col("n_chars") - CHUNK_SIZE) / CHUNK_STRIDE) + 1)
@@ -145,7 +145,7 @@ def tp03_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, not corpus size; partial aggregation collapses each
     partition's counts first.
     """
-    documents = load_table(spark, sf_dir, "documents")
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
     words = F.split(F.lower(F.col("text")), " ")
     sz = F.size(words)
     zipped = F.arrays_zip(F.slice(words, 1, sz - 1), F.slice(words, 2, sz - 1))
