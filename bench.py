@@ -83,6 +83,7 @@ BENCH_R3 = [
     "ml01_kmeans_lloyd",
     "ml02_cluster_representatives",
     "ml03_semantic_dedup",
+    "er03_entity_revenue",
 ]
 
 

@@ -185,3 +185,80 @@ def er02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "er03_entity_revenue",
+    oracle=_ER_COMPONENT_CTE
+    + """
+    , mapped AS (
+        SELECT l.l_partkey,
+               COALESCE(c.entity_id, l.l_partkey) AS entity_id,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev_cc
+        FROM lineitem l LEFT JOIN comp c ON l.l_partkey = c.p_partkey
+    ), rolled AS (
+        SELECT entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(rev_cc) AS BIGINT) AS revenue_cc,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_listings
+        FROM mapped GROUP BY entity_id
+    )
+    SELECT entity_id, n_items, revenue_cc, n_listings
+    FROM rolled
+    WHERE n_listings > 1
+    ORDER BY revenue_cc DESC, entity_id
+    LIMIT 20
+    """,
+)
+def er03_entity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact rollup at the RESOLVED-entity grain — why ER matters.
+
+    Revenue grouped by raw part key splits one real-world product
+    across its variant listings; grouping by er02's entity id reunites
+    them. Lineitem maps to entities through a broadcast of the (tiny)
+    component relation — unmatched parts are their own singleton
+    entity via coalesce — then one hash aggregate; the top spots go to
+    entities whose revenue was fragmented across >1 listing, exactly
+    the rows a raw-key rollup would understate. One broadcast join +
+    one shuffle on entity_id; the ER graph work is amortized across
+    every downstream rollup that reuses it.
+
+    Revenue is summed in integer cent-percent units (price cents ×
+    (100 − discount pct)) — float SUMs of this magnitude land on
+    ROUND boundaries and flip the last cent between engines depending
+    on summation order; integer money math is both the production
+    practice and bit-deterministic everywhere.
+    """
+    from .dedup import components_from_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = _blocked_pairs(part).select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+    )
+    comp = components_from_pairs(pairs).select(
+        F.col("doc_id").alias("p_partkey"), F.col("component").alias("entity_id")
+    )
+    rev_cc = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    mapped = (
+        lineitem.join(F.broadcast(comp), lineitem["l_partkey"] == comp["p_partkey"], "left")
+        .select(
+            "l_partkey",
+            F.coalesce("entity_id", "l_partkey").alias("entity_id"),
+            rev_cc.alias("rev_cc"),
+        )
+    )
+    return (
+        mapped.groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("rev_cc").alias("revenue_cc"),
+            F.countDistinct("l_partkey").alias("n_listings"),
+        )
+        .filter(F.col("n_listings") > 1)
+        .orderBy(F.desc("revenue_cc"), "entity_id")
+        .limit(20)
+    )
