@@ -309,35 +309,49 @@ def ml03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import components_from_pairs
 
-    # Repartition by probe cell: the within-cell self-join shuffles once
-    # on the blocking key (and locally undoes the 1-task fixture scan).
-    parallelism = spark.sparkContext.defaultParallelism
-    sides = kmeans_probes(spark, sf_dir).repartition(parallelism, "probe")
-    a, b = sides.alias("a"), sides.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+    # Normalize ONCE per (vector, probe) row — cosine then costs a
+    # single zip_with/aggregate fold per candidate pair instead of a
+    # dot plus two norm folds (3× less array work in the quadratic
+    # stage; identical pair set, the division merely moves before the
+    # sum).
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    sides = kmeans_probes(spark, sf_dir).select(
+        "vec_id",
+        "probe",
+        F.transform(F.col("v"), lambda x: x / norm).alias("vn"),
+    )
+    # Salt the self-join: with few large cells (small k, or a skewed
+    # corpus) joining on probe alone puts an entire cell's quadratic
+    # work in ONE task. Side a gets a deterministic salt; side b is
+    # replicated across all SALTS values, so each cell's pair grid
+    # splits into SALTS row-stripes that schedule independently —
+    # SALTS× the parallelism for a SALTS× replication of the (small)
+    # build side. This is the same salting recipe as skew02, applied
+    # to a blocked self-join.
+    SALTS = 8
+    a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
+    b = sides.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
+    ).alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.vn"), F.col("b.vn"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    norm_a = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("a.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    norm_b = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("b.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
     )
     pairs = (
         a.join(
             b,
             on=[
                 F.col("a.probe") == F.col("b.probe"),
+                F.col("a.salt") == F.col("b.salt"),
                 F.col("a.vec_id") < F.col("b.vec_id"),
             ],
         )
-        .filter((dot / (norm_a * norm_b)) >= SEMDEDUP_COS)
+        .filter(cos >= SEMDEDUP_COS)
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -494,6 +494,18 @@ def components_from_pairs(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def label_sum(df: DataFrame):
+        # Exact decimal sum — labels are node ids, so int64 sums could
+        # overflow on a petabyte graph; decimal(38,0) cannot.
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    # Convergence check without a labels⋈labels join: min-propagation
+    # labels are monotonically non-increasing, so the (exact) label sum
+    # is strictly smaller after any change — sum equality IS the
+    # fixpoint certificate, at the cost of one tiny aggregate per round
+    # over the already-checkpointed relation.
+    prev_sum = label_sum(labels)
     while True:
         nbr = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
@@ -504,15 +516,11 @@ def components_from_pairs(pairs: DataFrame) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

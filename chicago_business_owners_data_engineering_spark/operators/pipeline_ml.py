@@ -99,7 +99,7 @@ def tp02_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token-based chunking swaps substring for a slice of the tokenizer's
     output array; the plan shape is identical.
     """
-    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    documents = load_table(spark, sf_dir, "documents")
     n_chunks = (
         F.when(F.col("n_chars") <= CHUNK_SIZE, F.lit(1).cast("long"))
         .otherwise(F.ceil((F.col("n_chars") - CHUNK_SIZE) / CHUNK_STRIDE) + 1)

@@ -41,7 +41,7 @@ def a18_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UDTF-equivalent; the count shuffles on the word key whose
     cardinality is the vocabulary, not the corpus.
     """
-    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    documents = load_table(spark, sf_dir, "documents")
     words = documents.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     ).filter(F.length("word") >= 3)
@@ -107,7 +107,7 @@ def tx01_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cbddl/src/analytics/demographics_analyzer.py:103-137). Pure
     higher-order array functions — zero Python in the row path.
     """
-    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    documents = load_table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), " ")
     tokens = documents.select(
         "doc_id",
@@ -197,7 +197,7 @@ def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     so reordered near-copies collide — the cheap first pass before
     MinHash (see operators/dedup.py).
     """
-    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    documents = load_table(spark, sf_dir, "documents")
     canonical = F.array_join(
         F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
     )
