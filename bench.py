@@ -84,6 +84,7 @@ BENCH_R3 = [
     "ml02_cluster_representatives",
     "ml03_semantic_dedup",
     "er03_entity_revenue",
+    "sim09_pq_topk",
 ]
 
 

@@ -375,3 +375,162 @@ def sim08_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fused"), F.asc("doc_id"))
         .limit(HYBRID_K)
     )
+
+
+# --- sim09: product quantization (PQ) ANN -----------------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (PQ_M * PQ_DSUB = embedding dim)
+PQ_NCODES = 16  # codebook entries per subspace
+PQ_RERANK = 30  # ADC candidates re-ranked exactly
+
+
+def _sq_l2_mirror(a: Column, b: Column) -> Column:
+    """(sqrt(Σ(aᵢ-bᵢ)²))² — bit-identical to DuckDB's list_distance²,
+    which the oracle uses (same sequential fold, sqrt, square)."""
+    fold = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.pow(F.sqrt(fold), F.lit(2.0))
+
+
+@query(
+    "sim09_pq_topk",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT v AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID}
+    ), cbsrc AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+        FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {PQ_NCODES})
+    ), cb AS (
+        SELECT g.m, cbsrc.c,
+               cbsrc.v[g.m * {PQ_DSUB} + 1 : g.m * {PQ_DSUB} + {PQ_DSUB}] AS sub
+        FROM cbsrc CROSS JOIN (SELECT UNNEST(RANGE(0, {PQ_M})) AS m) g
+    ), lut AS (
+        SELECT cb.m, cb.c,
+               POWER(list_distance(
+                   q.qv[cb.m * {PQ_DSUB} + 1 : cb.m * {PQ_DSUB} + {PQ_DSUB}],
+                   cb.sub), 2) AS d
+        FROM cb CROSS JOIN q
+    ), enc AS (
+        SELECT e.vec_id, cb.m, cb.c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, cb.m
+                   ORDER BY POWER(list_distance(
+                       e.v[cb.m * {PQ_DSUB} + 1 : cb.m * {PQ_DSUB} + {PQ_DSUB}],
+                       cb.sub), 2), cb.c) AS rn
+        FROM emb e CROSS JOIN cb
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    ), codes AS (
+        SELECT vec_id, m, c FROM enc WHERE rn = 1
+    ), approx AS (
+        SELECT codes.vec_id, list_sum(LIST(lut.d ORDER BY codes.m)) AS ad
+        FROM codes JOIN lut ON codes.m = lut.m AND codes.c = lut.c
+        GROUP BY codes.vec_id
+    ), cand AS (
+        SELECT vec_id FROM approx ORDER BY ad, vec_id LIMIT {PQ_RERANK}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_distance(e.v, q.qv), 6) AS l2_dist
+    FROM emb e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY list_distance(e.v, q.qv), e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: PQ codes → ADC scan → exact re-rank.
+
+    The third ANN family next to IVF (sim03) and hyperplane LSH
+    (sim05), and the one that rules memory-bound regimes: each vector
+    compresses to M=8 4-bit-ish codes, and query scanning touches only
+    a per-query lookup table (ADC) instead of the raw floats.
+
+    Scale shape: codebooks are k·d driver material (collected once, as
+    MLlib does for k-means); encoding and the ADC score are pure
+    per-row projections against the broadcast codebook/LUT literals —
+    zero shuffle until the final TakeOrdered(RERANK), after which only
+    RERANK rows are re-ranked exactly. On a 100 TB corpus the encoded
+    table is ~64× smaller than the raw vectors and the ADC scan reads
+    only it; the exact re-rank touches RERANK raw vectors.
+
+    Determinism: codebook = subvectors of the NCODES lowest vec_ids;
+    every distance on both engines is computed as
+    (sqrt(sequential-fold))² so Spark and DuckDB produce bit-identical
+    doubles; all ranks tie-break on (value, id). The pytest measures
+    recall@k against sim01's exact scan.
+    """
+    import math
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = list(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0]["v"]
+    )
+    cb_rows = emb.orderBy("vec_id").limit(PQ_NCODES).collect()
+    # cb[m][c] = the c-th codebook subvector for subspace m
+    cb = [
+        [list(r["v"][m * PQ_DSUB : (m + 1) * PQ_DSUB]) for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+    # ADC lookup table, mirroring list_distance² bit-for-bit
+    lut = [
+        [
+            math.sqrt(
+                sum(
+                    (qv[m * PQ_DSUB + i] - cb[m][c][i]) ** 2
+                    for i in range(PQ_DSUB)
+                )
+            )
+            ** 2
+            for c in range(PQ_NCODES)
+        ]
+        for m in range(PQ_M)
+    ]
+
+    def code_col(m: int) -> Column:
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_l2_mirror(
+                        F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB),
+                        F.array(*[F.lit(x) for x in cb[m][c]]),
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(PQ_NCODES)
+            ]
+        )
+        return F.array_min(cands)["c"]
+
+    coded = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", "label", "v", *[code_col(m).alias(f"code{m}") for m in range(PQ_M)]
+    )
+    approx = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code{m}") + 1
+        )
+        approx = term if approx is None else approx + term
+    cand = coded.select("vec_id", "label", "v", approx.alias("ad")).orderBy(
+        "ad", "vec_id"
+    ).limit(PQ_RERANK)
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.select("vec_id", "label", exact.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("d", 6).alias("l2_dist"))
+    )

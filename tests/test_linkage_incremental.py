@@ -224,3 +224,44 @@ def test_ml03_blocking_recall_vs_bruteforce(spark, sf_dir):
     # multi-probe blocking keeps most near-dup pairs: boundary pairs
     # are co-blocked through their second-nearest cell
     assert len(blocked) >= 0.7 * len(brute), (len(blocked), len(brute))
+
+
+def test_sim09_pq_recall_vs_exact(spark, sf_dir):
+    """PQ+ADC+re-rank must recover most of the exact top-k."""
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        TOP_K,
+        sim01_bruteforce_topk,
+        sim09_pq_topk,
+    )
+
+    exact_ids = [r["vec_id"] for r in sim01_bruteforce_topk(spark, sf_dir).collect()]
+    # sim01 ranks by cosine, sim09 by L2 — compare against the L2 truth
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    from chicago_business_owners_data_engineering_spark.operators.similarity import QUERY_VEC_ID
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0]["v"]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    truth = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+        .collect()
+    ]
+    got = [r["vec_id"] for r in sim09_pq_topk(spark, sf_dir).collect()]
+    overlap = len(set(got) & set(truth))
+    assert overlap >= 0.5 * TOP_K, (overlap, got, truth)
+    assert len(got) == TOP_K
+    assert exact_ids  # sim01 sanity
