@@ -99,6 +99,28 @@ def run_curate_mode(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return {"mode": "curate", "funnel": funnel}
 
 
+def run_vector_mode(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    from .operators.similarity import QUERY_VEC_ID, TOP_K
+    from .plans.vector_pipeline import build_vector_index, query_vector_index
+
+    vec_out = os.path.join(out_dir, "vector")
+    card = build_vector_index(spark, sf_dir, vec_out)
+    from .catalog import load_table
+    from pyspark.sql import functions as F
+
+    qv = [
+        float(x)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.transform("embedding", lambda v: v.cast("double")).alias("v"))
+        .collect()[0]["v"]
+    ]
+    hits = query_vector_index(
+        spark, sf_dir, vec_out, card.pop("codebook"), qv, top_k=TOP_K
+    ).collect()
+    return {"mode": "vector", **card, "top1": hits[0]["vec_id"] if hits else None}
+
+
 def run_stream_mode(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     import duckdb
 
@@ -122,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument(
         "--mode",
-        choices=["ingestion", "analytics", "warehouse", "stream", "curate", "full"],
+        choices=["ingestion", "analytics", "warehouse", "stream", "curate", "vector", "full"],
         default="full",
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -143,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
         "warehouse": run_warehouse_mode,
         "stream": run_stream_mode,
         "curate": run_curate_mode,
+        "vector": run_vector_mode,
     }
     for mode in modes:
         results.append(runners[mode](spark, args.sf_dir, args.out))

@@ -1,0 +1,167 @@
+"""Staged vector pipeline: cluster → semantic dedup → PQ index → serve.
+
+The embedding-side twin of the curation pipeline
+(plans/curation_pipeline.py): where that one turns raw documents into a
+training corpus, this one turns raw embeddings into a servable
+similarity index, composing the round-3 clustering/ANN operators:
+
+1. CLUSTER   — two Lloyd rounds of k-means (operators/clustering.py);
+               the cluster map doubles as the dedup blocking function
+               and the IVF-style routing table.
+2. DEDUP     — SemDeDup-shaped semantic dedup: multi-probe within-cell
+               cosine pairs → components → min-vec_id survivor. Only
+               survivors are indexed (duplicate vectors waste index
+               space and skew retrieval).
+3. ENCODE    — PQ-encode survivors (operators/similarity.py sim09
+               machinery): 8 subspace codes against a deterministic
+               codebook; the stored index is (vec_id, label, cluster,
+               code0..7) — ~64× smaller than raw floats.
+4. SERVE     — top-k queries run as ADC lookup-table scans over the
+               stored index, then exact re-rank of the short candidate
+               list against the raw vectors of just those candidates.
+
+At scale each stage is one write: the index parquet is partitioned by
+cluster, so a query that routes to nprobe cells prunes the scan to
+nprobe/k of the index files (partition pruning on the cluster column).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread_scan
+from ..operators.clustering import kmeans_assignments, ml03_semantic_dedup
+from ..operators.similarity import (
+    PQ_DSUB,
+    PQ_M,
+    PQ_NCODES,
+    PQ_RERANK,
+    _sq_l2_mirror,
+)
+
+
+def build_vector_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Stages 1-3: cluster, dedup, PQ-encode, write the index. Returns
+    the build card (counts per stage + codebook)."""
+    emb = kmeans_assignments(spark, sf_dir)  # vec_id, v, cluster, dist_sq
+    n_raw = emb.count()
+
+    # one dedup pass, cached: the component loop is the expensive part
+    # and feeds both the drop list and the card's component count
+    dedup = ml03_semantic_dedup(spark, sf_dir).cache()
+    dropped = dedup.filter(~F.col("keep")).select("vec_id")
+    n_components = dedup.filter(F.col("keep")).count()
+    keep = emb.join(dropped, "vec_id", "left_anti")
+    n_kept = keep.count()
+
+    cb_rows = (
+        spread_scan(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .orderBy("vec_id")
+        .limit(PQ_NCODES)
+        .collect()
+    )
+    codebook = [
+        [list(r["v"][m * PQ_DSUB : (m + 1) * PQ_DSUB]) for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+
+    def code_col(m: int) -> Column:
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_l2_mirror(
+                        F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB),
+                        F.array(*[F.lit(x) for x in codebook[m][c]]),
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(PQ_NCODES)
+            ]
+        )
+        return F.array_min(cands)["c"]
+
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    index = keep.join(labels, "vec_id").select(
+        "vec_id",
+        "label",
+        "cluster",
+        *[code_col(m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    (
+        index.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(out_dir, "pq_index"))
+    )
+    n_indexed = spark.read.parquet(os.path.join(out_dir, "pq_index")).count()
+    dedup.unpersist()
+    return {
+        "raw_vectors": n_raw,
+        "survivors": n_kept,
+        "indexed": n_indexed,
+        "semantic_dropped": n_raw - n_kept,
+        "codebook": codebook,
+        "n_components": n_components,
+    }
+
+
+def query_vector_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    top_k: int = 10,
+) -> DataFrame:
+    """Stage 4: ADC scan over the stored index + exact re-rank.
+
+    The scan touches only (vec_id, code0..7) columns of the index
+    parquet; raw vectors are read ONLY for the RERANK candidates via a
+    broadcast semi join — at 100 TB that is the difference between
+    scanning the corpus and scanning a lookup table.
+    """
+    lut = [
+        [
+            math.sqrt(
+                sum(
+                    (query_vec[m * PQ_DSUB + i] - codebook[m][c][i]) ** 2
+                    for i in range(PQ_DSUB)
+                )
+            )
+            ** 2
+            for c in range(PQ_NCODES)
+        ]
+        for m in range(PQ_M)
+    ]
+    index = spark.read.parquet(os.path.join(out_dir, "pq_index"))
+    approx = None
+    for m in range(PQ_M):
+        term = F.element_at(F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code{m}") + 1)
+        approx = term if approx is None else approx + term
+    cand = (
+        index.select("vec_id", "label", approx.alias("ad"))
+        .orderBy("ad", "vec_id")
+        .limit(PQ_RERANK)
+    )
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.join(raw, "vec_id")
+        .select("vec_id", "label", exact.alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(top_k)
+    )

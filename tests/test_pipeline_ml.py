@@ -229,3 +229,65 @@ def test_a31_freq_items_superset_of_truly_frequent(spark, sf_dir):
             if r["count"] > 0.2 * n
         }
         assert exact <= found.get(col, set()), (col, exact, found)
+
+
+def test_vector_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Build the PQ index (cluster -> dedup -> encode) and serve a query.
+
+    Pins: index excludes exactly the semantic-dedup drops, partition
+    layout is by cluster, and the served top-k matches the exact scan
+    OVER THE INDEXED SET with >= 50% overlap (PQ recall bound).
+    """
+    from pyspark.sql import functions as F
+
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+    from chicago_business_owners_data_engineering_spark.plans.vector_pipeline import (
+        build_vector_index,
+        query_vector_index,
+    )
+
+    out = str(tmp_path / "vec")
+    card = build_vector_index(spark, sf_dir, out)
+    assert card["indexed"] == card["survivors"]
+    assert card["raw_vectors"] - card["semantic_dropped"] == card["survivors"]
+    # partitioned by cluster on disk
+    import os
+
+    parts = [d for d in os.listdir(os.path.join(out, "pq_index")) if d.startswith("cluster=")]
+    assert parts, "index must be cluster-partitioned"
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["v"]]
+    got = [
+        r["vec_id"]
+        for r in query_vector_index(spark, sf_dir, out, card["codebook"], qv, TOP_K).collect()
+    ]
+    assert len(got) == TOP_K
+
+    indexed_ids = {
+        r["vec_id"] for r in spark.read.parquet(os.path.join(out, "pq_index")).collect()
+    }
+    assert set(got) <= indexed_ids
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    truth = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id").isin(list(indexed_ids)))
+        .select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+        .collect()
+    ]
+    assert len(set(got) & set(truth)) >= 0.5 * TOP_K, (got, truth)
