@@ -602,3 +602,109 @@ def tp07_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_pct"),
         )
     )
+
+
+TOKENS_PER_BUCKET = 64  # length-bucket width in (whitespace) tokens
+WEIGHTED_PER_SOURCE = 25  # weighted sample size per source stratum
+
+
+@query(
+    "tp11_length_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               CAST(FLOOR(LEN(STRING_SPLIT(text, ' ')) * 1.0 / {TOKENS_PER_BUCKET}) AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(CEIL(SUM(n_tokens) * 1.0 / ((bucket + 1) * {TOKENS_PER_BUCKET})) AS BIGINT)
+               AS est_batches
+    FROM toks
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def tp11_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning over the document corpus.
+
+    Training loaders group sequences into length buckets so each batch
+    pads to its bucket's ceiling instead of the global max (padding
+    waste scales with intra-batch length variance). This is the
+    planning query: docs and token mass per bucket, plus the batch
+    count if every batch packs to the bucket ceiling — the numbers a
+    scheduler needs to size epochs. One scan + one groupBy on the
+    derived bucket key; token counting is whitespace ``size(split())``
+    in codegen (tx02's tokenizer tier discusses the BPE-regex upgrade).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    bucket = F.floor(n_tokens / TOKENS_PER_BUCKET)
+    ceiling = (bucket + 1) * TOKENS_PER_BUCKET
+    return (
+        documents.select(
+            bucket.alias("bucket"),
+            n_tokens.alias("n_tokens"),
+            ceiling.alias("ceil_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.ceil(F.sum("n_tokens") / F.first("ceil_tokens")).alias("est_batches"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "tp12_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   * 1.0 / n_chars AS priority
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, n_chars, priority,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY priority, doc_id) AS rn
+        FROM pri
+    )
+    SELECT source, doc_id, n_chars
+    FROM ranked WHERE rn <= {WEIGHTED_PER_SOURCE}
+    ORDER BY source, doc_id
+    """,
+)
+def tp12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample: k docs per source, longer
+    docs proportionally more likely.
+
+    Weighted mixture sampling without RNG: each doc's priority is a
+    key-derived uniform (md5, as tp01) divided by its weight (n_chars
+    here — any quality score works); taking the k lowest priorities
+    per stratum over-selects high-weight docs, stays reproducible
+    across runs/engines/partitionings, and is append-stable (a new doc
+    cannot change an existing doc's priority, only displace the
+    boundary). Division is IEEE-exact on both engines, so the ranks —
+    unlike a pow/log-based A-ES key, whose libm last-ulp differences
+    could flip near-ties — compare bit-identically. Same shuffle shape
+    as tp04: one window per stratum with rank ≤ k pruning.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    priority = u * F.lit(1.0) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(priority, F.col("doc_id"))
+    return (
+        documents.select("source", "doc_id", "n_chars", priority.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WEIGHTED_PER_SOURCE)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
