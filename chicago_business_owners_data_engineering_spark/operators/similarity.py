@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 
 QUERY_VEC_ID = 0  # fixed probe vector for deterministic top-k queries
@@ -465,7 +465,7 @@ def sim09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    embeddings = load_table(spark, sf_dir, "embeddings")
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
     emb = embeddings.select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
