@@ -165,3 +165,121 @@ def query_vector_index(
         .orderBy("l2_dist", "vec_id")
         .limit(top_k)
     )
+
+
+def foreach_batch_index_append(
+    out_dir: str,
+    codebook: list[list[list[float]]],
+    threshold_sq: float = 0.15,
+):
+    """Streaming stage 5: online index maintenance with SDC dedup.
+
+    New embedding batches are PQ-encoded and appended to the stored
+    index — UNLESS an already-indexed vector is within ``threshold_sq``
+    (squared L2) by symmetric distance computation (SDC): the distance
+    between two PQ codes is Σ_m table[m][c_a][c_b], where the 16×16
+    per-subspace tables are precomputed from the codebook alone. The
+    dedup check therefore reads ONLY the stored codes — never raw
+    vectors — which is what makes online dedup affordable at index
+    scale (the same reason serve-time scans use ADC). The default
+    threshold sits between quantization-identical duplicates (SDC = 0)
+    and this corpus's closest distinct pair (measured SDC 0.308;
+    5th-percentile nearest-other 0.45) — recalibrate per corpus.
+
+    Exactly-once under replay via the epoch-ledger protocol shared with
+    foreach_batch_incremental_rollup: appends are not idempotent, so an
+    epoch that finds its marker is skipped.
+    """
+    import math
+
+    # sdc[m][ca][cb] = squared L2 between codebook entries, mirroring
+    # the engine's (sqrt(Σ))² arithmetic
+    sdc = [
+        [
+            [
+                math.sqrt(
+                    sum(
+                        (codebook[m][ca][i] - codebook[m][cb][i]) ** 2
+                        for i in range(PQ_DSUB)
+                    )
+                )
+                ** 2
+                for cb in range(PQ_NCODES)
+            ]
+            for ca in range(PQ_NCODES)
+        ]
+        for m in range(PQ_M)
+    ]
+
+    def code_col(m: int) -> Column:
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_l2_mirror(
+                        F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB),
+                        F.array(*[F.lit(x) for x in codebook[m][c]]),
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(PQ_NCODES)
+            ]
+        )
+        return F.array_min(cands)["c"]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(out_dir, "_append_ledger", f"epoch={epoch_id}")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        new = batch_df.select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).select(
+            "vec_id",
+            "label",
+            *[code_col(m).alias(f"code{m}") for m in range(PQ_M)],
+        )
+        index_path = os.path.join(out_dir, "pq_index")
+        try:
+            existing = spark.read.parquet(index_path).select(
+                *[F.col(f"code{m}").alias(f"e{m}") for m in range(PQ_M)]
+            )
+        except Exception:  # noqa: BLE001 — no index yet: everything is novel
+            existing = None
+        if existing is not None:
+            # SDC distance new×existing via the precomputed tables —
+            # 3D literal indexed per subspace, summed in fixed order.
+            dist = None
+            for m in range(PQ_M):
+                table_m = F.array(
+                    *[
+                        F.array(*[F.lit(x) for x in sdc[m][ca]])
+                        for ca in range(PQ_NCODES)
+                    ]
+                )
+                term = F.element_at(
+                    F.element_at(table_m, F.col(f"code{m}") + 1),
+                    F.col(f"e{m}") + 1,
+                )
+                dist = term if dist is None else dist + term
+            dups = (
+                new.crossJoin(F.broadcast(existing))
+                .filter(dist < F.lit(threshold_sq))
+                .select("vec_id")
+                .distinct()
+            )
+            novel = new.join(dups, "vec_id", "left_anti")
+        else:
+            novel = new
+        # cluster column for partition parity with the batch-built index:
+        # nearest codebook-0 entry is NOT the cluster map, so streaming
+        # appends land under cluster=-1 partitions (segregated segment,
+        # compacted into proper cells by the next rebuild — the standard
+        # fresh-segment design of online ANN indexes).
+        novel.withColumn("cluster", F.lit(-1)).write.mode("append").partitionBy(
+            "cluster"
+        ).parquet(index_path)
+        os.makedirs(marker, exist_ok=True)
+
+    return sink
