@@ -85,6 +85,8 @@ BENCH_R3 = [
     "ml03_semantic_dedup",
     "er03_entity_revenue",
     "sim09_pq_topk",
+    "tp11_length_buckets",
+    "tp12_weighted_sample",
 ]
 
 
