@@ -396,6 +396,29 @@ def _sq_l2_mirror(a: Column, b: Column) -> Column:
     return F.pow(F.sqrt(fold), F.lit(2.0))
 
 
+
+def pq_code_col(codebook: list, m: int) -> Column:
+    """Nearest-codeword id for subspace ``m`` of the vector column ``v``.
+
+    One indexed ``transform`` over the 2-D codebook literal instead of
+    NCODES copies of the distance expression — same values (code ids
+    are list positions by construction), ~16× smaller expression tree,
+    which keeps analysis/codegen time flat as NCODES grows. Tiebreak:
+    array_min on struct(d, c) → lowest code id among equal distances.
+    """
+    cb_lit = F.array(
+        *[F.array(*[F.lit(x) for x in codebook[m][c]]) for c in range(len(codebook[m]))]
+    )
+    scored = F.transform(
+        cb_lit,
+        lambda c, i: F.struct(
+            _sq_l2_mirror(F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB), c).alias("d"),
+            i.alias("c"),
+        ),
+    )
+    return F.array_min(scored)["c"]
+
+
 @query(
     "sim09_pq_topk",
     oracle=f"""
@@ -493,23 +516,8 @@ def sim09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(PQ_M)
     ]
 
-    def code_col(m: int) -> Column:
-        cands = F.array(
-            *[
-                F.struct(
-                    _sq_l2_mirror(
-                        F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB),
-                        F.array(*[F.lit(x) for x in cb[m][c]]),
-                    ).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(PQ_NCODES)
-            ]
-        )
-        return F.array_min(cands)["c"]
-
     coded = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        "vec_id", "label", "v", *[code_col(m).alias(f"code{m}") for m in range(PQ_M)]
+        "vec_id", "label", "v", *[pq_code_col(cb, m).alias(f"code{m}") for m in range(PQ_M)]
     )
     approx = None
     for m in range(PQ_M):

@@ -40,7 +40,7 @@ from ..operators.similarity import (
     PQ_M,
     PQ_NCODES,
     PQ_RERANK,
-    _sq_l2_mirror,
+    pq_code_col,
 )
 
 
@@ -70,27 +70,12 @@ def build_vector_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         for m in range(PQ_M)
     ]
 
-    def code_col(m: int) -> Column:
-        cands = F.array(
-            *[
-                F.struct(
-                    _sq_l2_mirror(
-                        F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB),
-                        F.array(*[F.lit(x) for x in codebook[m][c]]),
-                    ).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(PQ_NCODES)
-            ]
-        )
-        return F.array_min(cands)["c"]
-
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     index = keep.join(labels, "vec_id").select(
         "vec_id",
         "label",
         "cluster",
-        *[code_col(m).alias(f"code{m}") for m in range(PQ_M)],
+        *[pq_code_col(codebook, m).alias(f"code{m}") for m in range(PQ_M)],
     )
     (
         index.repartition("cluster")
@@ -211,21 +196,6 @@ def foreach_batch_index_append(
         for m in range(PQ_M)
     ]
 
-    def code_col(m: int) -> Column:
-        cands = F.array(
-            *[
-                F.struct(
-                    _sq_l2_mirror(
-                        F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB),
-                        F.array(*[F.lit(x) for x in codebook[m][c]]),
-                    ).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(PQ_NCODES)
-            ]
-        )
-        return F.array_min(cands)["c"]
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         marker = os.path.join(out_dir, "_append_ledger", f"epoch={epoch_id}")
         if os.path.exists(marker):
@@ -238,7 +208,7 @@ def foreach_batch_index_append(
         ).select(
             "vec_id",
             "label",
-            *[code_col(m).alias(f"code{m}") for m in range(PQ_M)],
+            *[pq_code_col(codebook, m).alias(f"code{m}") for m in range(PQ_M)],
         )
         index_path = os.path.join(out_dir, "pq_index")
         try:
