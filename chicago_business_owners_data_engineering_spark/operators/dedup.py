@@ -335,38 +335,11 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared DuckDB oracle prefix for the near-dup component family:
-# shingle sets -> exact-Jaccard edges -> recursive-CTE reachability ->
-# min-label components. dd06 and dd07 BOTH compose their oracles from
-# this single constant so the two queries can never silently verify
-# against different similarity graphs.
-_DD06_COMPONENT_CTE = """
-    WITH RECURSIVE toks AS (
-        SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               CASE WHEN LEN(t) >= 3
-                    THEN LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
-                                        FOR i IN RANGE(1, LEN(t) - 1)])
-                    ELSE [LOWER(text)] END AS ws
-        FROM toks
-    ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
-              (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.5
-    ), edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ), reach(node, r) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.dst, r.r FROM reach r JOIN edges e ON r.node = e.src
-    ), comp AS (
-        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
-    )
-"""
+# Shared oracle prefix for the near-dup component family (dd06, dd07,
+# graph.dd08) — hosted in the registry-free shared_oracles module so
+# peer operator modules can import it at decoration time without
+# re-entering this module through the registry.
+from .shared_oracles import DD06_COMPONENT_CTE as _DD06_COMPONENT_CTE  # noqa: E402
 
 
 @query(
@@ -571,6 +544,107 @@ def dd07_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component",
             "canonical_doc_id",
             (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Span width for substring-level dedup: long enough that a shared span
+# implies copied text rather than a common phrase, short enough that
+# partially-copied docs still register (Lee et al. use 50 BPE tokens at
+# corpus scale; 6 words fits the synthetic corpus's 10-60-word docs).
+SPAN_W = 6
+
+
+def _token_spans(text: Column, w: int = SPAN_W) -> Column:
+    """All ``w``-word spans of a document, in position order.
+
+    Built by zipping ``w`` shifted slices of the word array (the
+    _shingle_set recipe — vectorized, ~10× faster than
+    transform-over-indices with element_at). Unlike shingles these are
+    NOT deduplicated: dd09 counts positions, so a span repeated inside
+    one document keeps its multiplicity. Docs under ``w`` words emit no
+    spans.
+    """
+    words = F.split(F.lower(text), " ")
+    n_spans = F.size(words) - F.lit(w - 1)
+    acc = F.slice(words, 1, n_spans)
+    for k in range(1, w):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, k + 1, n_spans),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(words) >= w, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@query(
+    "dd09_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+    ), spans AS (
+        SELECT doc_id,
+               UNNEST([ARRAY_TO_STRING(t[i:i+{SPAN_W - 1}], ' ')
+                       FOR i IN RANGE(1, LEN(t) - {SPAN_W - 2})]) AS span
+        FROM toks WHERE LEN(t) >= {SPAN_W}
+    ), dup AS (
+        SELECT span FROM spans GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(d.span) AS n_dup_spans,
+           ROUND(COUNT(d.span) * 1.0 / COUNT(*), 6) AS dup_frac
+    FROM spans s LEFT JOIN dup d ON s.span = d.span
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def dd09_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: token spans shared across documents.
+
+    The third granularity of the dedup ladder — document-level (dd01),
+    near-document (dd04-dd07), and this: EXACT w-token spans that occur
+    in two or more DISTINCT documents, per Lee et al.'s finding that
+    training corpora carry massive substring-level duplication that
+    document-level dedup never sees (boilerplate, licenses, quoted
+    chunks). Output is the per-document contamination profile: total
+    spans, spans whose text also appears elsewhere, and the duplicated
+    fraction — the score a curation pipeline thresholds or uses to
+    strip spans.
+
+    Scale shape (the suffix-array alternative's dataflow twin): one
+    explode to ~N_tokens span rows, one groupBy(span) with map-side
+    combine for the cross-doc count — the shuffle is keyed on span
+    content, the same Θ(corpus tokens) sort any substring-dedup method
+    pays — then a shuffle join back on span and a per-doc partial agg.
+    No pairwise comparisons anywhere, so cost is linear in corpus size
+    regardless of how many documents share a span. Within-doc repeats
+    keep their position multiplicity but only cross-doc occurrence
+    flags a span (COUNT(DISTINCT doc_id) >= 2 on both engines).
+    """
+    from ..catalog import spread_scan
+
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    spans = documents.select(
+        "doc_id", F.explode(_token_spans(F.col("text"))).alias("span")
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(1).alias("is_dup"))
+    )
+    return (
+        spans.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("is_dup").alias("n_dup_spans"),
+            F.round(F.count("is_dup") / F.count("*"), 6).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )

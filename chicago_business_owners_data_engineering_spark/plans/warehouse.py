@@ -410,6 +410,94 @@ def ups01_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wh03_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CASE WHEN o_orderkey % 83 = 0 THEN '9-STALE'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ), new AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_custkey <> n.o_custkey
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderpriority <> n.o_orderpriority
+    ORDER BY o_orderkey
+    """,
+)
+def wh03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: (key, insert|delete|update) between two
+    table versions.
+
+    The primitive behind incremental lake maintenance and audit
+    tooling: given yesterday's snapshot and today's, emit exactly the
+    changed keys. The two versions are derived deterministically from
+    ``orders`` (rows keyed %89 missing from old → inserts, %97 missing
+    from new → deletes, %83 carrying a stale ``o_orderpriority`` in
+    old → updates) so the DuckDB oracle replays the identical scenario.
+
+    Scale shape: ONE full-outer sort-merge join keyed on the primary
+    key — with both snapshots bucketed by PK (sources/lake.py S7's
+    bucketed writer) this is a co-located zero-shuffle merge; unchanged
+    rows are discarded map-side by the comparison filter, so only the
+    changed ~1-3%% of keys survive to the output. At 100-column width
+    production diffs compare one ``xxhash64(struct(*))`` row
+    fingerprint per side instead of N column predicates — same
+    decisions (collision odds 2⁻⁶⁴), a fraction of the compare cost;
+    the column form here keeps the oracle exact. The attribute columns
+    are NOT NULL in this schema, so plain ``<>`` is the full inequality
+    test (a nullable-column diff would use ``IS DISTINCT FROM`` /
+    ``eqNullSafe`` on both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = orders.filter(key % 89 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(key % 83 == 0, F.lit("9-STALE"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    new = orders.filter(key % 97 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    differs = (
+        (F.col("o.o_custkey") != F.col("n.o_custkey"))
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        | (F.col("o.o_orderpriority") != F.col("n.o_orderpriority"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+            .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("o.o_orderkey").isNull().alias("_ins"),
+            F.col("n.o_orderkey").isNull().alias("_del"),
+            differs.alias("_diff"),
+        )
+        .filter(F.col("_ins") | F.col("_del") | F.col("_diff"))
+        .select("o_orderkey", "change_type")
+        .orderBy("o_orderkey")
+    )
+
+
 def incremental_daily_agg(existing_agg: DataFrame, new_lines: DataFrame, new_orders: DataFrame) -> DataFrame:
     """Incrementally fold a new batch into the gold daily rollup.
 

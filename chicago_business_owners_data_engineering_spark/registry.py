@@ -57,6 +57,7 @@ def _import_operator_modules() -> None:
         diversity,
         extended,
         filters,
+        graph,
         incremental,
         joins,
         linkage,
