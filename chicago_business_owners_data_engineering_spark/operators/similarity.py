@@ -16,6 +16,7 @@ and norms are expressed with the native higher-order functions
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -529,6 +530,153 @@ def sim09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ad", "vec_id"
     ).limit(PQ_RERANK)
     q_lit = F.array(*[F.lit(x) for x in qv])
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.select("vec_id", "label", exact.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("d", 6).alias("l2_dist"))
+    )
+
+
+# --- sim10: optimized product quantization (OPQ) ----------------------------
+
+OPQ_SAMPLE = 1024  # deterministic driver-side training sample for the rotation
+
+
+def _opq_rotation(X):
+    """(mu, R) — centering vector and the OPQ-parametric rotation.
+
+    The parametric variant of Ge et al., "Optimized Product
+    Quantization" (CVPR 2013): eigendecompose the sample covariance,
+    then allocate principal components to the M subspaces so the
+    log-variance carried by each subspace is balanced (greedy
+    smallest-load-first over descending eigenvalues). Plain PQ
+    quantizes whatever variance happens to land in each dim-block;
+    after this rotation every subspace codebook covers a comparable
+    share of the corpus variance, which is where PQ loses recall on
+    anisotropic embeddings. ``x → R(x - mu)`` is an isometry, so every
+    pairwise L2 distance — and therefore the exact re-rank — is
+    unchanged.
+
+    Training is driver-side numpy over a bounded sample, the same
+    architecture as MLlib's KMeans/PCA: model parameters are driver
+    material; only their APPLICATION is distributed.
+    """
+    import math
+
+    import numpy as np
+
+    mu = X.mean(axis=0)
+    w, V = np.linalg.eigh(np.cov((X - mu).T))
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    buckets: list[list[int]] = [[] for _ in range(PQ_M)]
+    load = [0.0] * PQ_M
+    for j in range(len(w)):
+        open_m = [m for m in range(PQ_M) if len(buckets[m]) < PQ_DSUB]
+        m = min(open_m, key=lambda i: (load[i], i))
+        buckets[m].append(j)
+        load[m] += math.log(max(float(w[j]), 1e-12))
+    perm = [j for m in range(PQ_M) for j in buckets[m]]
+    return mu, V[:, perm].T  # rows orthonormal: rotated = R @ (x - mu)
+
+
+@query("sim10_opq_topk")
+def sim10_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN: learned rotation → PQ codes → ADC scan → exact re-rank.
+
+    sim09 with the quantizer optimized: an eigen-rotation balances
+    variance across the M subspaces before product quantization, so
+    codebooks stop wasting entries on low-variance blocks. Everything
+    downstream of the rotation is sim09's machinery (pq_code_col ADC,
+    TakeOrdered re-rank), and because the rotation is an isometry the
+    re-ranked distances are the ORIGINAL-space distances up to float
+    jitter — the output schema and semantics match sim09's exactly.
+
+    Scale shape: training touches a bounded driver-side sample
+    (OPQ_SAMPLE rows — at 100 TB a fixed-size deterministic sample, as
+    MLlib trains); the rotation applies as one Arrow-batched pandas UDF
+    doing a (batch × d)·(d × d) numpy matmul — the vectorized-Python
+    path, chosen over a 4096-literal codegen expression on purpose —
+    then encoding/ADC are per-row projections against broadcast
+    literals, zero shuffle until TakeOrdered(RERANK).
+
+    Rows-only by design: the eigendecomposition is not expressible in
+    portable SQL, so there is no DuckDB twin. The correctness evidence
+    is the pytest trio — rotation orthogonality, exact isometry of
+    distances, and recall@k against the exact scan at or above plain
+    PQ's (tests/test_linkage_incremental.py).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("raw"),
+    )
+    sample = emb.orderBy("vec_id").limit(OPQ_SAMPLE).collect()
+    X = np.array([list(r["raw"]) for r in sample], dtype=np.float64)
+    mu, R = _opq_rotation(X)
+    b_mu = spark.sparkContext.broadcast(mu)
+    b_rt = spark.sparkContext.broadcast(np.ascontiguousarray(R.T))
+
+    @pandas_udf("array<double>")
+    def rotate(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.values).astype(np.float64)
+        Y = (M - b_mu.value) @ b_rt.value
+        return pd.Series(list(Y))
+
+    rot = emb.select("vec_id", "label", rotate("raw").alias("v"))
+
+    by_id = {int(r["vec_id"]): np.array(r["raw"], dtype=np.float64) for r in sample}
+    qv = (by_id[QUERY_VEC_ID] - mu) @ R.T
+    cb_ids = sorted(by_id)[:PQ_NCODES]
+    cb_rot = (np.stack([by_id[i] for i in cb_ids]) - mu) @ R.T
+    cb = [
+        [list(map(float, cb_rot[c, m * PQ_DSUB : (m + 1) * PQ_DSUB])) for c in range(PQ_NCODES)]
+        for m in range(PQ_M)
+    ]
+    lut = [
+        [
+            float(
+                np.sqrt(
+                    sum(
+                        (qv[m * PQ_DSUB + i] - cb[m][c][i]) ** 2
+                        for i in range(PQ_DSUB)
+                    )
+                )
+                ** 2
+            )
+            for c in range(PQ_NCODES)
+        ]
+        for m in range(PQ_M)
+    ]
+
+    coded = rot.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id",
+        "label",
+        "v",
+        *[pq_code_col(cb, m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    approx = None
+    for m in range(PQ_M):
+        term = F.element_at(F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code{m}") + 1)
+        approx = term if approx is None else approx + term
+    cand = (
+        coded.select("vec_id", "label", "v", approx.alias("ad"))
+        .orderBy("ad", "vec_id")
+        .limit(PQ_RERANK)
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
     exact = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("v"), q_lit, lambda x, y: (x - y) * (x - y)),

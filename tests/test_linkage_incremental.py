@@ -265,3 +265,84 @@ def test_sim09_pq_recall_vs_exact(spark, sf_dir):
     assert overlap >= 0.5 * TOP_K, (overlap, got, truth)
     assert len(got) == TOP_K
     assert exact_ids  # sim01 sanity
+
+
+def test_sim10_opq_rotation_properties(spark, sf_dir):
+    """The learned rotation must be orthogonal, an exact isometry, and
+    allocate balanced variance to the subspaces."""
+    import numpy as np
+
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        PQ_DSUB,
+        PQ_M,
+        _opq_rotation,
+    )
+
+    rng = np.random.default_rng(3)
+    # Anisotropic sample: per-dim scales spanning ~6x, like real
+    # embedding spectra (and this corpus's 0.007-0.029 eigen spread).
+    X = rng.normal(size=(400, PQ_M * PQ_DSUB)) * np.linspace(0.5, 3.0, PQ_M * PQ_DSUB)
+    mu, R = _opq_rotation(X)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-10)
+    a, b = X[0], X[1]
+    ra, rb = R @ (a - mu), R @ (b - mu)
+    assert np.isclose(
+        np.linalg.norm(a - b), np.linalg.norm(ra - rb), rtol=1e-12
+    )
+    # Balanced allocation: the spread of per-subspace log-variance
+    # products must collapse relative to the unrotated dim-block split
+    # (here: orders of magnitude down to ~1 order).
+    def spread(M):
+        logs = [
+            np.log(M[:, m * PQ_DSUB : (m + 1) * PQ_DSUB].var(axis=0)).sum()
+            for m in range(PQ_M)
+        ]
+        return max(logs) - min(logs)
+
+    rotated, unrotated = spread((X - mu) @ R.T), spread(X)
+    assert rotated < unrotated / 4, (rotated, unrotated)
+    assert rotated < np.log(20), rotated
+
+
+def test_sim10_opq_recall_vs_exact_and_pq(spark, sf_dir):
+    """OPQ must recover most of the exact top-k, and not trail plain PQ
+    by more than noise (the rotation can only help on anisotropic data)."""
+    from pyspark.sql import functions as F
+
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        sim09_pq_topk,
+        sim10_opq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").collect()[0]["v"]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    truth = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+        .collect()
+    }
+    opq = [r["vec_id"] for r in sim10_opq_topk(spark, sf_dir).collect()]
+    pq = {r["vec_id"] for r in sim09_pq_topk(spark, sf_dir).collect()}
+    opq_overlap = len(set(opq) & truth)
+    pq_overlap = len(pq & truth)
+    assert len(opq) == TOP_K
+    assert opq_overlap >= 0.5 * TOP_K, (opq_overlap, opq, sorted(truth))
+    # Allow one-candidate noise: both are approximate, but the rotation
+    # should never cost meaningful recall.
+    assert opq_overlap >= pq_overlap - 1, (opq_overlap, pq_overlap)
