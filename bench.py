@@ -89,6 +89,16 @@ BENCH_R3 = [
     "tp12_weighted_sample",
 ]
 
+# Round-3 tail additions (post r3-group freeze).
+BENCH_R3B = [
+    "dd08_components_largestar",
+    "dd09_duplicate_spans",
+    "wh03_snapshot_diff",
+    "sim10_opq_topk",
+    "tp13_global_shuffle",
+    "inc02_incremental_components",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,6 +142,7 @@ def main() -> None:
     timings = run_set(BENCH_QUERIES)
     extended = run_set(BENCH_EXTENDED)
     r3 = run_set(BENCH_R3)
+    r3b = run_set(BENCH_R3B)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -148,6 +159,9 @@ def main() -> None:
                 "r3_metric": "round3_queries_total_runtime",
                 "r3_value": round(sum(r3.values()), 3),
                 "r3_queries": r3,
+                "r3b_metric": "round3_tail_queries_total_runtime",
+                "r3b_value": round(sum(r3b.values()), 3),
+                "r3b_queries": r3b,
             }
         )
     )

@@ -206,3 +206,94 @@ def bf01_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Oracle constant shared with the dd06/dd07/dd08 component family
+# (registry-free module — safe to import at decoration time).
+from .shared_oracles import DD06_COMPONENT_CTE  # noqa: E402
+
+
+@query(
+    "inc02_incremental_components",
+    oracle=DD06_COMPONENT_CTE
+    + """
+    SELECT doc_id, component, doc_id % 7 = 0 AS arrived_today
+    FROM comp ORDER BY doc_id
+    """,
+)
+def inc02_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: fold today's edges into
+    yesterday's labels via the quotient graph, never recompute.
+
+    The maintenance form of dd06/dd08 — the reason component-based
+    dedup/ER stays tractable as a DAILY job at 100 TB: yesterday's
+    (doc_id, component) labels are persisted state; today's new docs
+    contribute a delta edge set; and instead of re-running components
+    over the full corpus graph, each delta edge is mapped through
+    yesterday's labels (endpoint → its component root, identity for
+    unseen docs) and components run on that QUOTIENT graph — whose size
+    is O(|delta| + touched components), not O(|corpus|). Composing the
+    two label maps (doc → yesterday's root → quotient root) is exactly
+    the full recompute because component minima compose: the quotient
+    min over {base roots ∪ new docs} IS the merged component's global
+    min.
+
+    Executed here self-contained: the corpus splits deterministically
+    (doc_id % 7 == 0 = "arrived today"), the base labels are recomputed
+    from the old-doc edges (at scale: a read of yesterday's output),
+    and the delta path runs as in production. The LSH edge relation is
+    computed ONCE and partitioned into base/delta by filter — candidate
+    pairs are per-(band,bucket) so old-old pairs are identical whether
+    or not new docs exist, making the split exact, not approximate.
+    The DuckDB oracle is the FULL recompute over the brute-force
+    all-pairs graph; equality is the incremental-maintenance invariant
+    (inc01's, lifted from algebraic aggregates to graph state).
+    """
+    from ..catalog import load_table, spread_scan
+    from .dedup import _shingle_set, components_from_pairs, neardup_edges
+    from .graph import components_large_small_star
+
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    all_edges = neardup_edges(docs, "ws", threshold=0.5, use_lsh=True).localCheckpoint(
+        eager=True
+    )
+    a_new = F.col("doc_a") % 7 == 0
+    b_new = F.col("doc_b") % 7 == 0
+    base_edges = all_edges.filter(~a_new & ~b_new)
+    delta_edges = all_edges.filter(a_new | b_new)
+
+    base_labels = components_large_small_star(base_edges)
+    la = base_labels.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("ca"))
+    lb = base_labels.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("cb"))
+    quotient = (
+        delta_edges.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("ca", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("cb", F.col("doc_b")).alias("doc_b"),
+        )
+    )
+    # The quotient graph is delta-sized — the shallow propagation
+    # variant is the cheaper loop here (no log-round machinery needed).
+    q_labels = components_from_pairs(quotient).select(
+        F.col("doc_id").alias("mid"), F.col("component").alias("final")
+    )
+
+    universe = (
+        all_edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(all_edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    with_base = universe.join(base_labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("mid")
+    )
+    return (
+        with_base.join(q_labels, "mid", "left")
+        .select(
+            "doc_id",
+            F.coalesce("final", F.col("mid")).alias("component"),
+            (F.col("doc_id") % 7 == 0).alias("arrived_today"),
+        )
+        .orderBy("doc_id")
+    )

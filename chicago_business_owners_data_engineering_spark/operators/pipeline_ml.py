@@ -708,3 +708,71 @@ def tp12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+SHUFFLE_SHARDS = 16  # output shards for the training-order shuffle
+SHUFFLE_EPOCH = "e0"  # epoch salt: a new salt reshuffles the whole corpus
+
+
+@query(
+    "tp13_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(CONCAT('0x', SUBSTRING(
+                   MD5('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS k
+        FROM documents
+    )
+    SELECT CAST(k % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY k % {SHUFFLE_SHARDS}
+                              ORDER BY k, doc_id) AS position,
+           doc_id, source
+    FROM keyed
+    ORDER BY shard, position
+    """,
+)
+def tp13_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle: (shard, position) training order.
+
+    Training runs need the corpus in a uniformly random order that is
+    (a) identical across re-runs and engines, (b) reshuffleable per
+    epoch, and (c) independent of input partitioning. A key-derived
+    uniform (md5 over epoch-salted doc_id — tp01/tp12's portable-hash
+    idiom) gives all three without RNG state: shard = key mod S,
+    position = rank of key within the shard. Changing SHUFFLE_EPOCH
+    permutes everything; appending docs never moves an existing doc to
+    a different shard or changes relative order of old docs within a
+    shard (new docs interleave by key), so resumable loaders stay
+    valid.
+
+    Scale shape: the window is partitioned by shard — one hash
+    exchange into S partition groups, then a per-shard sort, which is
+    exactly the physical work ``repartition(S, shard) +
+    sortWithinPartitions(k)`` would do to WRITE the shards; there is no
+    global sort and no single-partition window anywhere. At 100 TB the
+    writer form streams each shard to its own file set and the
+    in-shard sort spills per executor.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    k = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = documents.select("doc_id", "source", k.alias("k"))
+    shard = (F.col("k") % SHUFFLE_SHARDS).alias("shard")
+    w = Window.partitionBy(F.col("k") % SHUFFLE_SHARDS).orderBy("k", "doc_id")
+    return (
+        keyed.select(
+            shard,
+            F.row_number().over(w).alias("position"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("shard", "position")
+    )

@@ -28,6 +28,10 @@ EXPECTED_PYTHON = {
     "u05_python_udtf",  # the UDTF demo IS the Python path, by design
     "mm06_resize_batch",  # mapInPandas resize stage — Python by design
     "tx10_blocklist_filter",  # broadcast-variable pandas-UDF demo — Python by design
+    # OPQ rotation — one Arrow-batched numpy matmul per batch, the
+    # documented vectorized-Python path (a 64×64 rotation as codegen
+    # literals would be a 4096-node expression tree)
+    "sim10_opq_topk",
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o04_pagination",
