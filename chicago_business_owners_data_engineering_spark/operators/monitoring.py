@@ -193,3 +193,88 @@ def mon01_metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@query(
+    "ts07_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1
+        FROM events
+    ), spine AS (
+        SELECT t.event_type, g.h AS hour_start
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                    FROM bounds) g
+    ), hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS observed_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour_start,
+           h.observed_cents IS NULL AS is_gap,
+           CAST(COALESCE(
+               LAST_VALUE(h.observed_cents IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS BIGINT) AS filled_cents
+    FROM spine s
+    LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour_start = h.hour_start
+    ORDER BY s.event_type, s.hour_start
+    """,
+)
+def ts07_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: dense hourly spine + forward-fill.
+
+    The missing-half of rollups like ts01: aggregation only emits hours
+    that HAVE events, but downstream consumers (dashboards, anomaly
+    detectors like dq03, feature pipelines) need a regular grid.
+    Construct the complete per-type hourly spine (``sequence`` between
+    the corpus's hour bounds, exploded, crossed with the event-type
+    dim), left-join the observed hourly sums, and carry the last
+    observation forward with ``last(ignorenulls)`` over an
+    unbounded-preceding frame; hours before the first observation fill
+    with 0. Hourly money sums use er03's integer-cent idiom so
+    cross-engine float summation order cannot flip a cent.
+
+    Scale shape: the spine is BOUNDED — hours-in-range × event types,
+    independent of event count — so its crossJoin is dim-sized by
+    construction, never data-sized; the real data touches one hash
+    aggregate (map-side partials) and one join keyed on (type, hour).
+    The forward-fill window partitions by event_type — parallel across
+    types; within one type the fill is inherently sequential in time,
+    and at finer grains production splits the frame per day and chains
+    the day-boundary carry (the same decomposition inc01 applies to
+    aggregates).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.sum(cents).alias("observed_cents"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_start")
+    )
+    spine = events.select("event_type").distinct().crossJoin(spine_hours)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("observed_cents").isNull().alias("is_gap"),
+            F.coalesce(
+                F.last("observed_cents", ignorenulls=True).over(w), F.lit(0)
+            ).alias("filled_cents"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
