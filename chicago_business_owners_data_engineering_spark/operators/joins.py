@@ -377,3 +377,89 @@ def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
+
+
+# SCD2 cutover date for the simulated dimension history (j11).
+SCD2_CUTOVER = "1996-01-01"
+
+
+@query(
+    "j11_scd2_point_in_time",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1992-01-01' AS valid_from,
+               TIMESTAMP '{SCD2_CUTOVER}' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN 'UPGRADED'
+                    ELSE c_mktsegment END AS segment,
+               TIMESTAMP '{SCD2_CUTOVER}' AS valid_from,
+               NULL AS valid_to
+        FROM customer
+    )
+    SELECT d.segment,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def j11_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join: each fact row meets the dimension
+    version that was valid AT ITS OWN timestamp.
+
+    The temporal-warehouse join w09's validity intervals exist for:
+    a slowly-changing dimension keeps one row per (key, version) with
+    [valid_from, valid_to) windows, and facts must join the historical
+    version, not the current one. The dimension history is simulated
+    deterministically (every customer re-segmented at the cutover,
+    every third one upgraded) so the DuckDB oracle replays it exactly.
+
+    Scale shape: the PRIMARY join condition is key equality
+    (custkey) — a plain broadcast/shuffle HASH join — with the interval
+    test applied as a residual filter on the few versions per key;
+    point-in-time joins only degrade to nested loops when written
+    WITHOUT the key equality. Version counts per key are small by the
+    nature of SCD2 (attribute-change events), so the residual scan per
+    probe is O(versions), and for version-heavy keys j08's as-of
+    ordering or j10's interval bucketing applies unchanged. The
+    half-open [from, to) convention makes every timestamp match EXACTLY
+    one version — the invariant that keeps the join multiplicity 1 and
+    makes the aggregate independent of version overlap bugs.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cutover = F.lit(SCD2_CUTOVER).cast("timestamp")
+    v1 = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        cutover.alias("valid_to"),
+    )
+    v2 = customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("UPGRADED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        cutover.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = orders.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy("segment", F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("segment", "order_year")
+    )
