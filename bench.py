@@ -97,6 +97,8 @@ BENCH_R3B = [
     "sim10_opq_topk",
     "tp13_global_shuffle",
     "inc02_incremental_components",
+    "ts07_gap_fill",
+    "j11_scd2_point_in_time",
 ]
 
 

@@ -626,8 +626,6 @@ def dd09_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep their position multiplicity but only cross-doc occurrence
     flags a span (COUNT(DISTINCT doc_id) >= 2 on both engines).
     """
-    from ..catalog import spread_scan
-
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
     spans = documents.select(
         "doc_id", F.explode(_token_spans(F.col("text"))).alias("span")

@@ -420,6 +420,55 @@ def pq_code_col(codebook: list, m: int) -> Column:
     return F.array_min(scored)["c"]
 
 
+def _pq_adc_rerank(emb: DataFrame, cb: list, qv: list) -> DataFrame:
+    """Shared PQ tail for sim09/sim10: encode -> ADC scan -> exact re-rank.
+
+    ``emb`` carries (vec_id, label, v) in the space the codebook was
+    trained in (raw for sim09, rotated for sim10). Distances keep the
+    (sqrt(fold))^2 bit-mirror shape so sim09's DuckDB twin compares
+    bit-identically; for sim10 (rows-only) the extra sqrt/square costs
+    nothing beyond the last ulp.
+    """
+    import math
+
+    lut = [
+        [
+            math.sqrt(
+                sum((qv[m * PQ_DSUB + i] - cb[m][c][i]) ** 2 for i in range(PQ_DSUB))
+            )
+            ** 2
+            for c in range(PQ_NCODES)
+        ]
+        for m in range(PQ_M)
+    ]
+    coded = emb.select(
+        "vec_id", "label", "v", *[pq_code_col(cb, m).alias(f"code{m}") for m in range(PQ_M)]
+    )
+    approx = None
+    for m in range(PQ_M):
+        term = F.element_at(F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code{m}") + 1)
+        approx = term if approx is None else approx + term
+    cand = (
+        coded.select("vec_id", "label", "v", approx.alias("ad"))
+        .orderBy("ad", "vec_id")
+        .limit(PQ_RERANK)
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.select("vec_id", "label", exact.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("d", 6).alias("l2_dist"))
+    )
+
+
 @query(
     "sim09_pq_topk",
     oracle=f"""
@@ -487,8 +536,6 @@ def sim09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles; all ranks tie-break on (value, id). The pytest measures
     recall@k against sim01's exact scan.
     """
-    import math
-
     embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
     emb = embeddings.select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -502,47 +549,7 @@ def sim09_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [list(r["v"][m * PQ_DSUB : (m + 1) * PQ_DSUB]) for r in cb_rows]
         for m in range(PQ_M)
     ]
-    # ADC lookup table, mirroring list_distance² bit-for-bit
-    lut = [
-        [
-            math.sqrt(
-                sum(
-                    (qv[m * PQ_DSUB + i] - cb[m][c][i]) ** 2
-                    for i in range(PQ_DSUB)
-                )
-            )
-            ** 2
-            for c in range(PQ_NCODES)
-        ]
-        for m in range(PQ_M)
-    ]
-
-    coded = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        "vec_id", "label", "v", *[pq_code_col(cb, m).alias(f"code{m}") for m in range(PQ_M)]
-    )
-    approx = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code{m}") + 1
-        )
-        approx = term if approx is None else approx + term
-    cand = coded.select("vec_id", "label", "v", approx.alias("ad")).orderBy(
-        "ad", "vec_id"
-    ).limit(PQ_RERANK)
-    q_lit = F.array(*[F.lit(x) for x in qv])
-    exact = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), q_lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return (
-        cand.select("vec_id", "label", exact.alias("d"))
-        .orderBy("d", "vec_id")
-        .limit(TOP_K)
-        .select("vec_id", "label", F.round("d", 6).alias("l2_dist"))
-    )
+    return _pq_adc_rerank(emb.filter(F.col("vec_id") != QUERY_VEC_ID), cb, qv)
 
 
 # --- sim10: optimized product quantization (OPQ) ----------------------------
@@ -638,55 +645,11 @@ def sim10_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot = emb.select("vec_id", "label", rotate("raw").alias("v"))
 
     by_id = {int(r["vec_id"]): np.array(r["raw"], dtype=np.float64) for r in sample}
-    qv = (by_id[QUERY_VEC_ID] - mu) @ R.T
+    qv = [float(x) for x in (by_id[QUERY_VEC_ID] - mu) @ R.T]
     cb_ids = sorted(by_id)[:PQ_NCODES]
     cb_rot = (np.stack([by_id[i] for i in cb_ids]) - mu) @ R.T
     cb = [
         [list(map(float, cb_rot[c, m * PQ_DSUB : (m + 1) * PQ_DSUB])) for c in range(PQ_NCODES)]
         for m in range(PQ_M)
     ]
-    lut = [
-        [
-            float(
-                np.sqrt(
-                    sum(
-                        (qv[m * PQ_DSUB + i] - cb[m][c][i]) ** 2
-                        for i in range(PQ_DSUB)
-                    )
-                )
-                ** 2
-            )
-            for c in range(PQ_NCODES)
-        ]
-        for m in range(PQ_M)
-    ]
-
-    coded = rot.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        "vec_id",
-        "label",
-        "v",
-        *[pq_code_col(cb, m).alias(f"code{m}") for m in range(PQ_M)],
-    )
-    approx = None
-    for m in range(PQ_M):
-        term = F.element_at(F.array(*[F.lit(x) for x in lut[m]]), F.col(f"code{m}") + 1)
-        approx = term if approx is None else approx + term
-    cand = (
-        coded.select("vec_id", "label", "v", approx.alias("ad"))
-        .orderBy("ad", "vec_id")
-        .limit(PQ_RERANK)
-    )
-    q_lit = F.array(*[F.lit(float(x)) for x in qv])
-    exact = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("v"), q_lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return (
-        cand.select("vec_id", "label", exact.alias("d"))
-        .orderBy("d", "vec_id")
-        .limit(TOP_K)
-        .select("vec_id", "label", F.round("d", 6).alias("l2_dist"))
-    )
+    return _pq_adc_rerank(rot.filter(F.col("vec_id") != QUERY_VEC_ID), cb, qv)
