@@ -616,33 +616,46 @@ def dd09_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — the score a curation pipeline thresholds or uses to
     strip spans.
 
-    Scale shape (the suffix-array alternative's dataflow twin): one
-    explode to ~N_tokens span rows, one groupBy(span) with map-side
-    combine for the cross-doc count — the shuffle is keyed on span
-    content, the same Θ(corpus tokens) sort any substring-dedup method
-    pays — then a shuffle join back on span and a per-doc partial agg.
-    No pairwise comparisons anywhere, so cost is linear in corpus size
-    regardless of how many documents share a span. Within-doc repeats
-    keep their position multiplicity but only cross-doc occurrence
-    flags a span (COUNT(DISTINCT doc_id) >= 2 on both engines).
+    Scale shape (the suffix-array alternative's dataflow twin): ONE
+    scan/tokenize, one explode to ~N_tokens span rows, then a groupBy
+    to the (span, doc) grain with within-doc position counts — the
+    shuffle is keyed on span content, the same Θ(corpus tokens) sort
+    any substring-dedup method pays. The cross-doc occurrence count is
+    a window over the span partition AT THAT GRAIN (partition size =
+    docs sharing the span — tiny), which replaces the naive
+    dup-set-join formulation: no second tokenize scan, no span-keyed
+    join, and no reliance on the dup relation fitting a broadcast.
+    Then one per-doc partial agg. No pairwise comparisons anywhere, so
+    cost is linear in corpus size regardless of how many documents
+    share a span. Within-doc repeats keep their position multiplicity
+    but only cross-doc occurrence flags a span (COUNT(DISTINCT
+    doc_id) >= 2 on both engines).
     """
+    from pyspark.sql import Window
+
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
     spans = documents.select(
         "doc_id", F.explode(_token_spans(F.col("text"))).alias("span")
     )
-    dup = (
-        spans.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span", F.lit(1).alias("is_dup"))
+    # One span-keyed exchange serves BOTH the (span, doc) groupBy
+    # (subset clustering satisfies it) and the span window — without
+    # it Spark plans two back-to-back shuffles of nearly the same
+    # relation. Trade: the groupBy loses its map-side combine, but
+    # within-doc repeat spans are rare, so raw span rows ≈ combined
+    # rows and one shuffle beats two.
+    per_doc_span = (
+        spans.repartition("span").groupBy("span", "doc_id").agg(F.count("*").alias("npos"))
     )
+    # docs-per-span at the (span, doc) grain == COUNT(DISTINCT doc_id)
+    nd = F.count("*").over(Window.partitionBy("span"))
+    flagged = per_doc_span.withColumn("nd", nd)
+    dup_pos = F.sum(F.when(F.col("nd") >= 2, F.col("npos")).otherwise(F.lit(0)))
     return (
-        spans.join(dup, "span", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.count("is_dup").alias("n_dup_spans"),
-            F.round(F.count("is_dup") / F.count("*"), 6).alias("dup_frac"),
+            F.sum("npos").alias("n_spans"),
+            dup_pos.alias("n_dup_spans"),
+            F.round(dup_pos / F.sum("npos"), 6).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )
