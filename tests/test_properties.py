@@ -345,3 +345,60 @@ def test_mixture_sample_membership_is_pointwise(spark, ids):
         "keep"
     ]
     assert solo == batch[ids[0]]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 10_000), min_size=4, max_size=60, unique=True))
+def test_global_shuffle_append_stable(spark, ids):
+    """tp13's law: appending docs never moves an existing doc's shard
+    and never reorders existing docs WITHIN a shard (new docs only
+    interleave); and the (shard, position) grid is dense per shard."""
+    from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
+        SHUFFLE_EPOCH,
+        SHUFFLE_SHARDS,
+    )
+    from pyspark.sql import Window
+
+    ids = sorted(ids)
+    base, appended = ids[: len(ids) // 2], ids
+    if not base:
+        return
+
+    def order(data):
+        df = spark.createDataFrame([(i,) for i in data], "doc_id long")
+        k = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = Window.partitionBy(F.col("k") % SHUFFLE_SHARDS).orderBy("k", "doc_id")
+        return {
+            r["doc_id"]: (r["shard"], r["position"])
+            for r in df.select("doc_id", k.alias("k"))
+            .select(
+                "doc_id",
+                (F.col("k") % SHUFFLE_SHARDS).alias("shard"),
+                F.row_number().over(w).alias("position"),
+            )
+            .collect()
+        }
+
+    before, after = order(base), order(appended)
+    # shard never changes; within-shard relative order of old docs holds
+    for doc, (shard, _) in before.items():
+        assert after[doc][0] == shard
+    for shard in {s for s, _ in before.values()}:
+        olds = [d for d, (s, _) in before.items() if s == shard]
+        rank_before = sorted(olds, key=lambda d: before[d][1])
+        rank_after = sorted(olds, key=lambda d: after[d][1])
+        assert rank_before == rank_after
+    # positions are a dense 1..n grid per shard after append
+    by_shard: dict = {}
+    for d, (s, p) in after.items():
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
