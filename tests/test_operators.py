@@ -166,3 +166,30 @@ def test_map_value_counts_is_real_map(spark, sf_dir):
     )
     for r in flat:
         assert maps[r["o_orderpriority"]][r["o_orderstatus"]] == r["count"]
+
+
+def test_token_spans_window_semantics(spark):
+    """dd09's span generator: n-5 spans of exactly 6 words for an
+    n-word doc, consecutive spans overlapping by 5; short docs emit
+    nothing; within-doc repeats keep multiplicity."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        SPAN_W,
+        _token_spans,
+    )
+
+    words = [f"w{i}" for i in range(10)]
+    rep = ["a b c d e f a b c d e f"]  # 12 words, repeated 6-gram inside
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "too short"), (2, rep[0])], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in df.select("doc_id", _token_spans(F.col("text")).alias("spans")).collect()
+    }
+    assert len(got[0]) == 10 - SPAN_W + 1
+    for i, s in enumerate(got[0]):
+        toks = s.split(" ")
+        assert toks == words[i : i + SPAN_W]
+    assert got[1] == []
+    # the repeated doc emits "a b c d e f" twice (positions 0 and 6)
+    assert got[2].count("a b c d e f") == 2
