@@ -595,17 +595,83 @@ def _opq_rotation(X):
     return mu, V[:, perm].T  # rows orthonormal: rotated = R @ (x - mu)
 
 
+OPQ_REFINE_ITERS = 3  # alternating rotation/codebook refinement rounds
+OPQ_KMEANS_ITERS = 5  # Lloyd iterations per subspace per refinement round
+
+
+def _pq_train_numpy(Y):
+    """Per-subspace k-means codebooks + reconstruction of the rotated
+    sample ``Y``. Deterministic: init = the first NCODES rows' subvectors
+    (the sample is vec_id-ordered), argmin tiebreak = lowest code id."""
+    import numpy as np
+
+    cbs, Yhat = [], np.empty_like(Y)
+    for m in range(PQ_M):
+        sub = Y[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        C = sub[:PQ_NCODES].copy()
+        for _ in range(OPQ_KMEANS_ITERS):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_NCODES):
+                members = sub[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        Yhat[:, m * PQ_DSUB : (m + 1) * PQ_DSUB] = C[assign]
+        cbs.append([[float(x) for x in C[c]] for c in range(PQ_NCODES)])
+    return cbs, Yhat
+
+
+def _opq_train(X, iters: int = OPQ_REFINE_ITERS):
+    """(mu, R, codebooks, mse_history) — full non-parametric OPQ.
+
+    Ge et al.'s OPQ-NP: start from the parametric eigen-rotation
+    (_opq_rotation), then alternate (a) train per-subspace codebooks on
+    the rotated sample and (b) re-solve the rotation as the orthogonal
+    Procrustes problem against the reconstruction — R minimizing
+    ||Xc Rᵀ − Ŷ||_F is UVᵀ-composed from the SVD of XcᵀŶ. Each (a)
+    step holds R fixed and reduces quantization MSE; each (b) step
+    holds the codes fixed and reduces it again, so the sample MSE
+    trends monotonically down (the pytest pins first→last decrease).
+    All driver-side numpy over the bounded sample; the model that
+    leaves the driver is (mu, R, codebooks) — broadcast literals.
+    """
+    import numpy as np
+
+    mu, R = _opq_rotation(X)
+    Xc = X - mu
+    cbs, history = None, []
+    for _ in range(max(1, iters)):
+        Y = Xc @ R.T
+        cbs, Yhat = _pq_train_numpy(Y)
+        history.append(float(((Y - Yhat) ** 2).mean()))
+        U, _, Vt = np.linalg.svd(Xc.T @ Yhat)
+        R = (U @ Vt).T
+    # One final codebook fit in the FINAL rotation so (R, cbs) agree.
+    Y = Xc @ R.T
+    cbs, Yhat = _pq_train_numpy(Y)
+    history.append(float(((Y - Yhat) ** 2).mean()))
+    return mu, R, cbs, history
+
+
 @query("sim10_opq_topk")
 def sim10_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ ANN: learned rotation → PQ codes → ADC scan → exact re-rank.
+    """OPQ ANN: learned rotation + trained codebooks → ADC → re-rank.
 
-    sim09 with the quantizer optimized: an eigen-rotation balances
-    variance across the M subspaces before product quantization, so
-    codebooks stop wasting entries on low-variance blocks. Everything
-    downstream of the rotation is sim09's machinery (pq_code_col ADC,
-    TakeOrdered re-rank), and because the rotation is an isometry the
-    re-ranked distances are the ORIGINAL-space distances up to float
-    jitter — the output schema and semantics match sim09's exactly.
+    sim09 with the quantizer optimized end to end (Ge et al.'s OPQ-NP):
+    the parametric eigen-rotation seeds an alternating loop that trains
+    per-subspace k-means codebooks and re-solves the rotation by
+    orthogonal Procrustes against the reconstruction, driving the
+    sample quantization MSE down each round (see _opq_train). sim09
+    deliberately uses raw corpus rows as codewords so its DuckDB twin
+    can replay encoding in SQL; sim10 has no oracle, so it uses the
+    TRAINED codebooks — the quality configuration a production index
+    ships. Everything downstream is sim09's shared machinery
+    (pq_code_col ADC, TakeOrdered re-rank), and because the rotation is
+    an isometry the re-ranked distances are the ORIGINAL-space
+    distances up to float jitter — output schema and semantics match
+    sim09's exactly.
 
     Scale shape: training touches a bounded driver-side sample
     (OPQ_SAMPLE rows — at 100 TB a fixed-size deterministic sample, as
@@ -632,7 +698,7 @@ def sim10_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample = emb.orderBy("vec_id").limit(OPQ_SAMPLE).collect()
     X = np.array([list(r["raw"]) for r in sample], dtype=np.float64)
-    mu, R = _opq_rotation(X)
+    mu, R, cb, _history = _opq_train(X)
     b_mu = spark.sparkContext.broadcast(mu)
     b_rt = spark.sparkContext.broadcast(np.ascontiguousarray(R.T))
 
@@ -646,10 +712,4 @@ def sim10_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     by_id = {int(r["vec_id"]): np.array(r["raw"], dtype=np.float64) for r in sample}
     qv = [float(x) for x in (by_id[QUERY_VEC_ID] - mu) @ R.T]
-    cb_ids = sorted(by_id)[:PQ_NCODES]
-    cb_rot = (np.stack([by_id[i] for i in cb_ids]) - mu) @ R.T
-    cb = [
-        [list(map(float, cb_rot[c, m * PQ_DSUB : (m + 1) * PQ_DSUB])) for c in range(PQ_NCODES)]
-        for m in range(PQ_M)
-    ]
     return _pq_adc_rerank(rot.filter(F.col("vec_id") != QUERY_VEC_ID), cb, qv)
