@@ -99,6 +99,7 @@ BENCH_R3B = [
     "inc02_incremental_components",
     "ts07_gap_fill",
     "j11_scd2_point_in_time",
+    "dd10_span_dedup_apply",
 ]
 
 

@@ -566,18 +566,7 @@ def _token_spans(text: Column, w: int = SPAN_W) -> Column:
     one document keeps its multiplicity. Docs under ``w`` words emit no
     spans.
     """
-    words = F.split(F.lower(text), " ")
-    n_spans = F.size(words) - F.lit(w - 1)
-    acc = F.slice(words, 1, n_spans)
-    for k in range(1, w):
-        acc = F.zip_with(
-            acc,
-            F.slice(words, k + 1, n_spans),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.when(F.size(words) >= w, acc).otherwise(
-        F.array().cast("array<string>")
-    )
+    return _token_spans_from_words(F.split(F.lower(text), " "), w)
 
 
 @query(
@@ -658,4 +647,126 @@ def dd09_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup_pos / F.sum("npos"), 6).alias("dup_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dd10_span_dedup_apply",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+    ), occ AS (
+        SELECT doc_id, t,
+               UNNEST(RANGE(1, LEN(t) - {SPAN_W - 2})) AS pos
+        FROM toks WHERE LEN(t) >= {SPAN_W}
+    ), spans AS (
+        SELECT doc_id, pos,
+               ARRAY_TO_STRING(t[pos:pos + {SPAN_W - 1}], ' ') AS span
+        FROM occ
+    ), flagged AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY span) AS n_occ,
+               ROW_NUMBER() OVER (PARTITION BY span
+                                  ORDER BY doc_id, pos) AS rn
+        FROM spans
+    ), noncanon AS (
+        SELECT doc_id, pos FROM flagged WHERE n_occ >= 2 AND rn > 1
+    ), mask AS (
+        SELECT DISTINCT doc_id,
+               pos + UNNEST(RANGE(0, {SPAN_W})) AS tokpos
+        FROM noncanon
+    ), alltok AS (
+        SELECT doc_id, UNNEST(RANGE(1, LEN(t) + 1)) AS tokpos, t
+        FROM toks
+    ), kept AS (
+        SELECT a.doc_id, a.tokpos, a.t[a.tokpos] AS token
+        FROM alltok a LEFT JOIN mask m
+          ON a.doc_id = m.doc_id AND a.tokpos = m.tokpos
+        WHERE m.doc_id IS NULL
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+           STRING_AGG(token, ' ' ORDER BY tokpos) AS dedup_text
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dd10_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup APPLIED: strip every non-canonical occurrence of
+    a duplicated token span, keep the earliest.
+
+    dd09 profiles span duplication; this is the action (Lee et al.'s
+    deduplicate-training-data rewrite at token granularity): for every
+    span occurring ≥ 2 times in the corpus — within or across docs —
+    the earliest occurrence (lowest (doc_id, pos)) survives and all
+    other occurrences mark their token range for deletion; documents
+    are rebuilt from the surviving tokens. Overlapping duplicated spans
+    union their masks, so runs of copied text vanish as a block while
+    the canonical copy stays intact. Fully-duplicated documents rebuild
+    to nothing and drop out — document-level dedup as the degenerate
+    case of substring-level.
+
+    Scale shape: one span-keyed exchange computes BOTH the global
+    occurrence count and the canonical rank (two window functions over
+    the same partition — no self-join with a dup set); the deletion
+    mask explodes W rows per non-canonical occurrence (rare by
+    definition at healthy dup rates); the rebuild is one (doc, tokpos)
+    anti-join and a per-doc sort-aggregate. Everything is keyed on
+    span or doc — linear dataflow, no pairwise work, same Θ(corpus
+    tokens) span sort dd09 pays.
+    """
+    from pyspark.sql import Window
+
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.col("text")), " ")
+    toks = documents.select("doc_id", words.alias("t"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(_token_spans_from_words(F.col("t"))).alias("pos0", "span"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
+    wspan = Window.partitionBy("span")
+    flagged = spans.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(wspan).alias("n_occ"),
+        F.row_number()
+        .over(wspan.orderBy("doc_id", "pos"))
+        .alias("rn"),
+    )
+    noncanon = flagged.filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+    mask = noncanon.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_W - 1))).alias("tokpos"),
+    ).distinct()
+    alltok = toks.select(
+        "doc_id", F.posexplode(F.col("t")).alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).alias("tokpos"), "token")
+    kept = alltok.join(mask, ["doc_id", "tokpos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tokpos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _token_spans_from_words(words: Column, w: int = SPAN_W) -> Column:
+    """_token_spans over an already-split word array (shared split)."""
+    n_spans = F.size(words) - F.lit(w - 1)
+    acc = F.slice(words, 1, n_spans)
+    for k in range(1, w):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, k + 1, n_spans),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(words) >= w, acc).otherwise(
+        F.array().cast("array<string>")
     )
