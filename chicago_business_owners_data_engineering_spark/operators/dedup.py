@@ -714,28 +714,40 @@ def dd10_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     span or doc — linear dataflow, no pairwise work, same Θ(corpus
     tokens) span sort dd09 pays.
     """
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    return span_dedup_apply(documents).orderBy("doc_id")
+
+
+def span_dedup_apply(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = SPAN_W
+) -> DataFrame:
+    """Library form of dd10 over any (id, text) relation.
+
+    Returns (id, n_tokens_kept, dedup_text); rows whose every token is
+    masked (fully-duplicated documents) are absent. See
+    dd10_span_dedup_apply for semantics and the scale argument.
+    """
     from pyspark.sql import Window
 
-    documents = spread_scan(load_table(spark, sf_dir, "documents"))
-    words = F.split(F.lower(F.col("text")), " ")
-    toks = documents.select("doc_id", words.alias("t"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("t"),
+    )
     spans = toks.select(
         "doc_id",
-        F.posexplode(_token_spans_from_words(F.col("t"))).alias("pos0", "span"),
+        F.posexplode(_token_spans_from_words(F.col("t"), w)).alias("pos0", "span"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
     wspan = Window.partitionBy("span")
     flagged = spans.select(
         "doc_id",
         "pos",
         F.count("*").over(wspan).alias("n_occ"),
-        F.row_number()
-        .over(wspan.orderBy("doc_id", "pos"))
-        .alias("rn"),
+        F.row_number().over(wspan.orderBy("doc_id", "pos")).alias("rn"),
     )
     noncanon = flagged.filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
     mask = noncanon.select(
         "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (SPAN_W - 1))).alias("tokpos"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("tokpos"),
     ).distinct()
     alltok = toks.select(
         "doc_id", F.posexplode(F.col("t")).alias("p0", "token")
@@ -753,7 +765,7 @@ def dd10_span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("dedup_text"),
         )
-        .orderBy("doc_id")
+        .withColumnRenamed("doc_id", id_col)
     )
 
 

@@ -193,3 +193,35 @@ def test_token_spans_window_semantics(spark):
     assert got[1] == []
     # the repeated doc emits "a b c d e f" twice (positions 0 and 6)
     assert got[2].count("a b c d e f") == 2
+
+
+def test_span_dedup_apply_planted_scenario(spark):
+    """dd10's library form on a planted corpus: the copied sentence
+    vanishes from the copying doc, survives in the earliest doc, an
+    exact full duplicate drops out entirely, and untouched docs pass
+    through verbatim (lowercased)."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        span_dedup_apply,
+    )
+
+    shared = "one two three four five six"  # exactly SPAN_W tokens
+    docs = [
+        (0, f"{shared} alpha beta gamma delta epsilon zeta"),
+        (1, f"prefix p2 p3 p4 p5 p6 {shared}"),  # copies doc 0's sentence
+        (2, f"{shared} alpha beta gamma delta epsilon zeta"),  # full dup of 0
+        (3, "totally unrelated words here nothing shared at all"),
+    ]
+    out = {
+        r["doc_id"]: (r["n_tokens_kept"], r["dedup_text"])
+        for r in span_dedup_apply(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    # doc 0: earliest occurrence of every span — fully kept
+    assert out[0] == (12, docs[0][1])
+    # doc 1: its own prefix survives; the copied sentence is stripped
+    assert out[1] == (6, "prefix p2 p3 p4 p5 p6")
+    # doc 2: every token covered by duplicated spans — drops out
+    assert 2 not in out
+    # doc 3: untouched
+    assert out[3] == (8, docs[3][1])
