@@ -250,31 +250,62 @@ def ts07_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
-    ).agg(F.sum(cents).alias("observed_cents"))
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine_hours = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_start")
-    )
-    spine = events.select("event_type").distinct().crossJoin(spine_hours)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour_start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        spine.join(hourly, ["event_type", "hour_start"], "left")
+        gap_fill(events, ["event_type"], "ts", F.sum(cents), grain="hour")
         .select(
             "event_type",
-            "hour_start",
-            F.col("observed_cents").isNull().alias("is_gap"),
-            F.coalesce(
-                F.last("observed_cents", ignorenulls=True).over(w), F.lit(0)
-            ).alias("filled_cents"),
+            F.col("bucket_start").alias("hour_start"),
+            "is_gap",
+            F.col("filled").alias("filled_cents"),
         )
         .orderBy("event_type", "hour_start")
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_agg,
+    grain: str = "hour",
+    fill_zero: bool = True,
+) -> DataFrame:
+    """Library resampler behind ts07: dense per-key spine at any grain.
+
+    ``value_agg`` is the aggregate expression applied per (keys, bucket)
+    — pass exact-integer units for money (er03's lesson). Returns
+    (keys..., bucket_start, is_gap, filled) where ``filled`` carries
+    the last observation forward; leading gaps fill with 0 when
+    ``fill_zero`` (else stay NULL). ``grain`` is any date_trunc field
+    with a matching interval unit (minute/hour/day/week/month). Spine
+    size = buckets-in-range × |distinct keys| — bounded by the calendar
+    and the key dim, never by event count.
+    """
+    bucket = F.date_trunc(grain, F.col(time_col))
+    observed = df.groupBy(
+        *key_cols, bucket.alias("bucket_start")
+    ).agg(value_agg.alias("observed"))
+    bounds = df.agg(
+        F.date_trunc(grain, F.min(time_col)).alias("t0"),
+        F.date_trunc(grain, F.max(time_col)).alias("t1"),
+    )
+    spine_times = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr(f"interval 1 {grain}"))).alias(
+            "bucket_start"
+        )
+    )
+    spine = df.select(*key_cols).distinct().crossJoin(spine_times)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("observed", ignorenulls=True).over(w)
+    if fill_zero:
+        filled = F.coalesce(filled, F.lit(0))
+    return spine.join(observed, [*key_cols, "bucket_start"], "left").select(
+        *key_cols,
+        "bucket_start",
+        F.col("observed").isNull().alias("is_gap"),
+        filled.alias("filled"),
     )

@@ -77,3 +77,33 @@ def test_mon01_snapshot_longform_gauges(spark, sf_dir):
     assert 0.0 <= snap["events_null_props_frac"] <= 1.0
     # freshness is a real 2024 epoch instant
     assert 1.7e9 < snap["events_freshness_epoch_s"] < 1.8e9
+
+
+def test_gap_fill_day_grain_forward_fill(spark):
+    """The library resampler at a different grain than ts07: daily
+    buckets, two keys, exact forward-fill and zero backfill."""
+    from chicago_business_owners_data_engineering_spark.operators.monitoring import (
+        gap_fill,
+    )
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 5),
+        ("a", "2024-01-04 09:00:00", 7),
+        ("b", "2024-01-02 00:30:00", 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v long").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r["k"], str(r["bucket_start"])[:10]): (r["is_gap"], r["filled"])
+        for r in gap_fill(df, ["k"], "ts", F.sum("v"), grain="day").collect()
+    }
+    # spine: 2024-01-01 .. 2024-01-04 for BOTH keys
+    assert len(out) == 8
+    assert out[("a", "2024-01-01")] == (False, 5)
+    assert out[("a", "2024-01-02")] == (True, 5)   # carried forward
+    assert out[("a", "2024-01-03")] == (True, 5)
+    assert out[("a", "2024-01-04")] == (False, 7)
+    assert out[("b", "2024-01-01")] == (True, 0)   # leading gap -> 0
+    assert out[("b", "2024-01-02")] == (False, 1)
+    assert out[("b", "2024-01-04")] == (True, 1)
