@@ -754,25 +754,36 @@ def tp13_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer form streams each shard to its own file set and the
     in-shard sort spills per executor.
     """
-    documents = load_table(spark, sf_dir, "documents")
-    k = F.conv(
+    documents = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        global_shuffle_assignment(documents, "doc_id")
+        .select("shard", "position", "doc_id", "source")
+        .orderBy("shard", "position")
+    )
+
+
+def shuffle_key(id_col) -> "F.Column":
+    """tp13's epoch-salted portable hash key (md5-prefix uniform)."""
+    return F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))),
-            1,
-            8,
+            F.md5(F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), id_col.cast("string"))), 1, 8
         ),
         16,
         10,
     ).cast("long")
-    keyed = documents.select("doc_id", "source", k.alias("k"))
-    shard = (F.col("k") % SHUFFLE_SHARDS).alias("shard")
-    w = Window.partitionBy(F.col("k") % SHUFFLE_SHARDS).orderBy("k", "doc_id")
-    return (
-        keyed.select(
-            shard,
-            F.row_number().over(w).alias("position"),
-            "doc_id",
-            "source",
-        )
-        .orderBy("shard", "position")
+
+
+def global_shuffle_assignment(
+    df: DataFrame, id_col: str = "doc_id", shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Library form of tp13 over any keyed relation: appends (shard,
+    position). The property test exercises THIS function, so key or
+    tiebreak drift in the operator cannot silently lose the
+    append-stability law."""
+    keyed = df.withColumn("k", shuffle_key(F.col(id_col)))
+    w = Window.partitionBy(F.col("k") % shards).orderBy("k", id_col)
+    return keyed.select(
+        *df.columns,
+        (F.col("k") % shards).alias("shard"),
+        F.row_number().over(w).alias("position"),
     )

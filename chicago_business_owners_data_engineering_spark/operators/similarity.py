@@ -599,16 +599,19 @@ OPQ_REFINE_ITERS = 3  # alternating rotation/codebook refinement rounds
 OPQ_KMEANS_ITERS = 5  # Lloyd iterations per subspace per refinement round
 
 
-def _pq_train_numpy(Y):
+def _pq_train_numpy(Y, init=None):
     """Per-subspace k-means codebooks + reconstruction of the rotated
-    sample ``Y``. Deterministic: init = the first NCODES rows' subvectors
-    (the sample is vec_id-ordered), argmin tiebreak = lowest code id."""
+    sample ``Y``. Deterministic: init = the previous round's codebooks
+    when given (warm start — keeps refinement rounds from regressing to
+    a worse local optimum after the rotation moves), else the first
+    NCODES rows' subvectors (the sample is vec_id-ordered); argmin
+    tiebreak = lowest code id."""
     import numpy as np
 
     cbs, Yhat = [], np.empty_like(Y)
     for m in range(PQ_M):
         sub = Y[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
-        C = sub[:PQ_NCODES].copy()
+        C = np.array(init[m]) if init is not None else sub[:PQ_NCODES].copy()
         for _ in range(OPQ_KMEANS_ITERS):
             d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -631,26 +634,32 @@ def _opq_train(X, iters: int = OPQ_REFINE_ITERS):
     the rotated sample and (b) re-solve the rotation as the orthogonal
     Procrustes problem against the reconstruction — R minimizing
     ||Xc Rᵀ − Ŷ||_F is UVᵀ-composed from the SVD of XcᵀŶ. Each (a)
-    step holds R fixed and reduces quantization MSE; each (b) step
-    holds the codes fixed and reduces it again, so the sample MSE
-    trends monotonically down (the pytest pins first→last decrease).
+    step holds R fixed and reduces quantization MSE (warm-started
+    Lloyd — each round's codebooks seed the next, so a rotation update
+    cannot restart k-means into a worse basin); each (b) step holds
+    the codes fixed and reduces it again, so the sample MSE trends
+    down (the pytest pins the first→last decrease).
     All driver-side numpy over the bounded sample; the model that
     leaves the driver is (mu, R, codebooks) — broadcast literals.
     """
     import numpy as np
 
+    if len(X) < PQ_NCODES:
+        raise ValueError(
+            f"OPQ training needs >= {PQ_NCODES} sample vectors, got {len(X)}"
+        )
     mu, R = _opq_rotation(X)
     Xc = X - mu
     cbs, history = None, []
     for _ in range(max(1, iters)):
         Y = Xc @ R.T
-        cbs, Yhat = _pq_train_numpy(Y)
+        cbs, Yhat = _pq_train_numpy(Y, init=cbs)
         history.append(float(((Y - Yhat) ** 2).mean()))
         U, _, Vt = np.linalg.svd(Xc.T @ Yhat)
         R = (U @ Vt).T
     # One final codebook fit in the FINAL rotation so (R, cbs) agree.
     Y = Xc @ R.T
-    cbs, Yhat = _pq_train_numpy(Y)
+    cbs, Yhat = _pq_train_numpy(Y, init=cbs)
     history.append(float(((Y - Yhat) ** 2).mean()))
     return mu, R, cbs, history
 

@@ -34,10 +34,15 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_
     # set reaching the fact scan is only known once the dim is
     # evaluated, which is exactly the DPP shape.
     dim_path = str(tmp_path / "month_dim")
+    quarter = F.concat(
+        F.substring("order_month", 1, 4),
+        F.lit("-Q"),
+        F.ceil(F.substring("order_month", 6, 2).cast("int") / 3).cast("string"),
+    )
     (
         fact.select("order_month")
         .distinct()
-        .withColumn("quarter", F.concat(F.substring("order_month", 1, 4), F.lit("-Q1")))
+        .withColumn("quarter", quarter)
         .write.mode("overwrite")
         .parquet(dim_path)
     )

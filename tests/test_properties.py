@@ -354,10 +354,8 @@ def test_global_shuffle_append_stable(spark, ids):
     and never reorders existing docs WITHIN a shard (new docs only
     interleave); and the (shard, position) grid is dense per shard."""
     from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
-        SHUFFLE_EPOCH,
-        SHUFFLE_SHARDS,
+        global_shuffle_assignment,
     )
-    from pyspark.sql import Window
 
     ids = sorted(ids)
     base, appended = ids[: len(ids) // 2], ids
@@ -366,25 +364,9 @@ def test_global_shuffle_append_stable(spark, ids):
 
     def order(data):
         df = spark.createDataFrame([(i,) for i in data], "doc_id long")
-        k = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        w = Window.partitionBy(F.col("k") % SHUFFLE_SHARDS).orderBy("k", "doc_id")
         return {
             r["doc_id"]: (r["shard"], r["position"])
-            for r in df.select("doc_id", k.alias("k"))
-            .select(
-                "doc_id",
-                (F.col("k") % SHUFFLE_SHARDS).alias("shard"),
-                F.row_number().over(w).alias("position"),
-            )
-            .collect()
+            for r in global_shuffle_assignment(df, "doc_id").collect()
         }
 
     before, after = order(base), order(appended)
