@@ -100,6 +100,7 @@ BENCH_R3B = [
     "ts07_gap_fill",
     "j11_scd2_point_in_time",
     "dd10_span_dedup_apply",
+    "ts08_event_transitions",
 ]
 
 

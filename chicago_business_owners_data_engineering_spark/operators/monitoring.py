@@ -309,3 +309,61 @@ def gap_fill(
         F.col("observed").isNull().alias("is_gap"),
         filled.alias("filled"),
     )
+
+
+@query(
+    "ts08_event_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    ORDER BY prev_type, event_type
+    """,
+)
+def ts08_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence analytics: the event-type transition matrix.
+
+    The first-order Markov view of user journeys — for every observed
+    (previous event, next event) pair, its count and the conditional
+    probability P(next | prev). The n-gram/tp03 idea lifted from token
+    streams to EVENT streams, and the building block behind journey
+    mining, anomaly scoring (improbable transitions), and simulation.
+
+    Scale shape: one lag window partitioned by user (each user's
+    history sorts within its partition — parallel across the user
+    dimension, the natural key of event data), then a hash aggregate to
+    the (prev, next) grain, which is at most |event types|² rows; the
+    probability normalization windows over THAT tiny relation. Ties at
+    identical timestamps break on event_id so the sequence — and the
+    matrix — is deterministic on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
