@@ -269,17 +269,27 @@ def gap_fill(
     value_agg,
     grain: str = "hour",
     fill_zero: bool = True,
+    method: str = "ffill",
 ) -> DataFrame:
     """Library resampler behind ts07: dense per-key spine at any grain.
 
     ``value_agg`` is the aggregate expression applied per (keys, bucket)
     — pass exact-integer units for money (er03's lesson). Returns
-    (keys..., bucket_start, is_gap, filled) where ``filled`` carries
-    the last observation forward; leading gaps fill with 0 when
-    ``fill_zero`` (else stay NULL). ``grain`` is any date_trunc field
-    with a matching interval unit (minute/hour/day/week/month). Spine
-    size = buckets-in-range × |distinct keys| — bounded by the calendar
-    and the key dim, never by event count.
+    (keys..., bucket_start, is_gap, filled). ``method``:
+
+    - ``"ffill"`` — carry the last observation forward; leading gaps
+      fill with 0 when ``fill_zero`` (else stay NULL).
+    - ``"interp"`` — linear interpolation between the surrounding
+      observations (two windows over the same key partition: trailing
+      last + leading first, weighted by row offset within the gap);
+      leading gaps backfill from the next observation, trailing gaps
+      carry the last one forward. Use for level-like series (sensor
+      readings); counts/sums usually want ffill-or-zero.
+
+    ``grain`` is any date_trunc field with a matching interval unit
+    (minute/hour/day/week/month). Spine size = buckets-in-range ×
+    |distinct keys| — bounded by the calendar and the key dim, never by
+    event count.
     """
     bucket = F.date_trunc(grain, F.col(time_col))
     observed = df.groupBy(
@@ -295,15 +305,39 @@ def gap_fill(
         )
     )
     spine = df.select(*key_cols).distinct().crossJoin(spine_times)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("bucket_start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = F.last("observed", ignorenulls=True).over(w)
-    if fill_zero:
-        filled = F.coalesce(filled, F.lit(0))
-    return spine.join(observed, [*key_cols, "bucket_start"], "left").select(
+    joined = spine.join(observed, [*key_cols, "bucket_start"], "left")
+    base = Window.partitionBy(*key_cols).orderBy("bucket_start")
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if method == "ffill":
+        filled = F.last("observed", ignorenulls=True).over(back)
+        if fill_zero:
+            filled = F.coalesce(filled, F.lit(0))
+    elif method == "interp":
+        fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # Row offsets of the surrounding observations: count rows since
+        # the bucket BEFORE this one that carried a value, and until the
+        # next one that does. The spine is gap-free by construction, so
+        # row offset == bucket offset and the weight is exact.
+        rn = F.row_number().over(base)
+        prev_v = F.last("observed", ignorenulls=True).over(back)
+        prev_rn = F.last(
+            F.when(F.col("observed").isNotNull(), rn), ignorenulls=True
+        ).over(back)
+        next_v = F.first("observed", ignorenulls=True).over(fwd)
+        next_rn = F.first(
+            F.when(F.col("observed").isNotNull(), rn), ignorenulls=True
+        ).over(fwd)
+        frac = (rn - prev_rn) / (next_rn - prev_rn)
+        interp = prev_v + (next_v - prev_v) * frac
+        filled = (
+            F.when(F.col("observed").isNotNull(), F.col("observed"))
+            .when(prev_v.isNull(), next_v)  # leading gap: backfill
+            .when(next_v.isNull(), prev_v)  # trailing gap: ffill
+            .otherwise(interp)
+        )
+    else:
+        raise ValueError(f"unknown gap_fill method: {method!r}")
+    return joined.select(
         *key_cols,
         "bucket_start",
         F.col("observed").isNull().alias("is_gap"),

@@ -107,3 +107,41 @@ def test_gap_fill_day_grain_forward_fill(spark):
     assert out[("b", "2024-01-01")] == (True, 0)   # leading gap -> 0
     assert out[("b", "2024-01-02")] == (False, 1)
     assert out[("b", "2024-01-04")] == (True, 1)
+
+
+def test_gap_fill_interpolation(spark):
+    """interp mode: exact linear values inside a gap, backfill before
+    the first observation, carry-forward after the last."""
+    from chicago_business_owners_data_engineering_spark.operators.monitoring import (
+        gap_fill,
+    )
+
+    rows = [
+        ("a", "2024-01-02 00:00:00", 10.0),
+        ("a", "2024-01-05 00:00:00", 40.0),  # 3-day gap: 20, 30 between
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        str(r["bucket_start"])[:10]: r["filled"]
+        for r in gap_fill(df, ["k"], "ts", F.sum("v"), grain="day", method="interp").collect()
+    }
+    assert out == {
+        "2024-01-02": 10.0,
+        "2024-01-03": 20.0,
+        "2024-01-04": 30.0,
+        "2024-01-05": 40.0,
+    }
+    # leading + trailing behavior: add observations away from the edges
+    rows2 = rows + [("b", "2024-01-03 08:00:00", 7.0)]
+    df2 = spark.createDataFrame(rows2, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out2 = {
+        (r["k"], str(r["bucket_start"])[:10]): r["filled"]
+        for r in gap_fill(df2, ["k"], "ts", F.sum("v"), grain="day", method="interp").collect()
+    }
+    assert out2[("b", "2024-01-02")] == 7.0  # backfill before first obs
+    assert out2[("b", "2024-01-05")] == 7.0  # carry after last obs
+    assert out2[("a", "2024-01-04")] == 30.0  # interp unchanged by key b
