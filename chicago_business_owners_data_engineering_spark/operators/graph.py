@@ -142,6 +142,310 @@ def components_large_small_star(
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph analytics over the co-purchase graph (gr01/gr02)
+# ---------------------------------------------------------------------------
+#
+# Node = part, edge = "appeared in the same order during 1995". The edge
+# relation is built by a self-join BLOCKED on the order key (orders hold
+# ~4 distinct parts, so the per-order quadratic is bounded — same
+# Σ block² argument as er01), with the date predicate pushed into the
+# lineitem scan. Reference seed: the reference ranks/links businesses by
+# shared attributes (cbddl/src/etl/pipeline.py:296 dedup keys,
+# readme.md:70-83 cross-dataset linkage); centrality and cohesion over
+# the derived relationship graph are the beyond-reference analytics.
+
+PR_SCALE = 1_000_000_000_000  # integer PageRank unit: 1.0 == 10^12
+PR_TELEPORT_PCT = 15  # damping d = 0.85 expressed as integer percents
+PR_ITERATIONS = 3
+
+_COPURCHASE_EDGE_CTE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+    ), copairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct canonical (part_a < part_b) co-purchase edges, 1995.
+
+    One shuffle on the order key (the block key); the quadratic compare
+    runs inside ~4-row order groups. ``distinct`` collapses repeat
+    co-purchases — the downstream graph ops are unweighted.
+    """
+    items = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .distinct()
+    )
+
+
+def pagerank_integer(
+    edges_canon: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+    teleport_pct: int = PR_TELEPORT_PCT,
+) -> DataFrame:
+    """Fixed-iteration PageRank in pure int64 arithmetic → (node, rank).
+
+    Why integers: float PageRank sums neighbor contributions in
+    partition order, and IEEE addition is not associative — two engines
+    (or two runs) can disagree in the last bits, which poisons any
+    exact differential check. Defining the recurrence over int64
+    "micro-rank" units makes every step order-independent and
+    bit-identical on any engine:
+
+        base        = scale div N
+        contrib(u)  = rank(u) div deg(u)
+        rank'(v)    = (teleport_pct·base) div 100
+                    + ((100−teleport_pct)·Σ contrib) div 100
+
+    The div-truncation loses < 1 micro-unit per op — irrelevant for
+    ranking, decisive for reproducibility (same reasoning as er03's
+    integer money math). The graph is undirected/bidirectional, so
+    every node has deg ≥ 1 and in-edges — no dangling-mass term.
+
+    Per iteration: one join keyed on the node id + one map-side-combined
+    groupBy + one node-keyed update join — all shuffles on the same key,
+    so AQE/co-partitioning reuses the exchange layout. The edge relation
+    is ``localCheckpoint``-ed once; with a fixed small iteration count
+    the unrolled plan stays shallow (no per-round checkpoint needed).
+    """
+    bidir = (
+        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            edges_canon.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = bidir.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    base = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "deg", F.expr(f"{scale} div n_nodes").alias("base")
+    )
+    state = base.withColumn("rank", F.col("base"))
+    keep_pct = 100 - teleport_pct
+    for _ in range(iterations):
+        contrib = state.join(bidir, state["node"] == bidir["src"]).select(
+            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        state = base.join(sums, "node").select(
+            "node",
+            "deg",
+            "base",
+            (
+                F.expr(f"({teleport_pct} * base) div 100")
+                + F.expr(f"({keep_pct} * s) div 100")
+            ).alias("rank"),
+        )
+    return state.select("node", "rank")
+
+
+def triangle_counts(edges_canon: DataFrame) -> DataFrame:
+    """Per-node triangle participation via degree-ordered orientation.
+
+    The classic MapReduce triangle algorithm (Suri & Vassilvitskii,
+    WWW'11): orient every edge from the lower-(degree, id) endpoint to
+    the higher, making the graph a DAG where each triangle has exactly
+    one node with out-degree 2 — so wedges (u→v, u→w) joined against
+    the oriented edge v→w enumerate each triangle once. Orienting by
+    DEGREE (not id) is the scale move: a hub of degree d contributes
+    O(d²) wedges under id-orientation but only wedges toward
+    higher-degree nodes under degree-orientation, bounding total wedge
+    count at O(E^1.5) — the difference between hours and minutes on a
+    skewed 100 TB graph. The triangle SET is orientation-invariant,
+    which is what lets the DuckDB oracle use the simple id-ordered
+    3-way self-join and still compare exactly.
+    """
+    bidir = edges_canon.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        edges_canon.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = bidir.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    # Attach both endpoint degrees, then orient low-(deg,id) → high.
+    with_deg = (
+        edges_canon.join(
+            deg.select(F.col("node").alias("part_a"), F.col("deg").alias("deg_a")),
+            "part_a",
+        ).join(
+            deg.select(F.col("node").alias("part_b"), F.col("deg").alias("deg_b")),
+            "part_b",
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    ).localCheckpoint(eager=True)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # Wedges at the out-degree-2 apex: order the two legs by the SAME
+    # (deg, id) rank used for orientation so each unordered pair of
+    # out-neighbors appears once, and the closing edge — if it exists —
+    # is guaranteed to be oriented v→w.
+    wedges = e1.join(
+        e2,
+        on=[
+            F.col("e1.src") == F.col("e2.src"),
+            (F.col("e1.dst_deg") < F.col("e2.dst_deg"))
+            | (
+                (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            ),
+        ],
+    ).select(
+        F.col("e1.src").alias("u"),
+        F.col("e1.dst").alias("v"),
+        F.col("e2.dst").alias("w"),
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    member = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count("*").alias("n_tri"))
+
+
+@query(
+    "gr01_pagerank",
+    oracle=_COPURCHASE_EDGE_CTE
+    + f"""
+    , edges AS (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL
+        SELECT part_b, part_a FROM copairs
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+    ), base AS (
+        SELECT node, deg, {PR_SCALE} // n_nodes AS base FROM deg, n
+    ), r0 AS (
+        SELECT node, deg, base, base AS rank FROM base
+    ), s1 AS (
+        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+        FROM r0 r JOIN edges e ON r.node = e.src GROUP BY 1
+    ), r1 AS (
+        SELECT b.node, b.deg, b.base,
+               ({PR_TELEPORT_PCT} * b.base) // 100 + (85 * s.s) // 100 AS rank
+        FROM base b JOIN s1 s ON b.node = s.node
+    ), s2 AS (
+        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+        FROM r1 r JOIN edges e ON r.node = e.src GROUP BY 1
+    ), r2 AS (
+        SELECT b.node, b.deg, b.base,
+               ({PR_TELEPORT_PCT} * b.base) // 100 + (85 * s.s) // 100 AS rank
+        FROM base b JOIN s2 s ON b.node = s.node
+    ), s3 AS (
+        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+        FROM r2 r JOIN edges e ON r.node = e.src GROUP BY 1
+    ), r3 AS (
+        SELECT b.node, b.deg, b.base,
+               ({PR_TELEPORT_PCT} * b.base) // 100 + (85 * s.s) // 100 AS rank
+        FROM base b JOIN s3 s ON b.node = s.node
+    )
+    SELECT node AS part, rank AS pr_micro
+    FROM r3 ORDER BY pr_micro DESC, part LIMIT 20
+    """,
+)
+def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase PageRank (3 iterations, integer arithmetic).
+
+    "Which parts sit at the center of the co-purchase network" — the
+    cross-sell ranking a raw popularity count gets wrong (a part bought
+    often but always alone ranks below one that bridges many baskets).
+    See :func:`pagerank_integer` for why the recurrence runs in int64
+    micro-units and how the per-iteration shuffles are keyed.
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    pr = pagerank_integer(edges)
+    return (
+        pr.select(F.col("node").alias("part"), F.col("rank").alias("pr_micro"))
+        .orderBy(F.desc("pr_micro"), F.asc("part"))
+        .limit(20)
+    )
+
+
+@query(
+    "gr02_triangle_counts",
+    oracle=_COPURCHASE_EDGE_CTE
+    + """
+    , tri AS (
+        SELECT p1.part_a AS a, p1.part_b AS b, p2.part_b AS c
+        FROM copairs p1
+        JOIN copairs p2 ON p1.part_b = p2.part_a
+        JOIN copairs p3 ON p3.part_a = p1.part_a AND p3.part_b = p2.part_b
+    ), member AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM member GROUP BY node
+    ORDER BY n_tri DESC, part LIMIT 20
+    """,
+)
+def gr02_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by co-purchase triangle participation.
+
+    Triangles measure cohesion: a part in many triangles belongs to a
+    stable product clique (bundle), not just a popular pairing. Runs
+    the degree-ordered orientation algorithm (see
+    :func:`triangle_counts` for the O(E^1.5) wedge bound); the oracle
+    proves orientation-invariance by re-deriving the same triangle set
+    from the naive id-ordered 3-way self-join.
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("part"), "n_tri")
+        .orderBy(F.desc("n_tri"), F.asc("part"))
+        .limit(20)
+    )
+
+
 @query(
     "dd08_components_largestar",
     oracle=_DD06_COMPONENT_CTE

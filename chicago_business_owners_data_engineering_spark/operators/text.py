@@ -297,3 +297,126 @@ def tx06_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), F.asc("term"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# BM25 constants — identical literals in the oracle string below.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("vector", "stream", "merge")
+
+
+@query(
+    "tx11_bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, word AS term
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+              FROM documents)
+        WHERE LENGTH(word) >= 3
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), dlen AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dlen) AS BIGINT) AS total_len
+        FROM dlen
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), w AS (
+        SELECT tf.doc_id, tf.term,
+               LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * l.dlen
+                                   / (CAST(s.total_len AS DOUBLE) / s.n_docs)))
+               AS w
+        FROM tf
+        JOIN dfreq d ON tf.term = d.term
+        JOIN dlen l ON tf.doc_id = l.doc_id
+        CROSS JOIN stats s
+        WHERE tf.term IN ('vector', 'stream', 'merge')
+    ), scored AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN term = 'vector' THEN w END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = 'stream' THEN w END), 0.0)
+               + COALESCE(MAX(CASE WHEN term = 'merge' THEN w END), 0.0) AS raw
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(raw, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def tx11_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query — full-text retrieval.
+
+    TF-IDF (tx06) weighs terms; BM25 ranks DOCUMENTS against a query,
+    adding tf saturation (k1) and doc-length normalization (b) — the
+    retrieval scorer behind Lucene/Elasticsearch and the lexical half
+    of RAG hybrid search (sim08's dense counterpart). Reference seed:
+    the reference's search surface is a driver-side substring match
+    (cbddl/src/api/main.py business-name lookup); this is the
+    corpus-scale generalization.
+
+    Scale/determinism shape:
+    - postings (tf) and doc lengths derive from ONE tokenize+explode
+      pass; the corpus-sized shuffle is the (doc,term) groupBy,
+      map-side combined. df comes from the vocabulary-sized tf
+      relation, never a second corpus scan.
+    - the query-term filter lands BEFORE the scoring joins, so the
+      per-query work is postings-of-3-terms, not the corpus — at scale
+      this is the inverted-index probe, with the 1-row corpus stats
+      broadcast.
+    - floats appear only in per-row expressions; per-doc scores sum
+      the (≤3) term weights in FIXED written order via conditional
+      aggregation — no float SUM whose partition order could differ
+      between engines (same discipline as er03's integer money math).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"), F.sum("dlen").alias("total_len")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q = list(BM25_QUERY)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    w = (
+        tf.filter(F.col("term").isin(q))
+        .join(dfreq, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dlen") / avgdl)
+                )
+            ).alias("w"),
+        )
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("term") == t, F.col("w"))), F.lit(0.0))
+        for t in q
+    ]
+    raw = per_term[0] + per_term[1] + per_term[2]
+    return (
+        w.groupBy("doc_id")
+        .agg(F.round(raw, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )

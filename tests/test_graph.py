@@ -59,3 +59,75 @@ def test_edge_input_order_and_duplicates_are_irrelevant(spark):
         (7, 7),
         (9, 7),
     }
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: integer PageRank + degree-oriented triangle counting.
+# The differential harness certifies gr01/gr02 against DuckDB on the
+# real co-purchase graph; these pin algorithmic properties on shapes
+# the corpus doesn't guarantee.
+# ---------------------------------------------------------------------------
+
+from chicago_business_owners_data_engineering_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_integer,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "part_a long, part_b long")
+
+
+def test_pagerank_star_hub_dominates_and_symmetry(spark):
+    # Star: hub 0 ↔ leaves 1..6. Exact symmetry → all leaves must get
+    # the IDENTICAL integer rank (float PageRank only promises ≈).
+    df = _edges(spark, [(0, i) for i in range(1, 7)])
+    ranks = {r.node: r["rank"] for r in pagerank_integer(df).collect()}
+    leaf_ranks = {ranks[i] for i in range(1, 7)}
+    assert len(leaf_ranks) == 1
+    assert ranks[0] > leaf_ranks.pop()
+    # Conservation: truncating div only ever LOSES micro-units.
+    assert sum(ranks.values()) <= PR_SCALE
+
+
+def test_pagerank_tracks_float_reference(spark):
+    # Integer truncation must stay within ~1e-6 relative of the exact
+    # float recurrence on an asymmetric graph.
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5)]
+    df = _edges(spark, pairs)
+    got = {r.node: r["rank"] / PR_SCALE for r in pagerank_integer(df).collect()}
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    n = len(nbrs)
+    rank = {v: 1.0 / n for v in nbrs}
+    for _ in range(3):
+        rank = {
+            v: 0.15 / n + 0.85 * sum(rank[u] / len(nbrs[u]) for u in nbrs[v])
+            for v in nbrs
+        }
+    for v in nbrs:
+        assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+
+
+def test_triangle_counts_planted(spark):
+    # K4 on {0,1,2,3}: every node sits in C(3,2)=3 triangles. The
+    # appended path 10-11-12 and pendant 3-10 close nothing.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(10, 11), (11, 12), (3, 10)]
+    out = {r.node: r.n_tri for r in triangle_counts(_edges(spark, k4 + extra)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_skewed_hub(spark):
+    # Hub 0 connects to 1..20; only (1,2) closes a triangle. The
+    # degree orientation must still find exactly it (hub has max
+    # degree, so wedges at the hub are never enumerated).
+    star = [(0, i) for i in range(1, 21)]
+    out = {
+        r.node: r.n_tri
+        for r in triangle_counts(_edges(spark, star + [(1, 2)])).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1}
