@@ -782,3 +782,209 @@ def _token_spans_from_words(words: Column, w: int = SPAN_W) -> Column:
     return F.when(F.size(words) >= w, acc).otherwise(
         F.array().cast("array<string>")
     )
+
+
+CHAR_W = 20
+
+
+@query(
+    "dd11_char_span_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, LOWER(text) AS s, LENGTH(LOWER(text)) AS n FROM documents
+    ), occ AS (
+        SELECT doc_id, UNNEST(RANGE(1, n - {CHAR_W - 2})) AS pos
+        FROM base WHERE n >= {CHAR_W}
+    ), spans AS (
+        SELECT o.doc_id, o.pos, substr(b.s, o.pos, {CHAR_W}) AS span
+        FROM occ o JOIN base b ON o.doc_id = b.doc_id
+    ), flagged AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY span) AS n_occ,
+               ROW_NUMBER() OVER (PARTITION BY span
+                                  ORDER BY doc_id, pos) AS rn
+        FROM spans
+    ), noncanon AS (
+        SELECT doc_id, pos, pos + {CHAR_W - 1} AS endpos
+        FROM flagged WHERE n_occ >= 2 AND rn > 1
+    ), runm AS (
+        SELECT doc_id, pos,
+               MAX(endpos) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS runmax
+        FROM noncanon
+    ), stepped AS (
+        SELECT doc_id, pos, runmax,
+               CASE WHEN pos > COALESCE(LAG(runmax) OVER (
+                        PARTITION BY doc_id ORDER BY pos), 0) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM runm
+    ), grp AS (
+        SELECT doc_id, pos, runmax,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM stepped
+    ), merged AS (
+        SELECT doc_id, MIN(pos) AS mstart, MAX(runmax) AS mend
+        FROM grp GROUP BY doc_id, g
+    ), gaps AS (
+        SELECT doc_id,
+               COALESCE(LAG(mend) OVER (PARTITION BY doc_id
+                                        ORDER BY mstart), 0) + 1 AS gstart,
+               mstart - 1 AS gend
+        FROM merged
+    ), tails AS (
+        SELECT m.doc_id, MAX(m.mend) + 1 AS gstart, ANY_VALUE(b.n) AS gend
+        FROM merged m JOIN base b ON m.doc_id = b.doc_id
+        GROUP BY m.doc_id
+    ), pieces AS (
+        SELECT g.doc_id, g.gstart,
+               substr(b.s, g.gstart, g.gend - g.gstart + 1) AS piece
+        FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails) g
+        JOIN base b ON g.doc_id = b.doc_id
+        WHERE g.gend >= g.gstart
+    ), rebuilt AS (
+        SELECT doc_id,
+               CAST(SUM(LENGTH(piece)) AS BIGINT) AS n_chars_kept,
+               STRING_AGG(piece, '' ORDER BY gstart) AS dedup_text
+        FROM pieces GROUP BY doc_id
+    ), untouched AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars_kept, s AS dedup_text
+        FROM base
+        WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
+    )
+    SELECT * FROM rebuilt
+    UNION ALL
+    SELECT * FROM untouched
+    ORDER BY doc_id
+    """,
+)
+def dd11_char_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level substring dedup APPLIED (Lee et al.'s granularity).
+
+    dd10 strips duplicated TOKEN spans; the original deduplicate-
+    training-data method works on raw character windows (their
+    suffix-array pass uses 50-byte substrings), which also catches
+    duplication that tokenization splits differently (punctuation,
+    whitespace variants). For every {CHAR_W}-char window occurring ≥ 2
+    times corpus-wide, the earliest occurrence (lowest (doc_id, pos))
+    survives; every other occurrence masks its character range, and
+    documents are rebuilt from the unmasked gaps. Fully-duplicated
+    documents rebuild to nothing and drop out.
+
+    Scale shape — the reason this is NOT dd10 with a finer split: a
+    per-character mask relation would explode W rows per duplicated
+    occurrence (~20× corpus characters on a repetitive corpus). Instead
+    masked ranges are MERGED AS INTERVALS per document — running-max
+    over the doc-ordered window, break where a range starts past the
+    running end, one group-by to (start, end) — and the text is rebuilt
+    from the gap substrings between merged intervals. Row counts stay
+    at the span grain end-to-end: one span-keyed exchange for the
+    occurrence count + canonical rank (same as dd10), then doc-keyed
+    windows over the (rare) duplicated occurrences only. The interval
+    merge is the same pattern as w09's validity intervals — reused here
+    to keep a 100 TB corpus's mask linear in duplicated spans, not
+    characters.
+    """
+    from pyspark.sql import Window
+
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    return char_span_dedup_apply(documents).orderBy("doc_id")
+
+
+def char_span_dedup_apply(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = CHAR_W
+) -> DataFrame:
+    """Library form of dd11 over any (id, text) relation.
+
+    Returns (id, n_chars_kept, dedup_text); fully-masked rows are
+    absent. See dd11_char_span_dedup for semantics and scale argument.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("s")
+    ).withColumn("n", F.length("s"))
+    occ = base.filter(F.col("n") >= w).select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (w - 1))).alias("pos"),
+    )
+    spans = occ.select(
+        "doc_id", "pos", F.expr(f"substring(s, pos, {w})").alias("span")
+    )
+    wspan = Window.partitionBy("span")
+    flagged = spans.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(wspan).alias("n_occ"),
+        F.row_number().over(wspan.orderBy("doc_id", "pos")).alias("rn"),
+    )
+    noncanon = flagged.filter((F.col("n_occ") >= 2) & (F.col("rn") > 1)).select(
+        "doc_id", "pos", (F.col("pos") + (w - 1)).alias("endpos")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    runm = noncanon.select(
+        "doc_id",
+        "pos",
+        F.max("endpos")
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("runmax"),
+    )
+    stepped = runm.select(
+        "doc_id",
+        "pos",
+        "runmax",
+        F.when(
+            F.col("pos") > F.coalesce(F.lag("runmax").over(wdoc), F.lit(0)) + 1, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    grp = stepped.select(
+        "doc_id",
+        "pos",
+        "runmax",
+        F.sum("brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)).alias("g"),
+    )
+    merged = grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("mstart"), F.max("runmax").alias("mend")
+    )
+    wm = Window.partitionBy("doc_id").orderBy("mstart")
+    gaps = merged.select(
+        "doc_id",
+        (F.coalesce(F.lag("mend").over(wm), F.lit(0)) + 1).alias("gstart"),
+        (F.col("mstart") - 1).alias("gend"),
+    )
+    tails = (
+        merged.groupBy("doc_id")
+        .agg((F.max("mend") + 1).alias("gstart"))
+        .join(base.select("doc_id", F.col("n").alias("gend")), "doc_id")
+    )
+    pieces = (
+        gaps.unionByName(tails)
+        .filter(F.col("gend") >= F.col("gstart"))
+        .join(base.select("doc_id", "s"), "doc_id")
+        .select(
+            "doc_id",
+            "gstart",
+            F.expr("substring(s, gstart, gend - gstart + 1)").alias("piece"),
+        )
+    )
+    rebuilt = pieces.groupBy("doc_id").agg(
+        F.sum(F.length("piece")).cast("long").alias("n_chars_kept"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gstart", "piece"))),
+                lambda x: x["piece"],
+            ),
+        ).alias("dedup_text"),
+    )
+    untouched = base.join(
+        noncanon.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_kept"),
+        F.col("s").alias("dedup_text"),
+    )
+    return rebuilt.unionByName(untouched).withColumnRenamed("doc_id", id_col)

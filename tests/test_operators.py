@@ -225,3 +225,39 @@ def test_span_dedup_apply_planted_scenario(spark):
     assert 2 not in out
     # doc 3: untouched
     assert out[3] == (8, docs[3][1])
+
+
+def test_char_span_dedup_apply_planted_scenario(spark):
+    """dd11's library form: char-granular masking with interval-merge
+    rebuild — a copied character run vanishes from the copying doc,
+    survives in the earliest doc, a full duplicate drops out, short and
+    unique docs pass through verbatim (lowercased)."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        char_span_dedup_apply,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    docs = [
+        (0, f"{shared} UNIQUE-TAIL-ZERO-000000"),
+        (1, f"own-prefix-unlike-any! {shared}"),  # copies doc 0's run
+        (2, f"{shared} UNIQUE-TAIL-ZERO-000000"),  # full dup of 0
+        (3, "short"),  # under the window width: never masked
+        (4, "entirely different characters with no twenty-char overlap"),
+    ]
+    out = {
+        r["doc_id"]: (r["n_chars_kept"], r["dedup_text"])
+        for r in char_span_dedup_apply(
+            spark.createDataFrame(docs, "doc_id long, text string"), w=20
+        ).collect()
+    }
+    assert out[0] == (len(docs[0][1]), docs[0][1].lower())
+    # doc 1: the copied run is masked; its unique prefix survives.
+    # Masking covers every position whose 20-char window also occurs in
+    # doc 0, i.e. the whole shared suffix plus the window overhang.
+    kept1 = out[1][1]
+    assert kept1.startswith("own-prefix-unlike-any!")
+    assert "quick brown" not in kept1
+    assert out[1][0] == len(kept1)
+    assert 2 not in out
+    assert out[3] == (5, "short")
+    assert out[4] == (len(docs[4][1]), docs[4][1].lower())
