@@ -103,6 +103,16 @@ BENCH_R3B = [
     "ts08_event_transitions",
 ]
 
+# Round-3 session additions (post r3b freeze): graph analytics, BM25
+# retrieval, char-level span dedup.
+BENCH_R3C = [
+    "gr01_pagerank",
+    "gr02_triangle_counts",
+    "tx11_bm25_search",
+    "dd11_char_span_dedup",
+    "dd12_prefix_filter_jaccard",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,6 +157,7 @@ def main() -> None:
     extended = run_set(BENCH_EXTENDED)
     r3 = run_set(BENCH_R3)
     r3b = run_set(BENCH_R3B)
+    r3c = run_set(BENCH_R3C)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -166,6 +177,9 @@ def main() -> None:
                 "r3b_metric": "round3_tail_queries_total_runtime",
                 "r3b_value": round(sum(r3b.values()), 3),
                 "r3b_queries": r3b,
+                "r3c_metric": "round3_session_queries_total_runtime",
+                "r3c_value": round(sum(r3c.values()), 3),
+                "r3c_queries": r3c,
             }
         )
     )

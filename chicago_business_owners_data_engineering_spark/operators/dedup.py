@@ -988,3 +988,125 @@ def char_span_dedup_apply(
         F.col("s").alias("dedup_text"),
     )
     return rebuilt.unionByName(untouched).withColumnRenamed("doc_id", id_col)
+
+
+def jaccard_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "ws",
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (AllPairs).
+
+    Same answer as the brute-force all-pairs scan (dd03), never O(n²):
+    the prefix-filter principle (Chaudhuri et al. SSJoin / Bayardo et
+    al. "Scaling Up All Pairs", WWW'07). Order the vocabulary by
+    ascending document frequency (rarest first); a document of set size
+    ``s`` exposes only its first ``s - ceil(t·s) + 1`` tokens in that
+    order. Any pair with J ≥ t MUST share an exposed token, so the
+    candidate join runs on the prefix relation — keyed on tokens chosen
+    to be RARE, which is what bounds block sizes (Σ df_prefix², the
+    same argument as er01's blocking). Candidates then verify with the
+    exact intersection, so the output is provably identical to brute
+    force — unlike MinHash-LSH (dd04) there is no recall loss, which is
+    why this query can share dd03's full hash-compared oracle.
+
+    Determinism details:
+    - the threshold is the RATIONAL t_num/t_den and the prefix length
+      uses pure integer arithmetic (``ceil(t·s) = (t_num·s + t_den -
+      1) div t_den``): ``ceil(0.8 × 5)`` in IEEE doubles is 5, not 4 —
+      a float prefix would silently drop true pairs.
+    - the frequency order breaks df ties by token text, so the prefix
+      is engine-independent (not that the RESULT depends on it — any
+      total order is correct — but stable plans beat flaky ones).
+    - the final J ≥ t filter compares the same double division the
+      oracle computes, bit-identical on both engines.
+
+    Scale shape: one explode + token-keyed groupBy for df
+    (vocabulary-sized), one per-doc window to take the prefix, the
+    prefix-token self-join (small blocks by construction), then two
+    doc-keyed joins to fetch full sets for verification. The size
+    filter ``t·|a| ≤ |b| ≤ |a|/t`` (integer cross-multiplied) prunes
+    candidates before verification.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(set_col).alias("ws")
+    ).withColumn("sz", F.size("ws"))
+    toks = base.select("doc_id", "sz", F.explode("ws").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    # prefix length p = sz - ceil(t*sz) + 1, integer-exact
+    p = F.col("sz") - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}") + 1
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix = (
+        toks.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= p)
+        .select("doc_id", "sz", "token")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.token") == F.col("b.token"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                # size filter: t·sz_a ≤ sz_b and t·sz_b ≤ sz_a
+                F.lit(t_num) * F.col("a.sz") <= F.lit(t_den) * F.col("b.sz"),
+                F.lit(t_num) * F.col("b.sz") <= F.lit(t_den) * F.col("a.sz"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verify = (
+        cands.join(
+            base.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")),
+            "doc_a",
+        ).join(
+            base.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    jac = inter / union
+    return (
+        verify.filter(jac >= t_num / t_den)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dd12_prefix_filter_jaccard",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS ws
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+                 (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))), 6) AS jaccard
+    FROM w a JOIN w b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+          (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.8
+    """,
+)
+def dd12_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd03's exact Jaccard pairs WITHOUT the cross join: prefix filter.
+
+    Deliberately the same word sets, threshold (0.8) and output as
+    dd03, certified by dd03's brute-force oracle — the point is that
+    the executed plan contains no CartesianProduct while returning the
+    provably identical pair set. See :func:`jaccard_join_prefix` for
+    the algorithm and integer-exactness notes. This completes the
+    similarity-join ladder: exact-brute (dd03, oracle baseline),
+    exact-scalable (this), approximate-scalable (dd04 LSH).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", _word_set(F.col("text")).alias("ws"))
+    return jaccard_join_prefix(docs, t_num=4, t_den=5)

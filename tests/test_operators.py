@@ -261,3 +261,37 @@ def test_char_span_dedup_apply_planted_scenario(spark):
     assert 2 not in out
     assert out[3] == (5, "short")
     assert out[4] == (len(docs[4][1]), docs[4][1].lower())
+
+
+def test_jaccard_join_prefix_matches_brute_force(spark):
+    """dd12's library form must return EXACTLY the brute-force pair set
+    (prefix filtering is lossless, unlike LSH) — including a boundary
+    pair at J = 0.8 exactly, and across duplicate sets."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        jaccard_join_prefix,
+    )
+
+    sets = {
+        0: ["a", "b", "c", "d", "e"],
+        1: ["a", "b", "c", "d"],          # J(0,1) = 4/5 = 0.8 exactly
+        2: ["a", "b", "c", "x"],          # J(1,2) = 3/5; J(0,2) = 3/6
+        3: ["p", "q", "r", "s", "t"],
+        4: ["p", "q", "r", "s", "t"],     # J(3,4) = 1.0
+        5: ["zz"],                         # singleton
+        6: ["zz"],                         # J(5,6) = 1.0
+        7: ["m", "n"],
+    }
+    expected = set()
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(set(sets[i]) & set(sets[j]))
+                union = len(set(sets[i]) | set(sets[j]))
+                if inter / union >= 0.8:
+                    expected.add((i, j))
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in sets.items()], "doc_id long, ws array<string>"
+    )
+    got = {(r.doc_a, r.doc_b) for r in jaccard_join_prefix(df).collect()}
+    assert got == expected
+    assert (0, 1) in got  # the exact-boundary pair survived integer math
