@@ -111,6 +111,7 @@ BENCH_R3C = [
     "tx11_bm25_search",
     "dd11_char_span_dedup",
     "dd12_prefix_filter_jaccard",
+    "tp14_leakage_safe_split",
 ]
 
 

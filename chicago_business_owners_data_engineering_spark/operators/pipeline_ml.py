@@ -787,3 +787,70 @@ def global_shuffle_assignment(
         (F.col("k") % shards).alias("shard"),
         F.row_number().over(w).alias("position"),
     )
+
+
+# tp14 imports DD06's shared component oracle; shared_oracles is
+# registry-free, so this is safe at decoration time (unlike a peer
+# operator-module import, which must stay lazy).
+from .shared_oracles import DD06_COMPONENT_CTE as _TP14_COMPONENT_CTE
+
+
+@query(
+    "tp14_leakage_safe_split",
+    oracle=_TP14_COMPONENT_CTE
+    + """
+    , grouped AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, group_key,
+           CAST(CONCAT('0x', SUBSTRING(MD5(CAST(group_key AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket,
+           CASE
+               WHEN CAST(CONCAT('0x', SUBSTRING(MD5(CAST(group_key AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+               WHEN CAST(CONCAT('0x', SUBSTRING(MD5(CAST(group_key AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 90 THEN 'valid'
+               ELSE 'test'
+           END AS split
+    FROM grouped ORDER BY doc_id
+    """,
+)
+def tp14_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split hashed on the NEAR-DUP COMPONENT, not the doc.
+
+    tp01's per-doc hash split silently leaks: a document and its
+    near-duplicate are independent hash draws, so ~20% of near-dup
+    pairs straddle train/eval and the eval set measures memorization of
+    training text. The fix is to make the split a function of the
+    near-dup cluster: every doc maps to its dd06 component (docs with
+    no near-dup edge are their own singleton group), and the md5 bucket
+    is computed from that group key — co-members land in the same split
+    BY CONSTRUCTION, and the property survives re-runs and appends
+    exactly like tp01's (split is a pure function of content-derived
+    keys, no RNG).
+
+    Scale shape: dd06's LSH edge generation + component propagation
+    (amortized across every consumer of the cluster relation), then one
+    broadcast-sized left join of the (small — only docs WITH near-dups)
+    component relation onto the corpus and a pure projection. The
+    oracle replays the brute-force component definition, so the check
+    also re-certifies the LSH edge recall end-to-end through the split.
+    """
+    from .dedup import neardup_components
+
+    documents = load_table(spark, sf_dir, "documents")
+    comp = neardup_components(spark, sf_dir)
+    grouped = documents.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("group_key")
+    )
+    bucket = _md5_bucket(F.col("group_key"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        grouped.select(
+            "doc_id", "group_key", bucket.alias("bucket"), split.alias("split")
+        )
+        .orderBy("doc_id")
+    )

@@ -291,3 +291,23 @@ def test_vector_pipeline_end_to_end(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert len(set(got) & set(truth)) >= 0.5 * TOP_K, (got, truth)
+
+
+def test_tp14_split_never_separates_near_dups(spark, sf_dir):
+    """The leakage guard: every near-dup component lands wholly inside
+    one split, every doc is assigned exactly once, and fractions are
+    near 80/10/10."""
+    from chicago_business_owners_data_engineering_spark import registry
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["tp14_leakage_safe_split"](spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    per_group = (
+        out.groupBy("group_key").agg(F.countDistinct("split").alias("ns")).collect()
+    )
+    assert all(r.ns == 1 for r in per_group)
+    frac_train = sum(1 for r in rows if r.split == "train") / n_docs
+    assert 0.7 < frac_train < 0.9
