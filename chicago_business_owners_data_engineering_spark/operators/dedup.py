@@ -1084,29 +1084,46 @@ def jaccard_join_prefix(
 @query(
     "dd12_prefix_filter_jaccard",
     oracle="""
-    WITH w AS (
-        SELECT doc_id, LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS ws
-        FROM documents
+    WITH toks AS (
+        SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN LEN(t) >= 3
+                    THEN LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
+                                        FOR i IN RANGE(1, LEN(t) - 1)])
+                    ELSE [LOWER(text)] END AS ws
+        FROM toks
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
                  (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))), 6) AS jaccard
-    FROM w a JOIN w b ON a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
-          (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.8
+          (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.5
     """,
 )
 def dd12_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd03's exact Jaccard pairs WITHOUT the cross join: prefix filter.
+    """The near-dup edge relation (dd04/dd06's input) computed EXACTLY,
+    without the cross join: prefix filtering over shingle sets.
 
-    Deliberately the same word sets, threshold (0.8) and output as
-    dd03, certified by dd03's brute-force oracle — the point is that
-    the executed plan contains no CartesianProduct while returning the
-    provably identical pair set. See :func:`jaccard_join_prefix` for
-    the algorithm and integer-exactness notes. This completes the
-    similarity-join ladder: exact-brute (dd03, oracle baseline),
-    exact-scalable (this), approximate-scalable (dd04 LSH).
+    Same shingle sets and 0.5 threshold as the dd06 pipeline, so this
+    is an EXACT drop-in for the MinHash-LSH edge generator — zero
+    recall loss instead of LSH's ~1% per borderline edge — certified
+    against the brute-force all-pairs oracle. See
+    :func:`jaccard_join_prefix` for the algorithm and integer-exactness
+    notes. This completes the similarity-join ladder: exact-brute
+    (dd03, oracle baseline), exact-scalable (this), approximate-
+    scalable (dd04 LSH; cheaper when its recall is acceptable).
+
+    Why shingles and not dd03's word sets: prefix filtering is output-
+    sensitive. On 3-gram shingles similarity concentrates on true
+    near-copies, matches are rare, and the rare-token prefix join stays
+    near-linear. Word sets on a small vocabulary SATURATE — at sf0.1
+    roughly 3M of the ~1.25G possible pairs genuinely exceed J ≥ 0.8,
+    so ANY exact algorithm's output (and verify cost) is quadratic-ish
+    there; that regime belongs to the brute-force baseline, not the
+    scale path (measured: 65 s at sf0.1 on word sets vs ~1 s here).
     """
     documents = load_table(spark, sf_dir, "documents")
-    docs = documents.select("doc_id", _word_set(F.col("text")).alias("ws"))
-    return jaccard_join_prefix(docs, t_num=4, t_den=5)
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    return jaccard_join_prefix(docs, t_num=1, t_den=2)

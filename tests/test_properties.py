@@ -384,3 +384,72 @@ def test_global_shuffle_append_stable(spark, ids):
         by_shard.setdefault(s, []).append(p)
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+# Small token alphabet forces heavy set overlap — the adversarial
+# regime for prefix filtering (ties in df, shared rare tokens).
+_tokens = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_tokens, min_size=2, max_size=10))
+def test_prefix_filter_join_equals_brute_force(spark, sets):
+    """dd12's prefix-filter join returns EXACTLY the brute-force pair
+    set on arbitrary token sets — losslessness is a theorem, so any
+    counterexample is a bug, not noise."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        jaccard_join_prefix,
+    )
+
+    expected = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            si, sj = set(sets[i]), set(sets[j])
+            if len(si & sj) / len(si | sj) >= 0.8:
+                expected.add((i, j))
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(sets)],
+        "doc_id long, ws array<string>",
+    )
+    got = {(r.doc_a, r.doc_b) for r in jaccard_join_prefix(df).collect()}
+    assert got == expected
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(_edges)
+def test_integer_pagerank_invariants(spark, pairs):
+    """On any graph: every endpoint gets a rank, total rank never
+    exceeds the scale (div only truncates), every rank is at least the
+    teleport floor, and the result is independent of edge input order."""
+    from chicago_business_owners_data_engineering_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_integer,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in pairs}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in canon], "part_a long, part_b long"
+    )
+    ranks = {r.node: r["rank"] for r in pagerank_integer(df).collect()}
+    nodes = {n for e in canon for n in e}
+    assert set(ranks) == nodes
+    assert sum(ranks.values()) <= PR_SCALE
+    floor = (15 * (PR_SCALE // len(nodes))) // 100
+    assert all(v >= floor for v in ranks.values())
+    df_rev = spark.createDataFrame(
+        [(b, a) for a, b in sorted(canon, reverse=True)], "part_a long, part_b long"
+    )
+    ranks_rev = {r.node: r["rank"] for r in pagerank_integer(df_rev).collect()}
+    assert ranks == ranks_rev
