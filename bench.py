@@ -112,6 +112,7 @@ BENCH_R3C = [
     "dd11_char_span_dedup",
     "dd12_prefix_filter_jaccard",
     "tp14_leakage_safe_split",
+    "tx12_textrank_keywords",
 ]
 
 

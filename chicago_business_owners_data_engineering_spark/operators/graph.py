@@ -343,15 +343,28 @@ def triangle_counts(edges_canon: DataFrame) -> DataFrame:
     return member.groupBy("node").agg(F.count("*").alias("n_tri"))
 
 
-@query(
-    "gr01_pagerank",
-    oracle=_COPURCHASE_EDGE_CTE
-    + f"""
-    , edges AS (
-        SELECT part_a AS src, part_b AS dst FROM copairs
-        UNION ALL
-        SELECT part_b, part_a FROM copairs
-    ), deg AS (
+def _pagerank_oracle_chain(node_type: str = "BIGINT") -> str:
+    """The 3-iteration integer-PageRank CTE chain, appended after an
+    ``edges(src, dst)`` CTE (bidirectional). Shared by gr01 (part
+    nodes) and tx12 (word nodes) so both oracles replay the IDENTICAL
+    recurrence; ``node_type`` only documents the key type, the SQL is
+    type-agnostic."""
+    it = "".join(
+        f"""
+    , s{i} AS (
+        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+        FROM r{i - 1} r JOIN edges e ON r.node = e.src GROUP BY 1
+    ), r{i} AS (
+        SELECT b.node, b.deg, b.base,
+               ({PR_TELEPORT_PCT} * b.base) // 100
+               + ({100 - PR_TELEPORT_PCT} * s.s) // 100 AS rank
+        FROM base b JOIN s{i} s ON b.node = s.node
+    )"""
+        for i in range(1, PR_ITERATIONS + 1)
+    )
+    return (
+        f"""
+    , deg AS (
         SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         FROM edges GROUP BY 1
     ), n AS (
@@ -360,30 +373,24 @@ def triangle_counts(edges_canon: DataFrame) -> DataFrame:
         SELECT node, deg, {PR_SCALE} // n_nodes AS base FROM deg, n
     ), r0 AS (
         SELECT node, deg, base, base AS rank FROM base
-    ), s1 AS (
-        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
-        FROM r0 r JOIN edges e ON r.node = e.src GROUP BY 1
-    ), r1 AS (
-        SELECT b.node, b.deg, b.base,
-               ({PR_TELEPORT_PCT} * b.base) // 100 + (85 * s.s) // 100 AS rank
-        FROM base b JOIN s1 s ON b.node = s.node
-    ), s2 AS (
-        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
-        FROM r1 r JOIN edges e ON r.node = e.src GROUP BY 1
-    ), r2 AS (
-        SELECT b.node, b.deg, b.base,
-               ({PR_TELEPORT_PCT} * b.base) // 100 + (85 * s.s) // 100 AS rank
-        FROM base b JOIN s2 s ON b.node = s.node
-    ), s3 AS (
-        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
-        FROM r2 r JOIN edges e ON r.node = e.src GROUP BY 1
-    ), r3 AS (
-        SELECT b.node, b.deg, b.base,
-               ({PR_TELEPORT_PCT} * b.base) // 100 + (85 * s.s) // 100 AS rank
-        FROM base b JOIN s3 s ON b.node = s.node
+    )"""
+        + it
     )
+
+
+@query(
+    "gr01_pagerank",
+    oracle=_COPURCHASE_EDGE_CTE
+    + """
+    , edges AS (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL
+        SELECT part_b, part_a FROM copairs
+    )"""
+    + _pagerank_oracle_chain()
+    + f"""
     SELECT node AS part, rank AS pr_micro
-    FROM r3 ORDER BY pr_micro DESC, part LIMIT 20
+    FROM r{PR_ITERATIONS} ORDER BY pr_micro DESC, part LIMIT 20
     """,
 )
 def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,8 +411,6 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_micro"), F.asc("part"))
         .limit(20)
     )
-
-
 @query(
     "gr02_triangle_counts",
     oracle=_COPURCHASE_EDGE_CTE
@@ -481,4 +486,77 @@ def dd08_components_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.join(sizes, "component")
         .select("doc_id", "component", "csize")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "tx12_textrank_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+    ), raw AS (
+        SELECT t, UNNEST(RANGE(1, LEN(t))) AS i FROM toks WHERE LEN(t) >= 2
+    ), adj AS (
+        SELECT t[i] AS a, t[i + 1] AS b FROM raw
+    ), wpairs AS (
+        SELECT DISTINCT LEAST(a, b) AS wa, GREATEST(a, b) AS wb
+        FROM adj
+        WHERE LENGTH(a) >= 3 AND LENGTH(b) >= 3 AND a <> b
+    ), edges AS (
+        SELECT wa AS src, wb AS dst FROM wpairs
+        UNION ALL
+        SELECT wb, wa FROM wpairs
+    )"""
+    + _pagerank_oracle_chain(node_type="VARCHAR")
+    + f"""
+    SELECT node AS word, rank AS pr_micro
+    FROM r{PR_ITERATIONS} ORDER BY pr_micro DESC, word LIMIT 20
+    """,
+)
+def tx12_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over word co-occurrence.
+
+    Mihalcea & Tarau's TextRank, corpus-level: nodes are words (≥ 3
+    chars), edges connect words ADJACENT in running text (window 2,
+    undirected, deduplicated), and importance is the stationary
+    centrality — a word matters because it co-occurs with words that
+    matter, which is what separates structural keywords from merely
+    frequent ones (tx06's tf-idf scores terms by rarity; this scores
+    them by connectivity). Reuses the IDENTICAL integer recurrence and
+    oracle chain as gr01 — node ids are strings here, which the
+    rank/degree arithmetic never touches; one operator core, two graph
+    domains.
+
+    Scale shape: the edge build is one tokenize + zip-shift projection
+    (no shuffle) into a distinct on the (bounded-vocabulary) word-pair
+    relation; PageRank then runs on a vocabulary-sized graph regardless
+    of corpus size — the corpus-sized work is exactly one scan.
+    """
+    from ..catalog import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    sz = F.size(t)
+    adj = F.zip_with(
+        F.slice(t, 1, sz - 1),
+        F.slice(t, 2, sz - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    pairs = (
+        documents.filter(sz >= 2)
+        .select(F.explode(adj).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(
+            (F.length("a") >= 3) & (F.length("b") >= 3) & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("part_a"), F.greatest("a", "b").alias("part_b")
+        )
+        .distinct()
+    )
+    pr = pagerank_integer(pairs)
+    return (
+        pr.select(F.col("node").alias("word"), F.col("rank").alias("pr_micro"))
+        .orderBy(F.desc("pr_micro"), F.asc("word"))
+        .limit(20)
     )
