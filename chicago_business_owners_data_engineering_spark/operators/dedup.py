@@ -1127,3 +1127,55 @@ def dd12_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
     return jaccard_join_prefix(docs, t_num=1, t_den=2)
+
+
+def minhash_index_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "shingles",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> tuple[DataFrame, DataFrame]:
+    """Storable LSH index relations for a (id, token-set) batch.
+
+    Returns ``(bands, hsets)``: the banded bucket keys
+    (id, band_id, band_hash) and the hashed token sets (id, hset) —
+    exactly the two relations a persistent near-dup index needs (bucket
+    probes join on the first, exact-Jaccard verification on the
+    second; storing them separately avoids duplicating the hset across
+    a doc's bands). Same signature arithmetic as
+    :func:`minhash_lsh_pairs`, as a pure per-row projection — so an
+    index built batch-by-batch (streaming) and one built in a single
+    pass produce byte-identical rows.
+    """
+    hset = F.transform(F.col(set_col), lambda t: F.xxhash64(t))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hset"), lambda h: F.xxhash64(h, F.lit(i)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = docs.select(id_col, hset.alias("hset")).select(
+        id_col, "hset", *sig_cols
+    )
+    n_bands = num_hashes // band_size
+    bands = per_doc.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{band * band_size + r}")
+                                for r in range(band_size)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_id", "b.band_hash")
+    return bands, per_doc.select(id_col, "hset")

@@ -652,3 +652,150 @@ def foreach_batch_incremental_rollup(gold_path: str):
         os.makedirs(marker, exist_ok=True)
 
     return sink
+
+
+def foreach_batch_neardup_dedup(
+    index_path: str, threshold: float = 0.5
+):
+    """Streaming near-dup admission control: the online twin of dd04→dd07.
+
+    Each micro-batch of (doc_id, text) is admitted only if it is NOT a
+    near-duplicate (shingle Jaccard ≥ ``threshold``) of (i) any
+    previously admitted document or (ii) any smaller-id document in the
+    same batch that itself passed (i). Admitted docs append their LSH
+    relations to the stored index; dropped docs never enter it. This is
+    how a training-data ingest keeps a corpus near-dup-free WITHOUT
+    re-running corpus-wide dedup per delivery — per batch the work is
+    batch-sized probes against bucket-matched index rows, never a scan
+    of the corpus text (the index stores only band keys + hashed token
+    sets — raw text is not needed for verification, same trick as the
+    vector pipeline's stored-codes SDC dedup).
+
+    Candidate generation broadcasts the (small) batch band keys onto
+    the partitioned index relation; verification joins hashed token
+    sets and applies the exact Jaccard — LSH tuning affects recall
+    only, precision is exact (same contract as neardup_edges).
+
+    Within-batch rule is deliberately PAIRWISE, not transitive: a doc
+    is dropped iff it directly matches an earlier admitted doc. The
+    batch-local component closure (dd06's semantics, where A~B, B~C
+    drops C even when A≁C) would need iterative rounds per micro-batch;
+    in the online setting each drop decision stays justified by a
+    concrete matching survivor. Exactly-once under micro-batch replay:
+    each epoch publishes into its own ``epoch=N`` partition with
+    overwrite semantics (idempotent even against a crash mid-publish),
+    and the epoch-ledger marker short-circuits fully committed replays
+    — the same protocol family as the incremental rollup sink.
+    """
+    import os
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(index_path, "_ledger", f"epoch={epoch_id}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already admitted/appended, skip
+        from ..operators.dedup import _shingle_set, minhash_index_rows
+
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            "doc_id", _shingle_set(F.col("text")).alias("sh")
+        )
+        bands, hsets = minhash_index_rows(docs, "doc_id", "sh")
+        # Batch-sized relations, consumed by several joins below —
+        # materialize once instead of recomputing signatures per join.
+        bands = bands.localCheckpoint(eager=True)
+        hsets = hsets.localCheckpoint(eager=True)
+
+        bands_path = os.path.join(index_path, "bands")
+        hsets_path = os.path.join(index_path, "hsets")
+        try:
+            idx_bands = spark.read.parquet(bands_path)
+            idx_hsets = spark.read.parquet(hsets_path)
+        except Exception:  # noqa: BLE001 — first batch, empty index
+            idx_bands = idx_hsets = None
+
+        inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+        union = F.size("ws_a") + F.size("ws_b") - inter
+
+        def matches(cand: DataFrame, left_h: DataFrame, right_h: DataFrame):
+            """doc_a values whose candidate pair verifies at ≥ threshold."""
+            return (
+                cand.join(
+                    left_h.select(
+                        F.col("doc_id").alias("doc_a"), F.col("hset").alias("ws_a")
+                    ),
+                    "doc_a",
+                )
+                .join(
+                    right_h.select(
+                        F.col("doc_id").alias("doc_b"), F.col("hset").alias("ws_b")
+                    ),
+                    "doc_b",
+                )
+                .filter((inter / union) >= threshold)
+                .select("doc_a")
+                .distinct()
+            )
+
+        if idx_bands is not None:
+            cand_idx = (
+                F.broadcast(bands)
+                .alias("n")
+                .join(
+                    idx_bands.alias("o"),
+                    (F.col("n.band_id") == F.col("o.band_id"))
+                    & (F.col("n.band_hash") == F.col("o.band_hash")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("doc_a"),
+                    F.col("o.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            dropped_idx = matches(cand_idx, hsets, idx_hsets)
+            survivors1 = docs.join(
+                dropped_idx.withColumnRenamed("doc_a", "doc_id"),
+                "doc_id",
+                "left_anti",
+            ).select("doc_id")
+        else:
+            survivors1 = docs.select("doc_id")
+        survivors1 = survivors1.localCheckpoint(eager=True)
+
+        # Within-batch: candidate pairs among survivors of (i); drop the
+        # larger id of each verified pair.
+        s_bands = bands.join(survivors1, "doc_id")
+        l, r = s_bands.alias("l"), s_bands.alias("r")
+        cand_batch = (
+            l.join(
+                r,
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.doc_id") > F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        dropped_batch = matches(cand_batch, hsets, hsets)
+        admitted = survivors1.join(
+            dropped_batch.withColumnRenamed("doc_a", "doc_id"),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+
+        # Publish, then record the epoch. Each epoch OVERWRITES its own
+        # epoch=N partition directory instead of appending to a shared
+        # one: a crash after a partial publish replays into an
+        # overwrite of the same path — idempotent — where a bare append
+        # would duplicate the batch's rows. The marker then only saves
+        # the (harmless) re-publish work on replay.
+        bands.join(admitted, "doc_id").write.mode("overwrite").parquet(
+            os.path.join(bands_path, f"epoch={epoch_id}")
+        )
+        hsets.join(admitted, "doc_id").write.mode("overwrite").parquet(
+            os.path.join(hsets_path, f"epoch={epoch_id}")
+        )
+        os.makedirs(marker, exist_ok=True)
+
+    return sink

@@ -142,3 +142,87 @@ def test_vector_index_streaming_append(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(str(tmp_path / "vec" / "pq_index")).count() == base + 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup admission control (foreach_batch_neardup_dedup)
+# ---------------------------------------------------------------------------
+
+_BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu xi omicron pi rho sigma tau upsilon"
+)
+_VARIANT = _BASE.replace("kappa", "kappa2")  # high-Jaccard near-dup
+_OTHER = (
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen"
+)
+
+
+def _stage_docs(tmp_path):
+    import pandas as pd
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    # batch0: original + an in-batch near-dup + an unrelated doc
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [_BASE, _VARIANT, _OTHER]}
+    ).to_parquet(str(src / "b0.parquet"))
+    # batch1: a cross-batch near-dup of doc 1 + a fresh doc
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [
+                _BASE + " omega",
+                "completely fresh content nothing shared with any prior document at all today",
+            ],
+        }
+    ).to_parquet(str(src / "b1.parquet"))
+    return src
+
+
+def _run_neardup(spark, src, index, ckpt):
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        foreach_batch_neardup_dedup,
+    )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(foreach_batch_neardup_dedup(str(index)))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _admitted(spark, index):
+    return {
+        r.doc_id
+        for r in spark.read.parquet(str(index / "hsets")).select("doc_id").collect()
+    }
+
+
+def test_neardup_stream_admission(spark, tmp_path):
+    src = _stage_docs(tmp_path)
+    index = tmp_path / "nd_index"
+    _run_neardup(spark, src, index, tmp_path / "nd_ckpt")
+    got = _admitted(spark, index)
+    # doc 2 (in-batch near-dup of 1) and doc 10 (cross-batch near-dup
+    # of indexed doc 1) must be dropped; 1, 3, 11 admitted.
+    assert got == {1, 3, 11}, got
+
+
+def test_neardup_stream_replay_is_idempotent(spark, tmp_path):
+    src = _stage_docs(tmp_path)
+    index = tmp_path / "nd_index2"
+    _run_neardup(spark, src, index, tmp_path / "nd_ckpt2")
+    first = spark.read.parquet(str(index / "hsets")).count()
+    # Fresh checkpoint replays every batch from scratch — admissions
+    # and index contents must not duplicate (epoch dirs overwrite,
+    # ledger short-circuits).
+    _run_neardup(spark, src, index, tmp_path / "nd_ckpt3")
+    assert spark.read.parquet(str(index / "hsets")).count() == first
+    assert _admitted(spark, index) == {1, 3, 11}
