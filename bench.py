@@ -113,6 +113,7 @@ BENCH_R3C = [
     "dd12_prefix_filter_jaccard",
     "tp14_leakage_safe_split",
     "tx12_textrank_keywords",
+    "tp15_temperature_mixture",
 ]
 
 

@@ -854,3 +854,89 @@ def tp14_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TEMP_ALPHA_SCALE = 1_000_000  # integer weight unit for temperature mixing
+TEMP_BUDGET = 1_000  # total docs in the mixed sample
+
+
+@query(
+    "tp15_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ), weights AS (
+        -- alpha = 0.5 temperature: weight = cnt^0.5, scaled to int64.
+        SELECT source, cnt,
+               CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE)) * {TEMP_ALPHA_SCALE}) AS BIGINT) AS w
+        FROM counts
+    ), tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM weights
+    ), targets AS (
+        SELECT source, cnt, w, ({TEMP_BUDGET} * w) // wsum AS target
+        FROM weights, tot
+    ), ranked AS (
+        SELECT d.doc_id, d.source, t.target,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY CAST(CONCAT('0x', SUBSTRING(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                            d.doc_id) AS rn
+        FROM documents d JOIN targets t ON d.source = t.source
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_rank
+    FROM ranked WHERE rn <= target
+    ORDER BY source, pick_rank
+    """,
+)
+def tp15_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (α = 0.5): the multilingual
+    α-sampling recipe, deterministic end to end.
+
+    Proportional sampling lets the largest source drown the tail;
+    uniform sampling starves it of its own signal. The standard
+    compromise (the exponential-smoothing mix used for multilingual
+    pretraining) samples source i proportionally to cnt_i^α — α = 0.5
+    halves the log-gap between head and tail sources. tp08 mixes at
+    FIXED per-source rates; this derives the rates from the corpus
+    itself.
+
+    Determinism discipline: weights are ``floor(sqrt(cnt)·10^6)`` int64
+    (sqrt is IEEE-correctly-rounded on both engines, and the integer
+    Σw avoids the order-dependent float SUM a naive normalization
+    would hit); per-source quotas are integer ``budget·w div Σw``; and
+    the within-source pick is tp12's RNG-free md5-priority rank, so the
+    sample is append-stable per source: new docs only displace picks
+    whose hash priority they beat, exactly like tp01's split
+    stability.
+
+    Scale shape: one corpus scan for counts (map-side combined), a
+    broadcast of the handful of (source, quota) rows back onto the
+    corpus, and one per-source window for the ranked pick — shuffle
+    keyed on source; with skewed sources the rank is computable per
+    shard + merge (tp13's grid form), documented not wired.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    counts = documents.groupBy("source").agg(F.count("*").alias("cnt"))
+    weights = counts.select(
+        "source",
+        "cnt",
+        F.floor(F.sqrt(F.col("cnt").cast("double")) * TEMP_ALPHA_SCALE)
+        .cast("long")
+        .alias("w"),
+    )
+    tot = weights.agg(F.sum("w").alias("wsum"))
+    targets = weights.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr(f"({TEMP_BUDGET} * w) div wsum").alias("target")
+    )
+    prio = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("source").orderBy(prio, F.col("doc_id"))
+    return (
+        documents.join(F.broadcast(targets), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("target"))
+        .select("doc_id", "source", F.col("rn").cast("long").alias("pick_rank"))
+        .orderBy("source", "pick_rank")
+    )
