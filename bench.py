@@ -114,6 +114,7 @@ BENCH_R3C = [
     "tp14_leakage_safe_split",
     "tx12_textrank_keywords",
     "tp15_temperature_mixture",
+    "sim11_mmr_rerank",
 ]
 
 

@@ -722,3 +722,129 @@ def sim10_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_id = {int(r["vec_id"]): np.array(r["raw"], dtype=np.float64) for r in sample}
     qv = [float(x) for x in (by_id[QUERY_VEC_ID] - mu) @ R.T]
     return _pq_adc_rerank(rot.filter(F.col("vec_id") != QUERY_VEC_ID), cb, qv)
+
+
+# MMR re-rank parameters — mirrored literally in the generated oracle.
+MMR_K = 5
+MMR_CAND = 20
+MMR_LAMBDA = 0.5  # exactly representable in binary — no drift
+
+
+def _mmr_oracle() -> str:
+    """Generated chained-CTE oracle replaying the greedy MMR loop:
+    candidate pool → K argmax rounds, each scoring every remaining
+    candidate against the selected set via a correlated MAX subquery.
+    MAX over ≤K−1 doubles is order-independent (unlike SUM), so the
+    whole chain is engine-deterministic; ties break on vec_id."""
+    head = f"""
+    WITH qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID}
+    ), qn AS (
+        SELECT LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v))) AS vn
+        FROM qv
+    ), en AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                              x -> x / SQRT(LIST_DOT_PRODUCT(
+                                  CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])))) AS vn
+        FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+    ), cand AS (
+        SELECT e.vec_id, e.vn, LIST_DOT_PRODUCT(e.vn, q.vn) AS rel
+        FROM en e, qn q
+        ORDER BY rel DESC, vec_id LIMIT {MMR_CAND}
+    ), p1 AS (
+        SELECT vec_id, vn, rel, {MMR_LAMBDA} * rel AS score
+        FROM cand ORDER BY score DESC, vec_id LIMIT 1
+    ), s1 AS (SELECT vec_id, vn FROM p1)"""
+    rounds = "".join(
+        f"""
+    , p{i} AS (
+        SELECT vec_id, vn, rel,
+               {MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} *
+               (SELECT MAX(LIST_DOT_PRODUCT(c.vn, s.vn)) FROM s{i - 1} s) AS score
+        FROM cand c
+        WHERE vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+        ORDER BY score DESC, vec_id LIMIT 1
+    ), s{i} AS (
+        SELECT vec_id, vn FROM s{i - 1}
+        UNION ALL SELECT vec_id, vn FROM p{i}
+    )"""
+        for i in range(2, MMR_K + 1)
+    )
+    tail = "\n    UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS pick_rank, vec_id,
+               ROUND(rel, 6) AS rel, ROUND(score, 6) AS mmr_score FROM p{i}"""
+        for i in range(1, MMR_K + 1)
+    )
+    return head + rounds + "\n    " + tail + "\n    ORDER BY pick_rank"
+
+
+@query("sim11_mmr_rerank", oracle=_mmr_oracle())
+def sim11_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: diversity-aware top-K re-ranking.
+
+    Plain cosine top-K returns near-duplicates of the best hit; MMR
+    (Carbonell & Goldstein '98 — the diversity pass behind RAG
+    retrieval stacks) greedily picks argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    sim(c, s), trading relevance against redundancy with the already-
+    selected set S.
+
+    Two-phase shape, which is also the 100 TB shape: the HEAVY phase is
+    one distributed scan scoring the corpus against the query and
+    keeping a {MMR_CAND}-row candidate pool (TakeOrderedAndProject;
+    at scale this phase is the ANN probe, sim03/sim09); the greedy loop
+    then runs K={MMR_K} driver-coordinated rounds over the POOL — each
+    round is a pool-sized job with the selected vectors broadcast as
+    literals, never a second corpus pass. All scoring stays in Spark
+    SQL expressions (zip_with dot over unit vectors, greatest() for the
+    max-sim term — MAX is order-independent where SUM is not), so the
+    generated DuckDB oracle replays the identical greedy trajectory and
+    the differential check is exact at every pick.
+    """
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    vn = F.transform(F.col("v"), lambda x: x / norm(F.col("v")))
+    en = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select("vec_id", vn.alias("vn"))
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(vn.alias("vn")).collect()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]["vn"]])
+    cand = (
+        en.select("vec_id", "vn", dot(F.col("vn"), qlit).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    picks: list[tuple] = []  # (pick_rank, vec_id, rel, score)
+    selected: list[list[float]] = []
+    remaining = cand
+    for i in range(1, MMR_K + 1):
+        if selected:
+            sims = [
+                dot(F.col("vn"), F.array(*[F.lit(float(x)) for x in s]))
+                for s in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(1 - MMR_LAMBDA) * maxsim
+        else:
+            score = F.lit(MMR_LAMBDA) * F.col("rel")
+        top = (
+            remaining.select("vec_id", "vn", "rel", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((i, top["vec_id"], top["rel"], top["score"]))
+        selected.append(list(top["vn"]))
+        remaining = remaining.filter(F.col("vec_id") != top["vec_id"])
+    out = spark.createDataFrame(
+        picks, "pick_rank long, vec_id long, rel double, mmr_score double"
+    )
+    return out.select(
+        "pick_rank",
+        "vec_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("pick_rank")

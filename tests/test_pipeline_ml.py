@@ -311,3 +311,44 @@ def test_tp14_split_never_separates_near_dups(spark, sf_dir):
     assert all(r.ns == 1 for r in per_group)
     frac_train = sum(1 for r in rows if r.split == "train") / n_docs
     assert 0.7 < frac_train < 0.9
+
+
+def test_sim11_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR's first pick is the plain top-1, every pick comes from the
+    candidate pool, and the selected set is never LESS diverse than the
+    plain top-K prefix (max pairwise cosine no larger)."""
+    import itertools
+    import math
+
+    from chicago_business_owners_data_engineering_spark import registry
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        MMR_K,
+        QUERY_VEC_ID,
+    )
+
+    mmr = registry.QUERIES["sim11_mmr_rerank"](spark, sf_dir).collect()
+    assert [r.pick_rank for r in mmr] == list(range(1, MMR_K + 1))
+    plain = registry.QUERIES["sim01_bruteforce_topk"](spark, sf_dir).collect()
+    assert mmr[0].vec_id == plain[0].vec_id
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def maxpair(ids):
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        return max(
+            cos(vecs[i], vecs[j]) for i, j in itertools.combinations(ids, 2)
+        )
+
+    mmr_ids = [r.vec_id for r in mmr]
+    plain_ids = [r.vec_id for r in plain[:MMR_K]]
+    assert QUERY_VEC_ID not in mmr_ids
+    assert maxpair(mmr_ids) <= maxpair(plain_ids) + 1e-12
