@@ -208,14 +208,10 @@ def minhash_lsh_pairs(
     # t∈set of xxhash64(xxhash64(t), i); the token set is already
     # distinct.) At 100 TB this removes the one O(docs·tokens) shuffle
     # the old plan had; the only exchanges left are the band bucket
-    # join and the candidate-verify joins.
-    hset = F.transform(F.col(set_col), lambda t: F.xxhash64(t))
-    sig_cols = [
-        F.array_min(F.transform(F.col("hset"), lambda h: F.xxhash64(h, F.lit(i)))).alias(
-            f"mh{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    # join and the candidate-verify joins. The per-doc and band
+    # relations come from the SAME builders the storable-index path
+    # uses (_minhash_per_doc/_minhash_bands), which is what guarantees
+    # a streaming-built index and this one-pass form stay row-identical.
     # Release the PREVIOUS call's cache before pinning a new one: four
     # call paths (dd04, dd06, dd07, pipeline dedup_near) plus repeated
     # bench/harness sweeps would otherwise each leak a persisted
@@ -224,31 +220,12 @@ def minhash_lsh_pairs(
     # plan that re-executes later just recomputes (correct, slower).
     while _PERSISTED_PER_DOC:
         _PERSISTED_PER_DOC.pop().unpersist()
-    per_doc = (
-        docs.select(id_col, hset.alias("hset"))
-        .select(id_col, "hset", *sig_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = _minhash_per_doc(docs, id_col, set_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     _PERSISTED_PER_DOC.append(per_doc)
-    sigs = per_doc
 
-    n_bands = num_hashes // band_size
-    bands = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"mh{band * band_size + r}") for r in range(band_size)]
-                        ).alias("band_hash"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "b.band_id", "b.band_hash")
+    bands = _minhash_bands(per_doc, id_col, num_hashes, band_size)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -885,8 +862,6 @@ def dd11_char_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to keep a 100 TB corpus's mask linear in duplicated spans, not
     characters.
     """
-    from pyspark.sql import Window
-
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
     return char_span_dedup_apply(documents).orderBy("doc_id")
 
@@ -1146,8 +1121,22 @@ def minhash_index_rows(
     a doc's bands). Same signature arithmetic as
     :func:`minhash_lsh_pairs`, as a pure per-row projection — so an
     index built batch-by-batch (streaming) and one built in a single
-    pass produce byte-identical rows.
+    pass produce byte-identical rows — enforced structurally: both
+    paths call the same two builders.
     """
+    per_doc = _minhash_per_doc(docs, id_col, set_col, num_hashes)
+    bands = _minhash_bands(per_doc, id_col, num_hashes, band_size)
+    return bands, per_doc.select(id_col, "hset")
+
+
+def _minhash_per_doc(
+    docs: DataFrame, id_col: str, set_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, hset, mh0..mhN-1): hashed token set + minhash slots, as a
+    pure per-row projection (see minhash_lsh_pairs for the no-shuffle
+    argument). THE single source of truth for signature arithmetic —
+    minhash_lsh_pairs (batch) and minhash_index_rows (stored/streaming
+    index) both build on it."""
     hset = F.transform(F.col(set_col), lambda t: F.xxhash64(t))
     sig_cols = [
         F.array_min(
@@ -1155,11 +1144,16 @@ def minhash_index_rows(
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    per_doc = docs.select(id_col, hset.alias("hset")).select(
-        id_col, "hset", *sig_cols
-    )
+    return docs.select(id_col, hset.alias("hset")).select(id_col, "hset", *sig_cols)
+
+
+def _minhash_bands(
+    per_doc: DataFrame, id_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH bucket keys from _minhash_per_doc
+    output; the shared twin of the signature builder above."""
     n_bands = num_hashes // band_size
-    bands = per_doc.select(
+    return per_doc.select(
         id_col,
         F.explode(
             F.array(
@@ -1178,4 +1172,3 @@ def minhash_index_rows(
             )
         ).alias("b"),
     ).select(id_col, "b.band_id", "b.band_hash")
-    return bands, per_doc.select(id_col, "hset")

@@ -655,7 +655,10 @@ def foreach_batch_incremental_rollup(gold_path: str):
 
 
 def foreach_batch_neardup_dedup(
-    index_path: str, threshold: float = 0.5
+    index_path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    band_size: int = 2,
 ):
     """Streaming near-dup admission control: the online twin of dd04→dd07.
 
@@ -676,12 +679,14 @@ def foreach_batch_neardup_dedup(
     sets and applies the exact Jaccard — LSH tuning affects recall
     only, precision is exact (same contract as neardup_edges).
 
-    Within-batch rule is deliberately PAIRWISE, not transitive: a doc
-    is dropped iff it directly matches an earlier admitted doc. The
-    batch-local component closure (dd06's semantics, where A~B, B~C
-    drops C even when A≁C) would need iterative rounds per micro-batch;
-    in the online setting each drop decision stays justified by a
-    concrete matching survivor. Exactly-once under micro-batch replay:
+    Within-batch rule: a doc is dropped iff it directly matches a
+    smaller-id doc that was itself ADMITTED — so in a chain A~B, B~C
+    with A≁C, doc C survives because its only blocker B was dropped.
+    Every drop stays justified by a concrete surviving near-duplicate
+    (unlike dd06's component closure, which would drop C transitively);
+    the sequential pass runs on the driver over the collected verified
+    PAIRS, sized by within-batch near-dup count, not batch size.
+    Exactly-once under micro-batch replay:
     each epoch publishes into its own ``epoch=N`` partition with
     overwrite semantics (idempotent even against a crash mid-publish),
     and the epoch-ledger marker short-circuits fully committed replays
@@ -699,7 +704,14 @@ def foreach_batch_neardup_dedup(
         docs = batch_df.select(
             "doc_id", _shingle_set(F.col("text")).alias("sh")
         )
-        bands, hsets = minhash_index_rows(docs, "doc_id", "sh")
+        # 32 hashes in 16 bands of 2 — the same recall-aggressive
+        # tuning as the batch path (neardup_edges): at the 0.5
+        # threshold the default 4×4 banding misses ~70% of borderline
+        # pairs; 16×2 misses ~1%. Band parameters are part of the
+        # stored index format, so they are fixed per sink instance.
+        bands, hsets = minhash_index_rows(
+            docs, "doc_id", "sh", num_hashes=num_hashes, band_size=band_size
+        )
         # Batch-sized relations, consumed by several joins below —
         # materialize once instead of recomputing signatures per join.
         bands = bands.localCheckpoint(eager=True)
@@ -707,17 +719,30 @@ def foreach_batch_neardup_dedup(
 
         bands_path = os.path.join(index_path, "bands")
         hsets_path = os.path.join(index_path, "hsets")
-        try:
-            idx_bands = spark.read.parquet(bands_path)
-            idx_hsets = spark.read.parquet(hsets_path)
-        except Exception:  # noqa: BLE001 — first batch, empty index
+        # Existence check, NOT try/except: a transient read error here
+        # must FAIL the batch (the engine retries), because treating it
+        # as "empty index" would silently admit near-dups of already
+        # indexed docs — an unrepairable corruption of the invariant.
+        if os.path.exists(bands_path):
+            # Restrict to epochs STRICTLY BEFORE this one: after a
+            # crash between publish and marker, the replay would
+            # otherwise see its own epoch's rows, self-match every doc
+            # at J=1.0, and overwrite the partition as empty — losing
+            # the batch. (epoch=N discovery gives us the column.)
+            idx_bands = spark.read.parquet(bands_path).filter(
+                F.col("epoch") < epoch_id
+            )
+            idx_hsets = spark.read.parquet(hsets_path).filter(
+                F.col("epoch") < epoch_id
+            )
+        else:
             idx_bands = idx_hsets = None
 
         inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
         union = F.size("ws_a") + F.size("ws_b") - inter
 
         def matches(cand: DataFrame, left_h: DataFrame, right_h: DataFrame):
-            """doc_a values whose candidate pair verifies at ≥ threshold."""
+            """Candidate pairs that verify at ≥ threshold, as (doc_a, doc_b)."""
             return (
                 cand.join(
                     left_h.select(
@@ -732,7 +757,7 @@ def foreach_batch_neardup_dedup(
                     "doc_b",
                 )
                 .filter((inter / union) >= threshold)
-                .select("doc_a")
+                .select("doc_a", "doc_b")
                 .distinct()
             )
 
@@ -751,9 +776,9 @@ def foreach_batch_neardup_dedup(
                 )
                 .distinct()
             )
-            dropped_idx = matches(cand_idx, hsets, idx_hsets)
+            dropped_idx = matches(cand_idx, hsets, idx_hsets).select("doc_a")
             survivors1 = docs.join(
-                dropped_idx.withColumnRenamed("doc_a", "doc_id"),
+                dropped_idx.withColumnRenamed("doc_a", "doc_id").distinct(),
                 "doc_id",
                 "left_anti",
             ).select("doc_id")
@@ -777,11 +802,25 @@ def foreach_batch_neardup_dedup(
             )
             .distinct()
         )
-        dropped_batch = matches(cand_batch, hsets, hsets)
-        admitted = survivors1.join(
-            dropped_batch.withColumnRenamed("doc_a", "doc_id"),
-            "doc_id",
-            "left_anti",
+        # The admitted-blocker rule is inherently sequential: in a chain
+        # A~B, B~C, A≁C, doc C is admitted because its only match B was
+        # itself dropped. Resolve the greedy pass on the DRIVER over the
+        # collected verified-pair list — sized by the number of
+        # within-batch near-dup PAIRS (essentially always tiny), never
+        # by the batch; the distributed work above already reduced the
+        # batch to exactly this sparse relation.
+        nbrs: dict = {}
+        for r in matches(cand_batch, hsets, hsets).collect():
+            nbrs.setdefault(r["doc_a"], set()).add(r["doc_b"])
+            nbrs.setdefault(r["doc_b"], set()).add(r["doc_a"])
+        dropped: set = set()
+        for d in sorted(nbrs):
+            if any(n < d and n not in dropped for n in nbrs[d]):
+                dropped.add(d)
+        admitted = (
+            survivors1.filter(~F.col("doc_id").isin(sorted(dropped)))
+            if dropped
+            else survivors1
         ).localCheckpoint(eager=True)
 
         # Publish, then record the epoch. Each epoch OVERWRITES its own

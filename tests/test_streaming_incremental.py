@@ -226,3 +226,54 @@ def test_neardup_stream_replay_is_idempotent(spark, tmp_path):
     _run_neardup(spark, src, index, tmp_path / "nd_ckpt3")
     assert spark.read.parquet(str(index / "hsets")).count() == first
     assert _admitted(spark, index) == {1, 3, 11}
+
+
+def test_neardup_stream_chain_admits_unblocked_doc(spark, tmp_path):
+    """A~B, B~C, A≁C in ONE batch: B drops (matches admitted A), but C
+    must be ADMITTED — its only match B was itself dropped. The
+    admitted-blocker rule, not transitive component closure."""
+    import pandas as pd
+
+    words = [f"w{i}" for i in range(12)]
+    a = list(words)
+    b = list(words); b[4] = "CHANGED-B"
+    c = list(b);     c[9] = "CHANGED-C"  # differs from a at 4 AND 9
+    src = tmp_path / "chain_src"
+    src.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [" ".join(a), " ".join(b), " ".join(c)]}
+    ).to_parquet(str(src / "b0.parquet"))
+    index = tmp_path / "chain_index"
+    _run_neardup(spark, src, index, tmp_path / "chain_ckpt")
+    assert _admitted(spark, index) == {1, 3}
+
+
+def test_neardup_stream_crash_before_marker_replay(spark, tmp_path):
+    """Crash AFTER publishing epoch=N but BEFORE the ledger marker:
+    the replay must not self-match the batch against its own published
+    rows (which would empty the epoch) — the index probe reads only
+    epochs strictly before the current one."""
+    import shutil
+
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        foreach_batch_neardup_dedup,
+    )
+
+    index = tmp_path / "crash_index"
+    sink = foreach_batch_neardup_dedup(str(index))
+    batch = spark.createDataFrame(
+        [(1, _BASE), (2, _OTHER)], "doc_id long, text string"
+    )
+    sink(batch, 0)
+    assert _admitted(spark, index) == {1, 2}
+    # simulate the crash window: publish happened, marker lost
+    shutil.rmtree(str(index / "_ledger"))
+    sink(batch, 0)
+    assert _admitted(spark, index) == {1, 2}
+    # and a genuinely new epoch still dedups against epoch 0
+    batch2 = spark.createDataFrame(
+        [(7, _BASE + " omega"), (8, "brand new words never seen anywhere before today honestly")],
+        "doc_id long, text string",
+    )
+    sink(batch2, 1)
+    assert _admitted(spark, index) == {1, 2, 8}
