@@ -115,6 +115,7 @@ BENCH_R3C = [
     "tx12_textrank_keywords",
     "tp15_temperature_mixture",
     "sim11_mmr_rerank",
+    "gr03_weighted_pagerank",
 ]
 
 

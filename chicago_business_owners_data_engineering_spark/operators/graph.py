@@ -210,6 +210,7 @@ def pagerank_integer(
     iterations: int = PR_ITERATIONS,
     scale: int = PR_SCALE,
     teleport_pct: int = PR_TELEPORT_PCT,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in pure int64 arithmetic → (node, rank).
 
@@ -221,11 +222,16 @@ def pagerank_integer(
     bit-identical on any engine:
 
         base        = scale div N
-        contrib(u)  = rank(u) div deg(u)
+        contrib(u)  = rank(u) div deg(u)            (unweighted)
+                    = (rank(u)·w_uv) div strength(u) (weighted)
         rank'(v)    = (teleport_pct·base) div 100
                     + ((100−teleport_pct)·Σ contrib) div 100
 
-    The div-truncation loses < 1 micro-unit per op — irrelevant for
+    where deg/strength is the (weighted) degree of ``u``. With
+    ``weight_col`` set, each edge carries an int64 weight and mass
+    splits proportionally (rank ≤ scale and weights are edge counts, so
+    the rank·w product stays far from int64 overflow). The
+    div-truncation loses < 1 micro-unit per op — irrelevant for
     ranking, decisive for reproducibility (same reasoning as er03's
     integer money math). The graph is undirected/bidirectional, so
     every node has deg ≥ 1 and in-edges — no dangling-mass term.
@@ -236,16 +242,20 @@ def pagerank_integer(
     is ``localCheckpoint``-ed once; with a fixed small iteration count
     the unrolled plan stays shallow (no per-round checkpoint needed).
     """
+    wcols = [F.col(weight_col).alias("w")] if weight_col else []
     bidir = (
-        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        edges_canon.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst"), *wcols
+        )
         .unionByName(
             edges_canon.select(
-                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst"), *wcols
             )
         )
         .localCheckpoint(eager=True)
     )
-    deg = bidir.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+    mass = F.sum("w") if weight_col else F.count("*")
+    deg = bidir.groupBy("src").agg(mass.alias("deg")).withColumnRenamed(
         "src", "node"
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
@@ -254,9 +264,10 @@ def pagerank_integer(
     )
     state = base.withColumn("rank", F.col("base"))
     keep_pct = 100 - teleport_pct
+    contrib_expr = "(rank * w) div deg" if weight_col else "rank div deg"
     for _ in range(iterations):
         contrib = state.join(bidir, state["node"] == bidir["src"]).select(
-            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
+            F.col("dst").alias("node"), F.expr(contrib_expr).alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         state = base.join(sums, "node").select(
@@ -343,16 +354,19 @@ def triangle_counts(edges_canon: DataFrame) -> DataFrame:
     return member.groupBy("node").agg(F.count("*").alias("n_tri"))
 
 
-def _pagerank_oracle_chain(node_type: str = "BIGINT") -> str:
+def _pagerank_oracle_chain(node_type: str = "BIGINT", weighted: bool = False) -> str:
     """The 3-iteration integer-PageRank CTE chain, appended after an
-    ``edges(src, dst)`` CTE (bidirectional). Shared by gr01 (part
-    nodes) and tx12 (word nodes) so both oracles replay the IDENTICAL
-    recurrence; ``node_type`` only documents the key type, the SQL is
+    ``edges(src, dst)`` CTE (bidirectional; with a ``w`` column when
+    ``weighted``). Shared by gr01 (part nodes), gr03 (weighted) and
+    tx12 (word nodes) so every oracle replays the IDENTICAL recurrence;
+    ``node_type`` only documents the key type, the SQL is
     type-agnostic."""
+    contrib = "(r.rank * e.w) // r.deg" if weighted else "r.rank // r.deg"
+    mass = "SUM(w)" if weighted else "COUNT(*)"
     it = "".join(
         f"""
     , s{i} AS (
-        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+        SELECT e.dst AS node, CAST(SUM({contrib}) AS BIGINT) AS s
         FROM r{i - 1} r JOIN edges e ON r.node = e.src GROUP BY 1
     ), r{i} AS (
         SELECT b.node, b.deg, b.base,
@@ -365,7 +379,7 @@ def _pagerank_oracle_chain(node_type: str = "BIGINT") -> str:
     return (
         f"""
     , deg AS (
-        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        SELECT src AS node, CAST({mass} AS BIGINT) AS deg
         FROM edges GROUP BY 1
     ), n AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
@@ -558,5 +572,85 @@ def tx12_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pr.select(F.col("node").alias("word"), F.col("rank").alias("pr_micro"))
         .orderBy(F.desc("pr_micro"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def copurchase_edges_weighted(lineitem: DataFrame) -> DataFrame:
+    """(part_a < part_b, w) co-purchase edges, w = co-occurrence count.
+
+    Same blocked self-join as :func:`copurchase_edges`, but the
+    groupBy keeps the number of distinct 1995 orders each pair shared —
+    the natural edge weight for the ranking variants.
+    """
+    items = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+@query(
+    "gr03_weighted_pagerank",
+    oracle=_COPURCHASE_EDGE_CTE.replace(
+        """        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2""",
+        """        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2""",
+    )
+    + """
+    , edges AS (
+        SELECT part_a AS src, part_b AS dst, w FROM copairs
+        UNION ALL
+        SELECT part_b, part_a, w FROM copairs
+    )"""
+    + _pagerank_oracle_chain(weighted=True)
+    + f"""
+    SELECT node AS part, rank AS pr_micro
+    FROM r{PR_ITERATIONS} ORDER BY pr_micro DESC, part LIMIT 20
+    """,
+)
+def gr03_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 WEIGHTED co-purchase PageRank: frequency-aware centrality.
+
+    gr01 treats a pair bought together 40 times and a pair that
+    coincided once as the same edge; here mass splits proportionally to
+    co-occurrence count, so parts tied by habitual co-purchase pull
+    rank toward each other while one-off coincidences barely register —
+    the difference between a bundle anchor and a lucky basket. Same
+    int64 recurrence (contribution = rank·w div strength) and the same
+    generated oracle chain with the weighted terms switched in; see
+    :func:`pagerank_integer`.
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges_weighted(load_table(spark, sf_dir, "lineitem"))
+    pr = pagerank_integer(edges, weight_col="w")
+    return (
+        pr.select(F.col("node").alias("part"), F.col("rank").alias("pr_micro"))
+        .orderBy(F.desc("pr_micro"), F.asc("part"))
         .limit(20)
     )

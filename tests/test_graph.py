@@ -131,3 +131,30 @@ def test_triangle_counts_skewed_hub(spark):
         for r in triangle_counts(_edges(spark, star + [(1, 2)])).collect()
     }
     assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    # With every weight = 1 the weighted recurrence must reduce to the
+    # unweighted one bit-for-bit; with a heavy edge, rank must flow
+    # toward the heavily-connected node.
+    from chicago_business_owners_data_engineering_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    uw = spark.createDataFrame(pairs, "part_a long, part_b long")
+    w1 = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "part_a long, part_b long, w long"
+    )
+    r_uw = {r.node: r["rank"] for r in pagerank_integer(uw).collect()}
+    r_w1 = {r.node: r["rank"] for r in pagerank_integer(w1, weight_col="w").collect()}
+    assert r_uw == r_w1
+
+    # Node 4's only edge (3,4) gets weight 50: node 3 now sends most of
+    # its mass to 4, so 4 must outrank its uniform-weight self.
+    wheavy = spark.createDataFrame(
+        [(a, b, 50 if (a, b) == (3, 4) else 1) for a, b in pairs],
+        "part_a long, part_b long, w long",
+    )
+    r_h = {r.node: r["rank"] for r in pagerank_integer(wheavy, weight_col="w").collect()}
+    assert r_h[4] > r_w1[4]
