@@ -685,22 +685,70 @@ def foreach_batch_neardup_dedup(
     Every drop stays justified by a concrete surviving near-duplicate
     (unlike dd06's component closure, which would drop C transitively);
     the sequential pass runs on the driver over the collected verified
-    PAIRS, sized by within-batch near-dup count, not batch size.
-    Exactly-once under micro-batch replay:
-    each epoch publishes into its own ``epoch=N`` partition with
-    overwrite semantics (idempotent even against a crash mid-publish),
-    and the epoch-ledger marker short-circuits fully committed replays
-    — the same protocol family as the incremental rollup sink.
+    PAIRS, sized by within-batch near-dup count. A dup-storm batch
+    whose pair count exceeds ``MAX_DRIVER_PAIRS`` falls back to the
+    fully distributed one-shot rule (drop any doc matching a smaller
+    survivor) — conservatively over-dropping chain tails is the bounded
+    failure mode; a driver OOM is not.
+
+    Exactly-once under micro-batch replay: each epoch publishes into
+    its own ``epoch=N`` partition with overwrite semantics (idempotent
+    even against a crash mid-publish), and the epoch-ledger marker
+    short-circuits fully committed replays — the same protocol family
+    as the incremental rollup sink. The index probe reads only when
+    BOTH relations exist (a bands-only tree is a torn current-epoch
+    publish, whose rows the epoch filter excludes anyway) and records
+    its (num_hashes, band_size, threshold) in ``_meta.json`` on first
+    publish — resuming with different parameters raises instead of
+    silently probing an incompatible band format. All index-path
+    existence/marker operations go through the Hadoop FileSystem API,
+    so the index can live on any Spark-reachable store, not just the
+    driver's local disk.
     """
-    import os
+    import json as _json
+    import posixpath
+
+    MAX_DRIVER_PAIRS = 100_000
+
+    def _fs(spark, path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+    def _exists(spark, path: str) -> bool:
+        fs, jpath = _fs(spark, path)
+        return fs.exists(jpath)
+
+    def _mkdirs(spark, path: str) -> None:
+        fs, jpath = _fs(spark, path)
+        fs.mkdirs(jpath)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(index_path, "_ledger", f"epoch={epoch_id}")
-        if os.path.exists(marker):
-            return  # replayed epoch: already admitted/appended, skip
-        from ..operators.dedup import _shingle_set, minhash_index_rows
-
         spark = batch_df.sparkSession
+        marker = posixpath.join(index_path, "_ledger", f"epoch={epoch_id}")
+        if _exists(spark, marker):
+            return  # replayed epoch: already admitted/appended, skip
+        # Parameter pinning: the stored band format is defined by
+        # (num_hashes, band_size); probing an index built with other
+        # parameters matches nothing and silently admits near-dups.
+        meta_path = posixpath.join(index_path, "_meta.json")
+        meta = {
+            "format": 1,
+            "num_hashes": num_hashes,
+            "band_size": band_size,
+            "threshold": threshold,
+        }
+        if _exists(spark, meta_path):
+            stored = _json.loads(
+                "\n".join(r.value for r in spark.read.text(meta_path).collect())
+            )
+            if stored != meta:
+                raise ValueError(
+                    f"near-dup index at {index_path} was built with {stored}; "
+                    f"sink configured with {meta} — refusing to probe an "
+                    "incompatible band format"
+                )
+        from ..operators.dedup import _shingle_set, minhash_index_rows
         docs = batch_df.select(
             "doc_id", _shingle_set(F.col("text")).alias("sh")
         )
@@ -717,13 +765,17 @@ def foreach_batch_neardup_dedup(
         bands = bands.localCheckpoint(eager=True)
         hsets = hsets.localCheckpoint(eager=True)
 
-        bands_path = os.path.join(index_path, "bands")
-        hsets_path = os.path.join(index_path, "hsets")
+        bands_path = posixpath.join(index_path, "bands")
+        hsets_path = posixpath.join(index_path, "hsets")
         # Existence check, NOT try/except: a transient read error here
         # must FAIL the batch (the engine retries), because treating it
         # as "empty index" would silently admit near-dups of already
         # indexed docs — an unrepairable corruption of the invariant.
-        if os.path.exists(bands_path):
+        # BOTH trees must exist: bands are published before hsets, so a
+        # bands-only tree is a torn first-ever publish whose rows the
+        # epoch filter would exclude anyway — reading just one side
+        # would wedge the batch on a missing-path error forever.
+        if _exists(spark, bands_path) and _exists(spark, hsets_path):
             # Restrict to epochs STRICTLY BEFORE this one: after a
             # crash between publish and marker, the replay would
             # otherwise see its own epoch's rows, self-match every doc
@@ -806,22 +858,37 @@ def foreach_batch_neardup_dedup(
         # A~B, B~C, A≁C, doc C is admitted because its only match B was
         # itself dropped. Resolve the greedy pass on the DRIVER over the
         # collected verified-pair list — sized by the number of
-        # within-batch near-dup PAIRS (essentially always tiny), never
-        # by the batch; the distributed work above already reduced the
-        # batch to exactly this sparse relation.
-        nbrs: dict = {}
-        for r in matches(cand_batch, hsets, hsets).collect():
-            nbrs.setdefault(r["doc_a"], set()).add(r["doc_b"])
-            nbrs.setdefault(r["doc_b"], set()).add(r["doc_a"])
-        dropped: set = set()
-        for d in sorted(nbrs):
-            if any(n < d and n not in dropped for n in nbrs[d]):
-                dropped.add(d)
-        admitted = (
-            survivors1.filter(~F.col("doc_id").isin(sorted(dropped)))
-            if dropped
-            else survivors1
-        ).localCheckpoint(eager=True)
+        # within-batch near-dup PAIRS, never by the batch. A dup-storm
+        # batch (a re-delivered feed of near-identical docs) can make
+        # that pair relation quadratic, so it is materialized once and
+        # counted first; past MAX_DRIVER_PAIRS the sink falls back to
+        # the fully distributed one-shot rule (drop any doc matching a
+        # smaller index-survivor) — chain tails over-drop, bounded and
+        # documented, instead of a driver OOM.
+        batch_pairs = matches(cand_batch, hsets, hsets).localCheckpoint(eager=True)
+        if batch_pairs.count() <= MAX_DRIVER_PAIRS:
+            nbrs: dict = {}
+            for r in batch_pairs.collect():
+                nbrs.setdefault(r["doc_a"], set()).add(r["doc_b"])
+                nbrs.setdefault(r["doc_b"], set()).add(r["doc_a"])
+            dropped: set = set()
+            for d in sorted(nbrs):
+                if any(n < d and n not in dropped for n in nbrs[d]):
+                    dropped.add(d)
+            admitted = (
+                survivors1.filter(~F.col("doc_id").isin(sorted(dropped)))
+                if dropped
+                else survivors1
+            )
+        else:
+            admitted = survivors1.join(
+                batch_pairs.select("doc_a").distinct().withColumnRenamed(
+                    "doc_a", "doc_id"
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        admitted = admitted.localCheckpoint(eager=True)
 
         # Publish, then record the epoch. Each epoch OVERWRITES its own
         # epoch=N partition directory instead of appending to a shared
@@ -829,12 +896,16 @@ def foreach_batch_neardup_dedup(
         # overwrite of the same path — idempotent — where a bare append
         # would duplicate the batch's rows. The marker then only saves
         # the (harmless) re-publish work on replay.
+        if not _exists(spark, meta_path):
+            spark.createDataFrame(
+                [(_json.dumps(meta),)], "value string"
+            ).coalesce(1).write.mode("overwrite").text(meta_path)
         bands.join(admitted, "doc_id").write.mode("overwrite").parquet(
-            os.path.join(bands_path, f"epoch={epoch_id}")
+            posixpath.join(bands_path, f"epoch={epoch_id}")
         )
         hsets.join(admitted, "doc_id").write.mode("overwrite").parquet(
-            os.path.join(hsets_path, f"epoch={epoch_id}")
+            posixpath.join(hsets_path, f"epoch={epoch_id}")
         )
-        os.makedirs(marker, exist_ok=True)
+        _mkdirs(spark, marker)
 
     return sink

@@ -277,3 +277,21 @@ def test_neardup_stream_crash_before_marker_replay(spark, tmp_path):
     )
     sink(batch2, 1)
     assert _admitted(spark, index) == {1, 2, 8}
+
+
+def test_neardup_stream_rejects_mismatched_index_params(spark, tmp_path):
+    """Resuming an index with different LSH parameters must RAISE —
+    probing an incompatible band format matches nothing and would
+    silently admit near-dups of indexed docs."""
+    import pytest
+
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        foreach_batch_neardup_dedup,
+    )
+
+    index = tmp_path / "meta_index"
+    batch = spark.createDataFrame([(1, _BASE)], "doc_id long, text string")
+    foreach_batch_neardup_dedup(str(index))(batch, 0)
+    other = foreach_batch_neardup_dedup(str(index), num_hashes=16, band_size=4)
+    with pytest.raises(ValueError, match="incompatible band format"):
+        other(spark.createDataFrame([(2, _OTHER)], "doc_id long, text string"), 1)
