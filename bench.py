@@ -116,6 +116,7 @@ BENCH_R3C = [
     "tp15_temperature_mixture",
     "sim11_mmr_rerank",
     "gr03_weighted_pagerank",
+    "gr04_personalized_pagerank",
 ]
 
 

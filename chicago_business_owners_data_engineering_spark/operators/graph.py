@@ -654,3 +654,130 @@ def gr03_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_micro"), F.asc("part"))
         .limit(20)
     )
+
+
+def personalized_pagerank_integer(
+    edges_canon: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+    teleport_pct: int = PR_TELEPORT_PCT,
+) -> DataFrame:
+    """Personalized PageRank: ALL teleport mass restarts at the seed
+    (the minimum node id in the graph) → (node, rank, seed).
+
+    Global PageRank answers "what is central overall"; personalized
+    PageRank answers "what is close to THIS node" — random walks
+    restart at the seed instead of a uniform jump, so rank concentrates
+    in the seed's neighborhood and decays with distance. This is the
+    classic related-items recommendation primitive. Same int64
+    discipline as :func:`pagerank_integer`; the only change is the
+    teleport term:
+
+        rank'(v) = ((100−t)·Σ contrib) div 100
+                 + (v == seed ? (t·scale) div 100 : 0)
+
+    The seed is derived (min node id) rather than a literal so the
+    query stays meaningful at every scale factor; parameterizing it is
+    a one-line change where a serving layer binds the user's item.
+    """
+    bidir = (
+        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            edges_canon.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = bidir.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"), F.min("node").alias("seed")
+    )
+    base = deg.crossJoin(F.broadcast(stats)).select(
+        "node", "deg", "seed", F.expr(f"{scale} div n_nodes").alias("base")
+    )
+    state = base.withColumn("rank", F.col("base"))
+    keep_pct = 100 - teleport_pct
+    teleport_amt = (teleport_pct * scale) // 100  # exact python int
+    for _ in range(iterations):
+        contrib = state.join(bidir, state["node"] == bidir["src"]).select(
+            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        state = base.join(sums, "node").select(
+            "node",
+            "deg",
+            "seed",
+            "base",
+            (
+                F.when(F.col("node") == F.col("seed"), F.lit(teleport_amt))
+                .otherwise(F.lit(0))
+                + F.expr(f"({keep_pct} * s) div 100")
+            ).alias("rank"),
+        )
+    return state.select("node", "rank", "seed")
+
+
+@query(
+    "gr04_personalized_pagerank",
+    oracle=_COPURCHASE_EDGE_CTE
+    + f"""
+    , edges AS (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL
+        SELECT part_b, part_a FROM copairs
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS seed
+        FROM deg
+    ), base AS (
+        SELECT node, deg, seed, {PR_SCALE} // n_nodes AS base FROM deg, stats
+    ), r0 AS (
+        SELECT node, deg, seed, base, base AS rank FROM base
+    )"""
+    + "".join(
+        f"""
+    , s{i} AS (
+        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+        FROM r{i - 1} r JOIN edges e ON r.node = e.src GROUP BY 1
+    ), r{i} AS (
+        SELECT b.node, b.deg, b.seed, b.base,
+               CASE WHEN b.node = b.seed
+                    THEN {(PR_TELEPORT_PCT * PR_SCALE) // 100} ELSE 0 END
+               + ({100 - PR_TELEPORT_PCT} * s.s) // 100 AS rank
+        FROM base b JOIN s{i} s ON b.node = s.node
+    )"""
+        for i in range(1, PR_ITERATIONS + 1)
+    )
+    + f"""
+    SELECT node AS part, rank AS ppr_micro
+    FROM r{PR_ITERATIONS}
+    WHERE node <> seed
+    ORDER BY ppr_micro DESC, part LIMIT 20
+    """,
+)
+def gr04_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts RELATED TO the seed part: personalized PageRank.
+
+    The related-items recommendation query: random walks restart at the
+    seed (min part id in the 1995 co-purchase graph), so rank measures
+    proximity to it — direct co-purchases score highest, then their
+    co-purchases, decaying with distance. The seed itself is excluded
+    from the answer (it holds the teleport mass by construction). See
+    :func:`personalized_pagerank_integer` for the integer recurrence.
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    ppr = personalized_pagerank_integer(edges)
+    return (
+        ppr.filter(F.col("node") != F.col("seed"))
+        .select(F.col("node").alias("part"), F.col("rank").alias("ppr_micro"))
+        .orderBy(F.desc("ppr_micro"), F.asc("part"))
+        .limit(20)
+    )

@@ -158,3 +158,23 @@ def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
     )
     r_h = {r.node: r["rank"] for r in pagerank_integer(wheavy, weight_col="w").collect()}
     assert r_h[4] > r_w1[4]
+
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    # Barbell: seed-side clique {0,1,2} — bridge 2-10 — far clique
+    # {10,11,12}. Rank must decay with distance from the seed (node 0):
+    # direct neighbors beat the bridgehead's far side, far-clique
+    # members rank lowest; total mass stays bounded by the scale.
+    from chicago_business_owners_data_engineering_spark.operators.graph import (
+        PR_SCALE,
+        personalized_pagerank_integer,
+    )
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 10), (10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(pairs, "part_a long, part_b long")
+    out = personalized_pagerank_integer(df).collect()
+    ranks = {r.node: r["rank"] for r in out}
+    assert all(r.seed == 0 for r in out)
+    assert ranks[1] > ranks[11] and ranks[2] > ranks[12]
+    assert ranks[0] == max(ranks.values())  # the seed holds the teleport
+    assert sum(ranks.values()) <= PR_SCALE
