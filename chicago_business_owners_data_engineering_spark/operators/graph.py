@@ -211,6 +211,7 @@ def pagerank_integer(
     scale: int = PR_SCALE,
     teleport_pct: int = PR_TELEPORT_PCT,
     weight_col: str | None = None,
+    personalized: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in pure int64 arithmetic → (node, rank).
 
@@ -230,7 +231,11 @@ def pagerank_integer(
     where deg/strength is the (weighted) degree of ``u``. With
     ``weight_col`` set, each edge carries an int64 weight and mass
     splits proportionally (rank ≤ scale and weights are edge counts, so
-    the rank·w product stays far from int64 overflow). The
+    the rank·w product stays far from int64 overflow). With
+    ``personalized`` set, ALL teleport mass restarts at the seed (the
+    minimum node id) instead of spreading uniformly — rank then
+    measures proximity to the seed (related-items semantics; gr04) and
+    the output carries a ``seed`` column. The
     div-truncation loses < 1 micro-unit per op — irrelevant for
     ranking, decisive for reproducibility (same reasoning as er03's
     integer money math). The graph is undirected/bidirectional, so
@@ -258,28 +263,33 @@ def pagerank_integer(
     deg = bidir.groupBy("src").agg(mass.alias("deg")).withColumnRenamed(
         "src", "node"
     )
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    base = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "deg", F.expr(f"{scale} div n_nodes").alias("base")
+    scols = [F.min("node").alias("seed")] if personalized else []
+    stats = deg.agg(F.count("*").alias("n_nodes"), *scols)
+    keep = ["node", "deg"] + (["seed"] if personalized else [])
+    base = deg.crossJoin(F.broadcast(stats)).select(
+        *keep, F.expr(f"{scale} div n_nodes").alias("base")
     )
     state = base.withColumn("rank", F.col("base"))
     keep_pct = 100 - teleport_pct
     contrib_expr = "(rank * w) div deg" if weight_col else "rank div deg"
+    if personalized:
+        teleport = (
+            F.when(F.col("node") == F.col("seed"), F.lit((teleport_pct * scale) // 100))
+            .otherwise(F.lit(0))
+        )
+    else:
+        teleport = F.expr(f"({teleport_pct} * base) div 100")
     for _ in range(iterations):
         contrib = state.join(bidir, state["node"] == bidir["src"]).select(
             F.col("dst").alias("node"), F.expr(contrib_expr).alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         state = base.join(sums, "node").select(
-            "node",
-            "deg",
+            *keep,
             "base",
-            (
-                F.expr(f"({teleport_pct} * base) div 100")
-                + F.expr(f"({keep_pct} * s) div 100")
-            ).alias("rank"),
+            (teleport + F.expr(f"({keep_pct} * s) div 100")).alias("rank"),
         )
-    return state.select("node", "rank")
+    return state.select("node", "rank", *(["seed"] if personalized else []))
 
 
 def triangle_counts(edges_canon: DataFrame) -> DataFrame:
@@ -354,23 +364,36 @@ def triangle_counts(edges_canon: DataFrame) -> DataFrame:
     return member.groupBy("node").agg(F.count("*").alias("n_tri"))
 
 
-def _pagerank_oracle_chain(node_type: str = "BIGINT", weighted: bool = False) -> str:
+def _pagerank_oracle_chain(
+    node_type: str = "BIGINT", weighted: bool = False, personalized: bool = False
+) -> str:
     """The 3-iteration integer-PageRank CTE chain, appended after an
     ``edges(src, dst)`` CTE (bidirectional; with a ``w`` column when
-    ``weighted``). Shared by gr01 (part nodes), gr03 (weighted) and
-    tx12 (word nodes) so every oracle replays the IDENTICAL recurrence;
+    ``weighted``). Shared by gr01 (part nodes), gr03 (weighted), gr04
+    (personalized — teleport conditionally at the min-id seed) and tx12
+    (word nodes) so every oracle replays the IDENTICAL recurrence;
     ``node_type`` only documents the key type, the SQL is
     type-agnostic."""
     contrib = "(r.rank * e.w) // r.deg" if weighted else "r.rank // r.deg"
     mass = "SUM(w)" if weighted else "COUNT(*)"
+    seed_sel = ", MIN(node) AS seed" if personalized else ""
+    seed_col = ", seed" if personalized else ""
+    bseed = ", b.seed" if personalized else ""
+    if personalized:
+        teleport = (
+            f"CASE WHEN b.node = b.seed THEN "
+            f"{(PR_TELEPORT_PCT * PR_SCALE) // 100} ELSE 0 END"
+        )
+    else:
+        teleport = f"({PR_TELEPORT_PCT} * b.base) // 100"
     it = "".join(
         f"""
     , s{i} AS (
         SELECT e.dst AS node, CAST(SUM({contrib}) AS BIGINT) AS s
         FROM r{i - 1} r JOIN edges e ON r.node = e.src GROUP BY 1
     ), r{i} AS (
-        SELECT b.node, b.deg, b.base,
-               ({PR_TELEPORT_PCT} * b.base) // 100
+        SELECT b.node, b.deg{bseed}, b.base,
+               {teleport}
                + ({100 - PR_TELEPORT_PCT} * s.s) // 100 AS rank
         FROM base b JOIN s{i} s ON b.node = s.node
     )"""
@@ -382,11 +405,11 @@ def _pagerank_oracle_chain(node_type: str = "BIGINT", weighted: bool = False) ->
         SELECT src AS node, CAST({mass} AS BIGINT) AS deg
         FROM edges GROUP BY 1
     ), n AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes{seed_sel} FROM deg
     ), base AS (
-        SELECT node, deg, {PR_SCALE} // n_nodes AS base FROM deg, n
+        SELECT node, deg{seed_col}, {PR_SCALE} // n_nodes AS base FROM deg, n
     ), r0 AS (
-        SELECT node, deg, base, base AS rank FROM base
+        SELECT node, deg{seed_col}, base, base AS rank FROM base
     )"""
         + it
     )
@@ -662,98 +685,30 @@ def personalized_pagerank_integer(
     scale: int = PR_SCALE,
     teleport_pct: int = PR_TELEPORT_PCT,
 ) -> DataFrame:
-    """Personalized PageRank: ALL teleport mass restarts at the seed
-    (the minimum node id in the graph) → (node, rank, seed).
-
-    Global PageRank answers "what is central overall"; personalized
-    PageRank answers "what is close to THIS node" — random walks
-    restart at the seed instead of a uniform jump, so rank concentrates
-    in the seed's neighborhood and decays with distance. This is the
-    classic related-items recommendation primitive. Same int64
-    discipline as :func:`pagerank_integer`; the only change is the
-    teleport term:
-
-        rank'(v) = ((100−t)·Σ contrib) div 100
-                 + (v == seed ? (t·scale) div 100 : 0)
-
-    The seed is derived (min node id) rather than a literal so the
-    query stays meaningful at every scale factor; parameterizing it is
-    a one-line change where a serving layer binds the user's item.
-    """
-    bidir = (
-        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
-        .unionByName(
-            edges_canon.select(
-                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
-            )
-        )
-        .localCheckpoint(eager=True)
+    """Personalized PageRank → (node, rank, seed): thin wrapper over
+    :func:`pagerank_integer` with ``personalized=True`` — all teleport
+    mass restarts at the seed (min node id), so rank measures graph
+    proximity to it (related-items semantics). One recurrence core,
+    four query surfaces (gr01/gr03/gr04/tx12)."""
+    return pagerank_integer(
+        edges_canon,
+        iterations=iterations,
+        scale=scale,
+        teleport_pct=teleport_pct,
+        personalized=True,
     )
-    deg = bidir.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
-        "src", "node"
-    )
-    stats = deg.agg(
-        F.count("*").alias("n_nodes"), F.min("node").alias("seed")
-    )
-    base = deg.crossJoin(F.broadcast(stats)).select(
-        "node", "deg", "seed", F.expr(f"{scale} div n_nodes").alias("base")
-    )
-    state = base.withColumn("rank", F.col("base"))
-    keep_pct = 100 - teleport_pct
-    teleport_amt = (teleport_pct * scale) // 100  # exact python int
-    for _ in range(iterations):
-        contrib = state.join(bidir, state["node"] == bidir["src"]).select(
-            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
-        )
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        state = base.join(sums, "node").select(
-            "node",
-            "deg",
-            "seed",
-            "base",
-            (
-                F.when(F.col("node") == F.col("seed"), F.lit(teleport_amt))
-                .otherwise(F.lit(0))
-                + F.expr(f"({keep_pct} * s) div 100")
-            ).alias("rank"),
-        )
-    return state.select("node", "rank", "seed")
 
 
 @query(
     "gr04_personalized_pagerank",
     oracle=_COPURCHASE_EDGE_CTE
-    + f"""
+    + """
     , edges AS (
         SELECT part_a AS src, part_b AS dst FROM copairs
         UNION ALL
         SELECT part_b, part_a FROM copairs
-    ), deg AS (
-        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
-        FROM edges GROUP BY 1
-    ), stats AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-               MIN(node) AS seed
-        FROM deg
-    ), base AS (
-        SELECT node, deg, seed, {PR_SCALE} // n_nodes AS base FROM deg, stats
-    ), r0 AS (
-        SELECT node, deg, seed, base, base AS rank FROM base
     )"""
-    + "".join(
-        f"""
-    , s{i} AS (
-        SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
-        FROM r{i - 1} r JOIN edges e ON r.node = e.src GROUP BY 1
-    ), r{i} AS (
-        SELECT b.node, b.deg, b.seed, b.base,
-               CASE WHEN b.node = b.seed
-                    THEN {(PR_TELEPORT_PCT * PR_SCALE) // 100} ELSE 0 END
-               + ({100 - PR_TELEPORT_PCT} * s.s) // 100 AS rank
-        FROM base b JOIN s{i} s ON b.node = s.node
-    )"""
-        for i in range(1, PR_ITERATIONS + 1)
-    )
+    + _pagerank_oracle_chain(personalized=True)
     + f"""
     SELECT node AS part, rank AS ppr_micro
     FROM r{PR_ITERATIONS}

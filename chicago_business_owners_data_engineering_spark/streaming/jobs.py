@@ -659,6 +659,7 @@ def foreach_batch_neardup_dedup(
     threshold: float = 0.5,
     num_hashes: int = 32,
     band_size: int = 2,
+    max_driver_pairs: int = 100_000,
 ):
     """Streaming near-dup admission control: the online twin of dd04→dd07.
 
@@ -686,7 +687,7 @@ def foreach_batch_neardup_dedup(
     (unlike dd06's component closure, which would drop C transitively);
     the sequential pass runs on the driver over the collected verified
     PAIRS, sized by within-batch near-dup count. A dup-storm batch
-    whose pair count exceeds ``MAX_DRIVER_PAIRS`` falls back to the
+    whose pair count exceeds ``max_driver_pairs`` falls back to the
     fully distributed one-shot rule (drop any doc matching a smaller
     survivor) — conservatively over-dropping chain tails is the bounded
     failure mode; a driver OOM is not.
@@ -708,7 +709,8 @@ def foreach_batch_neardup_dedup(
     import json as _json
     import posixpath
 
-    MAX_DRIVER_PAIRS = 100_000
+    BANDS_SCHEMA = "doc_id long, band_id int, band_hash long, epoch int"
+    HSETS_SCHEMA = "doc_id long, hset array<bigint>, epoch int"
 
     def _fs(spark, path: str):
         jvm = spark._jvm
@@ -731,6 +733,11 @@ def foreach_batch_neardup_dedup(
         # Parameter pinning: the stored band format is defined by
         # (num_hashes, band_size); probing an index built with other
         # parameters matches nothing and silently admits near-dups.
+        # An empty/unparsable meta (a crash mid-meta-write, which in
+        # the publish order precedes any data) is treated as absent;
+        # absent meta over a NONEMPTY index refuses — an index that
+        # predates the meta file (or lost it) has an unknown format and
+        # must be confirmed by writing the meta back by hand.
         meta_path = posixpath.join(index_path, "_meta.json")
         meta = {
             "format": 1,
@@ -738,16 +745,18 @@ def foreach_batch_neardup_dedup(
             "band_size": band_size,
             "threshold": threshold,
         }
+        stored = None
         if _exists(spark, meta_path):
-            stored = _json.loads(
-                "\n".join(r.value for r in spark.read.text(meta_path).collect())
+            txt = "\n".join(
+                r.value for r in spark.read.text(meta_path).collect()
+            ).strip()
+            stored = _json.loads(txt) if txt else None
+        if stored is not None and stored != meta:
+            raise ValueError(
+                f"near-dup index at {index_path} was built with {stored}; "
+                f"sink configured with {meta} — refusing to probe an "
+                "incompatible band format"
             )
-            if stored != meta:
-                raise ValueError(
-                    f"near-dup index at {index_path} was built with {stored}; "
-                    f"sink configured with {meta} — refusing to probe an "
-                    "incompatible band format"
-                )
         from ..operators.dedup import _shingle_set, minhash_index_rows
         docs = batch_df.select(
             "doc_id", _shingle_set(F.col("text")).alias("sh")
@@ -771,24 +780,34 @@ def foreach_batch_neardup_dedup(
         # must FAIL the batch (the engine retries), because treating it
         # as "empty index" would silently admit near-dups of already
         # indexed docs — an unrepairable corruption of the invariant.
-        # BOTH trees must exist: bands are published before hsets, so a
-        # bands-only tree is a torn first-ever publish whose rows the
-        # epoch filter would exclude anyway — reading just one side
-        # would wedge the batch on a missing-path error forever.
+        # Reads carry an EXPLICIT schema so a torn publish (an epoch
+        # dir holding only _temporary, no committed files — any crash
+        # mid-write leaves this) yields an empty relation instead of
+        # wedging every retry on schema inference; torn rows that DID
+        # commit belong to the current epoch and fall to the
+        # strictly-before filter below — after a crash between publish
+        # and marker, the replay would otherwise self-match every doc
+        # against its own rows at J=1.0 and overwrite the partition as
+        # empty, losing the batch.
         if _exists(spark, bands_path) and _exists(spark, hsets_path):
-            # Restrict to epochs STRICTLY BEFORE this one: after a
-            # crash between publish and marker, the replay would
-            # otherwise see its own epoch's rows, self-match every doc
-            # at J=1.0, and overwrite the partition as empty — losing
-            # the batch. (epoch=N discovery gives us the column.)
-            idx_bands = spark.read.parquet(bands_path).filter(
-                F.col("epoch") < epoch_id
+            idx_bands = (
+                spark.read.schema(BANDS_SCHEMA)
+                .parquet(bands_path)
+                .filter(F.col("epoch") < epoch_id)
             )
-            idx_hsets = spark.read.parquet(hsets_path).filter(
-                F.col("epoch") < epoch_id
+            idx_hsets = (
+                spark.read.schema(HSETS_SCHEMA)
+                .parquet(hsets_path)
+                .filter(F.col("epoch") < epoch_id)
             )
         else:
             idx_bands = idx_hsets = None
+        if stored is None and idx_bands is not None and not idx_bands.isEmpty():
+            raise ValueError(
+                f"near-dup index at {index_path} has data but no readable "
+                "_meta.json — its band format is unknown; write the correct "
+                "parameters back to _meta.json to confirm, or rebuild"
+            )
 
         inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
         union = F.size("ws_a") + F.size("ws_b") - inter
@@ -866,7 +885,7 @@ def foreach_batch_neardup_dedup(
         # smaller index-survivor) — chain tails over-drop, bounded and
         # documented, instead of a driver OOM.
         batch_pairs = matches(cand_batch, hsets, hsets).localCheckpoint(eager=True)
-        if batch_pairs.count() <= MAX_DRIVER_PAIRS:
+        if batch_pairs.count() <= max_driver_pairs:
             nbrs: dict = {}
             for r in batch_pairs.collect():
                 nbrs.setdefault(r["doc_a"], set()).add(r["doc_b"])
@@ -875,11 +894,17 @@ def foreach_batch_neardup_dedup(
             for d in sorted(nbrs):
                 if any(n < d and n not in dropped for n in nbrs[d]):
                     dropped.add(d)
-            admitted = (
-                survivors1.filter(~F.col("doc_id").isin(sorted(dropped)))
-                if dropped
-                else survivors1
-            )
+            if dropped:
+                # left_anti against a small DataFrame, never an In
+                # literal: a near-cap batch can drop tens of thousands
+                # of ids, and a 10k-literal In expression is a Catalyst
+                # plan-size hazard.
+                dropped_df = spark.createDataFrame(
+                    [(d,) for d in sorted(dropped)], "doc_id long"
+                )
+                admitted = survivors1.join(dropped_df, "doc_id", "left_anti")
+            else:
+                admitted = survivors1
         else:
             admitted = survivors1.join(
                 batch_pairs.select("doc_a").distinct().withColumnRenamed(
@@ -896,10 +921,12 @@ def foreach_batch_neardup_dedup(
         # overwrite of the same path — idempotent — where a bare append
         # would duplicate the batch's rows. The marker then only saves
         # the (harmless) re-publish work on replay.
-        if not _exists(spark, meta_path):
-            spark.createDataFrame(
-                [(_json.dumps(meta),)], "value string"
-            ).coalesce(1).write.mode("overwrite").text(meta_path)
+        # Meta is (re)written unconditionally with overwrite — the
+        # write is idempotent and heals a torn _meta.json from a crash
+        # mid-write, which an exists-guard would leave wedged forever.
+        spark.createDataFrame(
+            [(_json.dumps(meta),)], "value string"
+        ).coalesce(1).write.mode("overwrite").text(meta_path)
         bands.join(admitted, "doc_id").write.mode("overwrite").parquet(
             posixpath.join(bands_path, f"epoch={epoch_id}")
         )

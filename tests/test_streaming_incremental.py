@@ -295,3 +295,25 @@ def test_neardup_stream_rejects_mismatched_index_params(spark, tmp_path):
     other = foreach_batch_neardup_dedup(str(index), num_hashes=16, band_size=4)
     with pytest.raises(ValueError, match="incompatible band format"):
         other(spark.createDataFrame([(2, _OTHER)], "doc_id long, text string"), 1)
+
+
+def test_neardup_stream_dup_storm_fallback(spark, tmp_path):
+    """With max_driver_pairs=0 the distributed one-shot fallback runs:
+    on the chain A~B, B~C, A≁C it conservatively drops BOTH B and C
+    (chain-tail over-drop is the documented bounded failure mode),
+    where the driver greedy admits C."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        foreach_batch_neardup_dedup,
+    )
+
+    words = [f"w{i}" for i in range(12)]
+    a = list(words)
+    b = list(words); b[4] = "CHANGED-B"
+    c = list(b);     c[9] = "CHANGED-C"
+    batch = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c))],
+        "doc_id long, text string",
+    )
+    index = tmp_path / "storm_index"
+    foreach_batch_neardup_dedup(str(index), max_driver_pairs=0)(batch, 0)
+    assert _admitted(spark, index) == {1}
