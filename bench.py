@@ -117,6 +117,7 @@ BENCH_R3C = [
     "sim11_mmr_rerank",
     "gr03_weighted_pagerank",
     "gr04_personalized_pagerank",
+    "dq05_expectation_quarantine",
 ]
 
 

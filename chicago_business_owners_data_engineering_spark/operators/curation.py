@@ -468,3 +468,78 @@ def tx10_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents.filter(~is_blocked(F.col("source"))).select(
         "doc_id", "source", "lang"
     )
+
+
+@query(
+    "dq05_expectation_quarantine",
+    oracle="""
+    WITH flagged AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN NOT (l_discount BETWEEN 0 AND 0.08)
+                    THEN 'discount_band' END AS f1,
+               CASE WHEN l_returnflag = 'R' AND l_tax > l_discount
+                    THEN 'returned_overtaxed' END AS f2,
+               CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                    THEN 'quantity_range' END AS f3,
+               CASE WHEN NOT (l_shipdate < TIMESTAMP '1999-01-01')
+                    THEN 'ship_window' END AS f4
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST((f1 IS NOT NULL)::INT + (f2 IS NOT NULL)::INT
+              + (f3 IS NOT NULL)::INT + (f4 IS NOT NULL)::INT AS BIGINT)
+               AS n_failed,
+           CONCAT_WS(',', f1, f2, f3, f4) AS failed_rules
+    FROM flagged
+    WHERE f1 IS NOT NULL OR f2 IS NOT NULL OR f3 IS NOT NULL OR f4 IS NOT NULL
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def dq05_expectation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectation quarantine: the dead-letter half of data
+    quality.
+
+    dq02 reports per-RULE violation counts; production pipelines also
+    need the per-ROW view — which rows failed, and why — so bad records
+    route to a quarantine table with machine-readable reasons while the
+    clean stream proceeds (the expectations pattern from Delta Live
+    Tables / Great Expectations). Four demo rules over lineitem: a
+    discount policy band, a returned-but-overtaxed check, and a
+    ship-date window (all three fire on this corpus — rows can fail
+    several at once, visible in the reasons string) plus a
+    quantity-range invariant that never fires, the negative control
+    proving rules don't false-positive.
+
+    Scale shape: ALL rules evaluate in ONE scan as per-row expressions
+    (no per-rule passes, no shuffle before the filter); the reasons
+    column is built with null-skipping ``concat_ws`` in a FIXED rule
+    order — scalar string output, engine-identical, and immune to the
+    array-typed-column canonicalizer trap (a31's lesson). Routing the
+    complement (clean rows) is the same predicate negated — one scan
+    serves both sinks at 100 TB.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("discount_band", ~F.col("l_discount").between(0, 0.08)),
+        (
+            "returned_overtaxed",
+            (F.col("l_returnflag") == "R") & (F.col("l_tax") > F.col("l_discount")),
+        ),
+        ("quantity_range", ~F.col("l_quantity").between(1, 50)),
+        (
+            "ship_window",
+            ~(F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")),
+        ),
+    ]
+    flags = [F.when(cond, F.lit(name)) for name, cond in rules]
+    n_failed = sum(f.isNotNull().cast("long") for f in flags)
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            n_failed.alias("n_failed"),
+            F.concat_ws(",", *flags).alias("failed_rules"),
+        )
+        .filter(F.col("n_failed") > 0)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
