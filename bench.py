@@ -121,6 +121,40 @@ BENCH_R3C = [
 ]
 
 
+def run_pipeline_e2e(sf_dir: str) -> dict[str, float]:
+    """Time the full warehouse CLI (ingestion → warehouse → analytics).
+
+    The flagship end-to-end path (the reference's run_pipeline.py
+    ``--mode full`` analog) measured at bench SF against the reference's
+    300 s "slow pipeline" monitoring threshold
+    (cbddl/src/monitoring/pipeline_monitor.py:68).
+    """
+    import shutil
+    import tempfile
+
+    from chicago_business_owners_data_engineering_spark.cli import (
+        run_analytics_mode,
+        run_ingestion_mode,
+        run_warehouse_mode,
+    )
+
+    spark = get_spark("bench")
+    out = tempfile.mkdtemp(prefix="bench_e2e_")
+    timings: dict[str, float] = {}
+    try:
+        for stage, runner in (
+            ("ingestion", run_ingestion_mode),
+            ("warehouse", run_warehouse_mode),
+            ("analytics", run_analytics_mode),
+        ):
+            t0 = time.time()
+            runner(spark, sf_dir, out)
+            timings[stage] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -165,31 +199,33 @@ def main() -> None:
     r3 = run_set(BENCH_R3)
     r3b = run_set(BENCH_R3B)
     r3c = run_set(BENCH_R3C)
+    e2e = run_pipeline_e2e(sf_dir)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extended_metric": "extended_queries_total_runtime",
-                "extended_value": round(sum(extended.values()), 3),
-                "extended_queries": extended,
-                "r3_metric": "round3_queries_total_runtime",
-                "r3_value": round(sum(r3.values()), 3),
-                "r3_queries": r3,
-                "r3b_metric": "round3_tail_queries_total_runtime",
-                "r3b_value": round(sum(r3b.values()), 3),
-                "r3b_queries": r3b,
-                "r3c_metric": "round3_session_queries_total_runtime",
-                "r3c_value": round(sum(r3c.values()), 3),
-                "r3c_queries": r3c,
-            }
+    # One JSON line PER metric group, headline group LAST: the driver's
+    # tail capture keeps the end of stdout, so the headline line must be
+    # the final one (r03's single mega-line outgrew the buffer and the
+    # official record lost the headline total).
+    def emit(metric: str, queries: dict[str, float], **extra: object) -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(sum(queries.values()), 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    **extra,
+                }
+            ),
+            flush=True,
         )
-    )
+
+    emit("extended_queries_total_runtime", extended)
+    emit("round3_queries_total_runtime", r3)
+    emit("round3_tail_queries_total_runtime", r3b)
+    emit("round3_session_queries_total_runtime", r3c)
+    emit("pipeline_e2e_runtime", e2e)
+    emit("headline_queries_total_runtime", timings)
 
 
 if __name__ == "__main__":
