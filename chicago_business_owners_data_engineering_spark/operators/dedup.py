@@ -424,7 +424,36 @@ def neardup_components(
     return components_from_pairs(pairs)
 
 
-def components_from_pairs(pairs: DataFrame) -> DataFrame:
+def components_from_pairs(pairs: DataFrame, engine: str = "large_star") -> DataFrame:
+    """Connected components over a (doc_a, doc_b) pair relation.
+
+    The default engine is the alternating large-star/small-star
+    algorithm (graph.components_large_small_star): O(log n) rounds
+    REGARDLESS of graph diameter, ~4 bounded node-keyed shuffles per
+    round. Near-dup graphs are usually shallow, but entity graphs and
+    incremental quotient graphs can carry long chains, and a
+    diameter-bound engine silently degrades to thousands of shuffle
+    rounds there — so the scale-safe engine is the default and
+    every consumer (dd06/dd07/er02/er03/ml03/inc02, curation funnel)
+    inherits it.
+
+    ``engine="propagation"`` selects min-label propagation — one
+    shuffle per round but rounds = diameter — kept as the independent
+    twin for equivalence tests and as the cheaper choice when the
+    caller KNOWS the graph is shallow.
+    """
+    if engine == "large_star":
+        # Lazy import: graph.py deliberately never imports dedup, so
+        # this direction is cycle-free regardless of registry order.
+        from .graph import components_large_small_star
+
+        return components_large_small_star(pairs)
+    if engine != "propagation":
+        raise ValueError(f"unknown component engine {engine!r}")
+    return components_propagation(pairs)
+
+
+def components_propagation(pairs: DataFrame) -> DataFrame:
     """Min-label connected components over a (doc_a, doc_b) pair relation.
 
     Driver-coordinated label propagation (the dataflow form of

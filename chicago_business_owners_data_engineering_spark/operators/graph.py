@@ -1,6 +1,6 @@
 """Connected components in O(log n) rounds: large-star / small-star.
 
-``dedup.components_from_pairs`` is min-label propagation — one shuffle
+``dedup.components_propagation`` is min-label propagation — one shuffle
 per round, rounds = graph DIAMETER. Near-dup clusters are shallow (3-4
 rounds), but entity graphs, citation graphs, and link graphs carry long
 chains: a diameter-D path costs D full-relation shuffles, and D can be
@@ -103,7 +103,7 @@ def components_large_small_star(
 ) -> DataFrame:
     """(doc_id, component) via the alternating algorithm.
 
-    Same contract as ``dedup.components_from_pairs`` — component = min
+    Same contract as ``dedup.components_propagation`` — component = min
     doc_id reachable, only nodes with ≥1 edge appear — but O(log n)
     rounds instead of O(diameter). Convergence is an exact set-equality
     fixpoint: the canonical edge relation is distinct on both sides, so

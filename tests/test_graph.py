@@ -27,14 +27,25 @@ def test_matches_propagation_on_random_graph(spark):
     rng = random.Random(11)
     # Three regimes in one graph: a dense blob, sparse random edges,
     # and singleton pairs — exercises dedup/ER-like cluster shapes.
+    # components_from_pairs defaults to large-star, so the independent
+    # twin is requested explicitly via engine="propagation".
     pairs = [(rng.randint(0, 29), rng.randint(0, 29)) for _ in range(60)]
     pairs += [(100 + rng.randint(0, 199), 100 + rng.randint(0, 199)) for _ in range(80)]
     pairs += [(1000, 1001), (2000, 2001)]
     pairs = [(a, b) for a, b in pairs if a != b]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     assert _components(components_large_small_star(df)) == _components(
-        components_from_pairs(df)
+        components_from_pairs(df, engine="propagation")
     )
+
+
+def test_default_engine_is_large_star(spark):
+    # The default engine must be the diameter-independent one; a long
+    # chain would be the pathological case for propagation.
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(95)], "doc_a long, doc_b long"
+    )
+    assert _components(components_from_pairs(df)) == {(i, 0) for i in range(96)}
 
 
 def test_chain_converges_in_log_rounds(spark):
