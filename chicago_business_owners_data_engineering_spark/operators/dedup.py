@@ -253,7 +253,10 @@ def minhash_lsh_pairs(
     )
 
 
-@query("dd04_minhash_lsh_pairs", oracle=None)  # probabilistic candidates → rows-only check
+from .shared_oracles import DD04_EXACT_PAIRS_SQL as _DD04_EXACT_PAIRS_SQL  # noqa: E402
+
+
+@query("dd04_minhash_lsh_pairs", oracle=_DD04_EXACT_PAIRS_SQL)
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-based MinHash-LSH near-dup pairs over ``documents``.
 
@@ -262,6 +265,15 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (most pairs ≥0.7), which both inflates LSH buckets toward O(n²)
     and makes the similarity meaningless. Shingles concentrate
     similarity on genuine near-copies.
+
+    Oracle note: candidates are verified with EXACT Jaccard, so
+    precision is exact by construction and the differential check
+    against the brute-force pair SQL is a RECALL certificate — it
+    proves the band parameters miss no ≥0.5 pair on this corpus
+    (dd12 independently proves the exact pair set is SQL-derivable;
+    PERF.md records dd04 emitting the identical pair set at sf0.1).
+    A corpus with a borderline pair can legitimately diverge with
+    ~s^band_size per-band probability; same caveat as dd06's edges.
     """
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("shingles"))
