@@ -232,10 +232,13 @@ def pagerank_integer(
     ``weight_col`` set, each edge carries an int64 weight and mass
     splits proportionally (rank ≤ scale and weights are edge counts, so
     the rank·w product stays far from int64 overflow). With
-    ``personalized`` set, ALL teleport mass restarts at the seed (the
-    minimum node id) instead of spreading uniformly — rank then
-    measures proximity to the seed (related-items semantics; gr04) and
-    the output carries a ``seed`` column. The
+    ``personalized`` set, ALL rank mass INITIALIZES at the seed (the
+    minimum node id) and every teleport restarts there — the standard
+    PPR formulation: with uniform init, a short fixed iteration count
+    would leave every node holding residual uniform mass unrelated to
+    seed proximity, diluting the "rank measures proximity to the seed"
+    semantics (related-items; gr04). The output carries a ``seed``
+    column. The
     div-truncation loses < 1 micro-unit per op — irrelevant for
     ranking, decisive for reproducibility (same reasoning as er03's
     integer money math). The graph is undirected/bidirectional, so
@@ -269,7 +272,13 @@ def pagerank_integer(
     base = deg.crossJoin(F.broadcast(stats)).select(
         *keep, F.expr(f"{scale} div n_nodes").alias("base")
     )
-    state = base.withColumn("rank", F.col("base"))
+    if personalized:
+        state = base.withColumn(
+            "rank",
+            F.when(F.col("node") == F.col("seed"), F.lit(scale)).otherwise(F.lit(0)),
+        )
+    else:
+        state = base.withColumn("rank", F.col("base"))
     keep_pct = 100 - teleport_pct
     contrib_expr = "(rank * w) div deg" if weight_col else "rank div deg"
     if personalized:
@@ -384,8 +393,13 @@ def _pagerank_oracle_chain(
             f"CASE WHEN b.node = b.seed THEN "
             f"{(PR_TELEPORT_PCT * PR_SCALE) // 100} ELSE 0 END"
         )
+        # Standard PPR: all rank mass starts at the seed, so short
+        # fixed-iteration ranks are proximity-dominated (mirrors
+        # pagerank_integer's personalized init).
+        r0_rank = f"CASE WHEN node = seed THEN {PR_SCALE} ELSE 0 END"
     else:
         teleport = f"({PR_TELEPORT_PCT} * b.base) // 100"
+        r0_rank = "base"
     it = "".join(
         f"""
     , s{i} AS (
@@ -409,7 +423,7 @@ def _pagerank_oracle_chain(
     ), base AS (
         SELECT node, deg{seed_col}, {PR_SCALE} // n_nodes AS base FROM deg, n
     ), r0 AS (
-        SELECT node, deg{seed_col}, base, base AS rank FROM base
+        SELECT node, deg{seed_col}, base, {r0_rank} AS rank FROM base
     )"""
         + it
     )

@@ -699,9 +699,14 @@ def foreach_batch_neardup_dedup(
     as the incremental rollup sink. The index probe reads only when
     BOTH relations exist (a bands-only tree is a torn current-epoch
     publish, whose rows the epoch filter excludes anyway) and records
-    its (num_hashes, band_size, threshold) in ``_meta.json`` on first
-    publish — resuming with different parameters raises instead of
-    silently probing an incompatible band format. All index-path
+    its parameters in ``_meta.json`` ONCE, on first publish — resuming
+    with a different stored band format (num_hashes, band_size) raises
+    instead of silently probing an incompatible index, while threshold
+    retuning (verification-only, not part of the stored format) is
+    allowed. Writing meta only while the index is empty means a torn
+    meta write is always healable by replay; an every-epoch rewrite
+    would reopen the torn window over a data-bearing index, where the
+    unreadable-meta guard wedges the stream. All index-path
     existence/marker operations go through the Hadoop FileSystem API,
     so the index can live on any Spark-reachable store, not just the
     driver's local disk.
@@ -751,12 +756,21 @@ def foreach_batch_neardup_dedup(
                 r.value for r in spark.read.text(meta_path).collect()
             ).strip()
             stored = _json.loads(txt) if txt else None
-        if stored is not None and stored != meta:
-            raise ValueError(
-                f"near-dup index at {index_path} was built with {stored}; "
-                f"sink configured with {meta} — refusing to probe an "
-                "incompatible band format"
-            )
+        if stored is not None:
+            # The STORED band format is (num_hashes, band_size) — those
+            # must match or probing matches nothing and silently admits
+            # near-dups. threshold only affects candidate VERIFICATION,
+            # so retuning it on an existing index is legitimate and
+            # must not be rejected as a format mismatch.
+            fmt_keys = ("format", "num_hashes", "band_size")
+            stored_fmt = {k: stored.get(k) for k in fmt_keys}
+            want_fmt = {k: meta[k] for k in fmt_keys}
+            if stored_fmt != want_fmt:
+                raise ValueError(
+                    f"near-dup index at {index_path} was built with "
+                    f"{stored_fmt}; sink configured with {want_fmt} — "
+                    "refusing to probe an incompatible band format"
+                )
         from ..operators.dedup import _shingle_set, minhash_index_rows
         docs = batch_df.select(
             "doc_id", _shingle_set(F.col("text")).alias("sh")
@@ -921,12 +935,18 @@ def foreach_batch_neardup_dedup(
         # overwrite of the same path — idempotent — where a bare append
         # would duplicate the batch's rows. The marker then only saves
         # the (harmless) re-publish work on replay.
-        # Meta is (re)written unconditionally with overwrite — the
-        # write is idempotent and heals a torn _meta.json from a crash
-        # mid-write, which an exists-guard would leave wedged forever.
-        spark.createDataFrame(
-            [(_json.dumps(meta),)], "value string"
-        ).coalesce(1).write.mode("overwrite").text(meta_path)
+        # Meta is written ONLY when absent/unreadable (stored is None),
+        # i.e. on first publish or to heal a torn first-epoch write. At
+        # that point the index is provably empty (a nonempty index with
+        # unreadable meta raised above), so a crash mid-write here can
+        # only tear meta over an EMPTY index, which the next replay
+        # heals. Rewriting every epoch would reopen that torn window
+        # over a data-bearing index on every batch — where the
+        # unreadable-meta check wedges the stream until manual repair.
+        if stored is None:
+            spark.createDataFrame(
+                [(_json.dumps(meta),)], "value string"
+            ).coalesce(1).write.mode("overwrite").text(meta_path)
         bands.join(admitted, "doc_id").write.mode("overwrite").parquet(
             posixpath.join(bands_path, f"epoch={epoch_id}")
         )
