@@ -330,40 +330,127 @@ def kafka_source_plan(spark: SparkSession, brokers: str, topic: str) -> DataFram
     return decode_kafka_value(reader.load())
 
 
-def foreach_batch_upsert(lake_path: str, keys: list[str], version_col: str):
+# ---------------------------------------------------------------------------
+# Generational snapshot protocol for read-modify-write streaming sinks.
+#
+# A sink that merges each micro-batch into a stored table CANNOT
+# overwrite the table in place: Spark's overwrite deletes the target
+# before writing, so a crash mid-overwrite destroys the table AND the
+# in-flight batch, and a crash after the overwrite but before any
+# commit record makes non-idempotent merges (SUM partials) double-count
+# on replay — the replay merges the batch into a table that already
+# contains it. The fix is MVCC-shaped:
+#
+#   1. base   = data/gen=<last COMMITTED epoch>   (ledger decides)
+#   2. merged = merge(base, batch)
+#   3. write  data/gen=<epoch> with overwrite      (idempotent replay)
+#   4. mkdir  _ledger/epoch=<epoch>                (the commit point)
+#   5. GC generations older than the merge base
+#
+# A crash at ANY boundary replays into: read the same committed base,
+# rewrite the same gen dir (overwrite heals torn files), re-commit.
+# Exactly-once for arbitrary merge functions, with no window in which
+# the committed snapshot is unreadable. Readers resolve the table via
+# read_versioned() — the latest COMMITTED generation — so they never
+# observe a half-written snapshot either.
+# ---------------------------------------------------------------------------
+
+
+def _versioned_committed(root: str) -> list[int]:
+    import os
+
+    ledger = os.path.join(root, "_ledger")
+    if not os.path.isdir(ledger):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(ledger)
+        if d.startswith("epoch=")
+    )
+
+
+def read_versioned(spark: SparkSession, root: str) -> DataFrame | None:
+    """Latest committed snapshot of a generational sink table (or None)."""
+    import os
+
+    committed = _versioned_committed(root)
+    if not committed:
+        return None
+    return spark.read.parquet(os.path.join(root, "data", f"gen={committed[-1]}"))
+
+
+def _versioned_publish(
+    merged: DataFrame,
+    root: str,
+    epoch_id: int,
+    base_gen: int | None,
+    fault=None,
+) -> None:
+    """Steps 3-5 of the protocol: write gen dir, commit marker, GC.
+
+    ``fault`` is a chaos-test hook: when set, it is invoked with the
+    name of each write boundary as it is crossed, and may raise to
+    simulate a crash exactly there. Production callers leave it None;
+    the parametrized fault-injection tests sweep every boundary and
+    assert replay converges to the exactly-once state.
+    """
+    import os
+    import shutil
+
+    if fault:
+        fault("pre_publish")
+    data_dir = os.path.join(root, "data")
+    merged.write.mode("overwrite").parquet(os.path.join(data_dir, f"gen={epoch_id}"))
+    if fault:
+        fault("post_data_write")
+    os.makedirs(os.path.join(root, "_ledger", f"epoch={epoch_id}"), exist_ok=True)
+    if fault:
+        fault("post_commit")
+    # GC: generations strictly older than the merge base are dead — no
+    # replay can ever need them (replays of this epoch re-read base_gen;
+    # later epochs read this one). base_gen itself stays one cycle for
+    # in-flight readers that resolved it just before the commit.
+    for d in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+        if d.startswith("gen="):
+            g = int(d.split("=", 1)[1])
+            if base_gen is not None and g < base_gen:
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+
+
+def foreach_batch_upsert(lake_path: str, keys: list[str], version_col: str, fault=None):
     """ST5 upsert sink: latest-wins MERGE of each micro-batch into a
     parquet table (the reference's per-event DB upsert,
     streaming_processor.py:354-378, as a set-based batch merge).
 
-    Idempotent under at-least-once redelivery: replaying a batch
-    produces the same table state, because the merge keeps one row per
-    key by (version, source-rank) — the effectively-exactly-once
-    pattern for sinks without transactional MERGE.
+    Exactly-once under at-least-once redelivery via the generational
+    snapshot protocol (see above): latest-wins merge is idempotent, so
+    the ledger here mainly guards the crash-mid-publish window — the
+    committed snapshot is never deleted before its replacement commits.
+    Read the table with ``read_versioned(spark, lake_path)``.
     """
     from ..plans.warehouse import upsert_by_key
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(lake_path)
-        except Exception:  # noqa: BLE001 — first batch, no table yet
-            existing = None
-        if existing is not None:
-            merged = upsert_by_key(existing, batch_df, keys, version_col)
-        else:
-            merged = upsert_by_key(
-                batch_df.limit(0), batch_df, keys, version_col
-            )
-        # overwrite-in-place requires materializing first (read+write of
-        # the same path); checkpointed local collect is fine at batch
-        # grain because merged is one batch + table tail, but at scale
-        # write to a staging path and swap. Here: write to temp then move.
-        tmp = lake_path + f"._epoch_{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(lake_path)
-        import shutil
+        import os
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        spark = batch_df.sparkSession
+        all_committed = _versioned_committed(lake_path)
+        if epoch_id in all_committed:
+            return  # fully committed replay: skip
+        committed = [e for e in all_committed if e < epoch_id]
+        base_gen = committed[-1] if committed else None
+        existing = (
+            spark.read.parquet(os.path.join(lake_path, "data", f"gen={base_gen}"))
+            if base_gen is not None
+            else None
+        )
+        merged = upsert_by_key(
+            existing if existing is not None else batch_df.limit(0),
+            batch_df,
+            keys,
+            version_col,
+        )
+        _versioned_publish(merged, lake_path, epoch_id, base_gen, fault=fault)
 
     return sink
 
@@ -599,7 +686,7 @@ class rocksdb_state:
                 self.spark.conf.set(k, old)
 
 
-def foreach_batch_incremental_rollup(gold_path: str):
+def foreach_batch_incremental_rollup(gold_path: str, fault=None):
     """Streaming maintenance of a mergeable-partials gold table.
 
     The streaming twin of inc01 (operators/incremental.py): each
@@ -609,21 +696,24 @@ def foreach_batch_incremental_rollup(gold_path: str):
     the incremental form of the reference's per-batch agg-table rebuild
     (cbddl/src/etl/pipeline.py:479-565).
 
-    Exactly-once under micro-batch replay via a batch-id ledger: SUM
-    merges are NOT naturally idempotent (replaying a batch would
-    double-count, unlike latest-wins upsert), so each epoch writes a
-    `_ledger/epoch=N` marker after its merge commits and a replayed
-    epoch that finds its marker is skipped — the same
-    publish-then-record protocol as the webhook sink
-    (sources/python_datasource.py).
+    Exactly-once under micro-batch replay via the generational snapshot
+    protocol (see _versioned_publish above). SUM merges are NOT
+    naturally idempotent — merging a batch into a table that already
+    contains it double-counts — so the merge BASE must be the last
+    COMMITTED generation, never "whatever is at the data path": a crash
+    after publish but before the ledger marker replays against the same
+    pre-batch base and rewrites the same generation, not against its
+    own output. Read the gold table with
+    ``read_versioned(spark, gold_path)``.
     """
-    import os
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(gold_path, "_ledger", f"epoch={epoch_id}")
-        if os.path.exists(marker):
-            return  # replayed epoch: already merged, skip
+        import os
+
         spark = batch_df.sparkSession
+        all_committed = _versioned_committed(gold_path)
+        if epoch_id in all_committed:
+            return  # fully committed replay: skip
         partials = batch_df.groupBy(
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
             F.col("event_type"),
@@ -631,11 +721,13 @@ def foreach_batch_incremental_rollup(gold_path: str):
             F.sum("value").alias("sum_value"),
             F.count("*").alias("n_events"),
         )
-        data_path = os.path.join(gold_path, "data")
-        try:
-            existing = spark.read.parquet(data_path)
-        except Exception:  # noqa: BLE001 — first batch, no gold yet
-            existing = None
+        committed = [e for e in all_committed if e < epoch_id]
+        base_gen = committed[-1] if committed else None
+        existing = (
+            spark.read.parquet(os.path.join(gold_path, "data", f"gen={base_gen}"))
+            if base_gen is not None
+            else None
+        )
         merged = (
             existing.unionByName(partials) if existing is not None else partials
         )
@@ -643,13 +735,7 @@ def foreach_batch_incremental_rollup(gold_path: str):
             F.sum("sum_value").alias("sum_value"),
             F.sum("n_events").alias("n_events"),
         )
-        tmp = data_path + f"._epoch_{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(data_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(marker, exist_ok=True)
+        _versioned_publish(merged, gold_path, epoch_id, base_gen, fault=fault)
 
     return sink
 
@@ -660,6 +746,7 @@ def foreach_batch_neardup_dedup(
     num_hashes: int = 32,
     band_size: int = 2,
     max_driver_pairs: int = 100_000,
+    fault=None,
 ):
     """Streaming near-dup admission control: the online twin of dd04→dd07.
 
@@ -943,16 +1030,26 @@ def foreach_batch_neardup_dedup(
         # heals. Rewriting every epoch would reopen that torn window
         # over a data-bearing index on every batch — where the
         # unreadable-meta check wedges the stream until manual repair.
+        if fault:
+            fault("pre_publish")
         if stored is None:
             spark.createDataFrame(
                 [(_json.dumps(meta),)], "value string"
             ).coalesce(1).write.mode("overwrite").text(meta_path)
+        if fault:
+            fault("post_meta_write")
         bands.join(admitted, "doc_id").write.mode("overwrite").parquet(
             posixpath.join(bands_path, f"epoch={epoch_id}")
         )
+        if fault:
+            fault("post_bands_write")
         hsets.join(admitted, "doc_id").write.mode("overwrite").parquet(
             posixpath.join(hsets_path, f"epoch={epoch_id}")
         )
+        if fault:
+            fault("post_hsets_write")
         _mkdirs(spark, marker)
+        if fault:
+            fault("post_commit")
 
     return sink

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from chicago_business_owners_data_engineering_spark.streaming.jobs import (
     foreach_batch_incremental_rollup,
     read_event_stream,
+    read_versioned,
 )
 
 
@@ -40,7 +41,7 @@ def test_incremental_gold_matches_batch_rollup(spark, tmp_path):
 
     got = {
         (r["day"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
-        for r in spark.read.parquet(str(gold / "data")).collect()
+        for r in read_versioned(spark, str(gold)).collect()
     }
     batch = spark.createDataFrame(pdf)
     want = {
@@ -61,14 +62,14 @@ def test_incremental_gold_replay_does_not_double_count(spark, tmp_path):
     src, pdf = _stage_events(tmp_path)
     gold = tmp_path / "gold"
     _run(spark, src, gold, tmp_path / "ckpt")
-    before = spark.read.parquet(str(gold / "data"))
+    before = read_versioned(spark, str(gold))
     total_before = before.agg(F.sum("n_events")).collect()[0][0]
 
     # Replay the whole source with a FRESH checkpoint (the crashed-and-
     # lost-offsets scenario): every epoch re-fires, the ledger must
     # swallow all of them.
     _run(spark, src, gold, tmp_path / "ckpt2")
-    after = spark.read.parquet(str(gold / "data"))
+    after = read_versioned(spark, str(gold))
     total_after = after.agg(F.sum("n_events")).collect()[0][0]
     assert total_after == total_before == len(pdf)
 

@@ -265,6 +265,7 @@ def test_streaming_upsert_idempotent_under_redelivery(spark, tmp_path):
     from chicago_business_owners_data_engineering_spark.streaming.jobs import (
         foreach_batch_upsert,
         read_event_stream,
+        read_versioned,
     )
 
     pdf = duckdb.sql(
@@ -291,7 +292,7 @@ def test_streaming_upsert_idempotent_under_redelivery(spark, tmp_path):
         q.stop()
 
     run("ck1")
-    first = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    first = sorted(tuple(r) for r in read_versioned(spark, table).collect())
     # one row per user, and it's that user's max event_id
     users = {r[0] for r in first}
     assert len(first) == len(users)
@@ -305,7 +306,7 @@ def test_streaming_upsert_idempotent_under_redelivery(spark, tmp_path):
     assert {r[0]: r[1] for r in first} == expected_latest
     # redelivery: fresh checkpoint reprocesses everything
     run("ck2")
-    second = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    second = sorted(tuple(r) for r in read_versioned(spark, table).collect())
     assert second == first
 
 

@@ -27,7 +27,7 @@ converts to float64, while Spark returns int64.  This harness therefore:
 
 Usage:
 
-    python tools/check_oracle.py [--vanilla] [sf_dir] [query_name ...]
+    python tools/check_oracle.py [--vanilla] [--json out.json] [sf_dir] [query_name ...]
 
 ``--vanilla`` runs the Spark side on a bare SparkSession (UTC timezone
 only — no AQE/Arrow/shuffle tuning from session.get_spark), mimicking
@@ -123,6 +123,11 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args = [a for a in args if a != "--vanilla"]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -151,6 +156,21 @@ def main() -> int:
     qs = mod.queries()
     oracles = mod.oracle_sql()
     failures, passes, rows_only = [], [], []
+    # CORRECTNESS_r*.json-shaped record per query, written when --json
+    # is passed — makes a full local run a committable, reproducible
+    # artifact in the same format the external driver records.
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows=None, schema=None, hsh=None, s_rows=None, o_rows=None, err=None):
+        records[name] = {
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": hsh,
+            "spark_rows": s_rows,
+            "oracle_rows": o_rows,
+            "err": err,
+        }
+
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -160,6 +180,7 @@ def main() -> int:
             spd = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            record(name, err=f"spark error: {type(e).__name__}: {e}")
             print(f"FAIL  {name}: spark error: {e}")
             continue
         # The driver canonicalizes rows-only results too — array-typed
@@ -169,25 +190,31 @@ def main() -> int:
             failures.append(
                 (name, f"driver-crash risk: array-typed output columns {arr_cols}")
             )
+            record(name, err=f"array-typed output columns {arr_cols}")
             print(f"FAIL  {name}: array-typed output columns {arr_cols}")
             continue
         if name not in oracles:
             rows_only.append(name)
+            record(name, s_rows=len(spd), err="rows-only (no oracle by design)")
             print(f"rows  {name}: {len(spd)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             dpd = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
+            record(name, s_rows=len(spd), err=f"duckdb error: {type(e).__name__}: {e}")
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
         problems = []
-        if sorted(spd.columns) != sorted(dpd.columns):
+        schema_ok = sorted(spd.columns) == sorted(dpd.columns)
+        rows_ok = len(spd) == len(dpd)
+        hash_ok = None
+        if not schema_ok:
             problems.append(
                 f"columns differ: spark={sorted(spd.columns)} duckdb={sorted(dpd.columns)}"
             )
-        if len(spd) != len(dpd):
+        if not rows_ok:
             problems.append(f"row count differs: spark={len(spd)} duckdb={len(dpd)}")
         if not problems:
             try:
@@ -196,9 +223,19 @@ def main() -> int:
             except UnhashableCell as e:
                 problems.append(f"driver-crash risk: unhashable cell ({e})")
             else:
-                if sc != dc:
+                hash_ok = sc == dc
+                if not hash_ok:
                     diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
                     problems.append(f"values differ, first diffs: {diffs}")
+        record(
+            name,
+            rows=rows_ok,
+            schema=schema_ok,
+            hsh=hash_ok,
+            s_rows=len(spd),
+            o_rows=len(dpd),
+            err="; ".join(problems) if problems else None,
+        )
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
@@ -212,6 +249,25 @@ def main() -> int:
     )
     for name, why in failures:
         print(f"  FAIL {name}: {why[:300]}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "vanilla": vanilla,
+                    "summary": {
+                        "ok": len(passes),
+                        "rows_only": len(rows_only),
+                        "failed": len(failures),
+                    },
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
