@@ -147,6 +147,28 @@ def a27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+EMB_DIM = 64  # the embeddings table's vector dimensionality
+
+
+def _plane_sign(d: int, p: int) -> float:
+    """±1 hyperplane component for (dim d, plane p), md5-parity-derived.
+
+    md5 of ``"d:p"``, parity of the first hex digit — the same portable
+    pseudo-random idiom as tp12's priorities, computable identically by
+    hashlib here and by MD5() in the DuckDB oracle. (xxhash64 would be
+    cheaper per call but has no DuckDB twin; since the signs depend
+    only on (d, p) they are precomputed ONCE driver-side and embedded
+    as literals, so per-row cost is zero either way.)
+    """
+    import hashlib
+
+    return (
+        1.0
+        if int(hashlib.md5(f"{d}:{p}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+    )
+
+
 def hyperplane_lsh_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -160,20 +182,18 @@ def hyperplane_lsh_pairs(
     The vector analog of dd04's banded MinHash: per table t, the bucket
     key is ``bits_per_table`` sign bits of v·h — pairs colliding in ANY
     table become candidates, then get exact cosine verification.
-    Hyperplane components derive from xxhash64(dim_index, plane_index)
-    (±1 entries), so the sketch is reproducible with no driver-side
-    randomness. At scale (table, bucket) is the shuffle key; candidate
-    volume falls as p_agree^bits per table, never O(n²). Recall stacks
-    as 1-(1-p^bits)^tables — tune tables up for lower thresholds.
+    Hyperplane components are md5-parity ±1 entries (_plane_sign), so
+    the sketch is reproducible with no driver-side randomness AND
+    replayable by the DuckDB oracle. At scale (table, bucket) is the
+    shuffle key; candidate volume falls as p_agree^bits per table,
+    never O(n²). Recall stacks as 1-(1-p^bits)^tables — tune tables up
+    for lower thresholds.
     """
     vec = F.col(vec_col).cast("array<double>")
 
     def plane_dot(p: int):
-        comp = F.transform(
-            vec,
-            lambda x, d: x
-            * F.when(F.pmod(F.xxhash64(d, F.lit(p)), 2) == 0, 1.0).otherwise(-1.0),
-        )
+        signs = F.array(*[F.lit(_plane_sign(d, p)) for d in range(EMB_DIM)])
+        comp = F.zip_with(vec, signs, lambda x, s: x * s)
         return F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
 
     tables = []
@@ -219,12 +239,61 @@ def hyperplane_lsh_pairs(
     )
 
 
-@query("sim05_hyperplane_lsh", oracle=None)  # probabilistic candidates → rows-only check
+# sim05's oracle replays the ENTIRE LSH pipeline — md5-derived plane
+# signs, 36 plane dots, 6-bit bucket packing per table, bucket-join
+# candidates, exact-cosine verification — in DuckDB. Unlike dd04's
+# recall-certificate oracle (brute-force pairs), a brute-force oracle
+# here would FAIL by design: at the 0.4 boundary p_agree ≈ 0.63, so
+# per-table collision ≈ 0.063 and stacked recall ≈ 0.32 — sim05's
+# contract is "exact cosine on the candidates these seeded planes
+# yield", and that is what the oracle checks. The only float-sensitive
+# step is the sign test pd > 0; both engines fold the dot product
+# left-to-right over identical doubles (the sim02-proven pattern), so
+# the bits compare equal.
+_SIM05_ORACLE = """
+    WITH planes AS (
+        SELECT p,
+               [CASE WHEN CAST(CONCAT('0x', SUBSTRING(
+                        MD5(CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 1))
+                        AS BIGINT) % 2 = 0
+                     THEN 1.0 ELSE -1.0 END
+                FOR d IN RANGE(0, 64)] AS s
+        FROM RANGE(0, 36) t(p)
+    ), e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pd AS (
+        SELECT e.vec_id, pl.p // 6 AS table_id, pl.p % 6 AS bit_i,
+               LIST_DOT_PRODUCT(e.v, pl.s) AS d
+        FROM e CROSS JOIN planes pl
+    ), buckets AS (
+        SELECT vec_id, table_id,
+               SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << bit_i ELSE 0 END) AS bucket
+        FROM pd GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND(LIST_DOT_PRODUCT(ea.v, eb.v) /
+                 (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) *
+                  SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))), 6) AS cos_sim
+    FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
+                JOIN e eb ON c.vec_b = eb.vec_id
+    WHERE LIST_DOT_PRODUCT(ea.v, eb.v) /
+          (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) *
+           SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))) >= 0.4
+"""
+
+
+@query("sim05_hyperplane_lsh", oracle=_SIM05_ORACLE)
 def sim05_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH high-similarity pairs over ``embeddings``
     (threshold 0.4 — this corpus's max pairwise cosine is ~0.6, so the
     near-dup regime is empty by construction; 0.4 exercises the method
-    on real mass). sim02 is the exact brute-force twin.
+    on real mass). sim02 is the exact brute-force twin; the oracle
+    replays the seeded-plane pipeline itself (see _SIM05_ORACLE).
     """
     embeddings = load_table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_pairs(embeddings)
