@@ -280,24 +280,55 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "shingles", threshold=0.5)
 
 
-@query("dd05_simhash", oracle=None)  # engine-specific 64-bit fingerprint → rows-only check
+# 60-bit SimHash (15 hex chars of md5 per token): md5 is the portable
+# hash both engines share (tp12/sim05's idiom), and 60 bits is the
+# widest md5 prefix that fits signed int64 on both sides. A production
+# deployment free of cross-engine replay needs could use xxhash64 for
+# cheaper per-token hashing; fingerprint PORTABILITY is itself a real
+# property here — simhashes stored by one system get probed by others.
+_SIMHASH_BITS = 60
+_SIMHASH_BAND = 15  # 4 bands × 15 bits
+
+_DD05_ORACLE = f"""
+    WITH hs AS (
+        SELECT doc_id,
+               [CAST(CONCAT('0x', SUBSTRING(MD5(t), 1, 15)) AS BIGINT)
+                FOR t IN LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))] AS h
+        FROM documents
+    ), votes AS (
+        SELECT doc_id, LEN(h) AS n,
+               {', '.join(f"CAST(LIST_SUM([(x >> {b}) & 1 FOR x IN h]) AS BIGINT) AS s{b}" for b in range(_SIMHASH_BITS))}
+        FROM hs
+    ), packed AS (
+        SELECT doc_id,
+               {' + '.join(f"(CAST(2 * s{b} > n AS BIGINT) << {b})" for b in range(_SIMHASH_BITS))} AS simhash
+        FROM votes
+    )
+    SELECT doc_id, simhash,
+           {', '.join(f"(simhash >> {_SIMHASH_BAND * i}) & {(1 << _SIMHASH_BAND) - 1} AS band15_{i}" for i in range(4))}
+    FROM packed
+"""
+
+
+@query("dd05_simhash", oracle=_DD05_ORACLE)
 def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document, computed natively.
+    """60-bit SimHash fingerprint per document, computed natively.
 
     For each bit position: sum(+1/-1 votes of each token's hash bit) →
     majority sign. Computed as a pure per-row projection — each bit's
     vote is an ``aggregate`` fold over the hashed token array, so the
     whole fingerprint needs NO explode and NO shuffle (same values as
-    the explode + 64-conditional-sum groupBy, minus its O(docs·tokens)
+    the explode + 60-conditional-sum groupBy, minus its O(docs·tokens)
     exchange). Near-dup lookup then buckets on fingerprint prefixes
     (hamming-ball probing); here we return (doc_id, simhash,
-    band16_0..3) prefix buckets.
+    band15_0..3) prefix buckets. Token hashes are md5-prefix-derived,
+    so the DuckDB oracle replays the whole fingerprint bit-exactly.
     """
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
     documents.createOrReplaceTempView("__dd05_docs")
 
     # One generated SQL statement instead of ~400 Column-builder calls:
-    # the py4j round-trips to assemble 64 vote folds + a 64-term
+    # the py4j round-trips to assemble 60 vote folds + a 60-term
     # bit-pack dominate wall time (~2 s driver-side) when built
     # column-by-column; Catalyst parses the equivalent SQL in ~ms.
     # Bit terms are disjoint, so `+` packs them (same as OR) and stays
@@ -305,16 +336,21 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vote without a branch per row.
     votes = ", ".join(
         f"aggregate(h, 0L, (a, x) -> a + (shiftright(x, {b}) & 1)) AS s{b}"
-        for b in range(64)
+        for b in range(_SIMHASH_BITS)
     )
-    pack = " + ".join(f"(CAST(2 * s{b} > n AS LONG) << {b})" for b in range(64))
-    bands = ", ".join(f"(simhash >> {16 * i}) & 65535 AS band16_{i}" for i in range(4))
+    pack = " + ".join(
+        f"(CAST(2 * s{b} > n AS LONG) << {b})" for b in range(_SIMHASH_BITS)
+    )
+    bands = ", ".join(
+        f"(simhash >> {_SIMHASH_BAND * i}) & {(1 << _SIMHASH_BAND) - 1} AS band15_{i}"
+        for i in range(4)
+    )
     return spark.sql(
         f"""
         WITH hs AS (
             SELECT doc_id,
                    transform(array_distinct(split(lower(text), ' ')),
-                             t -> xxhash64(t)) AS h
+                             t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS LONG)) AS h
             FROM __dd05_docs
         ),
         votes AS (SELECT doc_id, size(h) AS n, {votes} FROM hs),
