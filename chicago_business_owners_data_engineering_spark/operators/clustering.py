@@ -226,14 +226,20 @@ SEMDEDUP_COS = 0.4
 N_PROBES = 2
 
 
-def kmeans_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, probe) — each vector exploded to its N_PROBES nearest
-    final centroids, ordered by (distance, cid) like the assignment."""
+def kmeans_probes(
+    spark: SparkSession, sf_dir: str, k: int = K, n_probes: int = N_PROBES
+) -> DataFrame:
+    """(vec_id, v, probe) — each vector exploded to its ``n_probes``
+    nearest final centroids, ordered by (distance, cid) like the
+    assignment. The registry query pins k=K for oracle comparability;
+    production corpora pass k ∝ corpus size (SemDeDup keeps
+    cells roughly constant-sized so the in-cell quadratic stays flat —
+    see SCALE_PROBE.md)."""
     embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
     emb = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    init_rows = emb.orderBy("vec_id").limit(K).collect()
+    init_rows = emb.orderBy("vec_id").limit(k).collect()
     centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
     for _ in range(ITERATIONS - 1):
         centroids = _recompute(_assign(emb, centroids))
@@ -250,7 +256,7 @@ def kmeans_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_arr,
         lambda s: F.struct(_dist_sq(F.col("v"), s["c"]).alias("d"), s["cid"].alias("cid")),
     )
-    top = F.slice(F.array_sort(scored), 1, N_PROBES)
+    top = F.slice(F.array_sort(scored), 1, n_probes)
     return emb.select(
         "vec_id", "v", F.explode(F.transform(top, lambda s: s["cid"])).alias("probe")
     )
@@ -307,6 +313,25 @@ def ml03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per component is its min vec_id (= the component label), mirroring
     dd07's canonical selection with the simplest deterministic rule.
     """
+    return semantic_dedup_components(spark, sf_dir)
+
+
+def semantic_dedup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    cos_threshold: float = SEMDEDUP_COS,
+    n_probes: int = N_PROBES,
+) -> DataFrame:
+    """The parameterized engine behind ml03 (same plan, tunable knobs).
+
+    The registry query pins (k=8, θ=0.4) for oracle comparability; at
+    production scale pass θ≈0.9+ (a duplicate threshold OUTSIDE the
+    random-cosine tail — θ=0.4 sits inside it for this 64-dim corpus,
+    so output pair density grows with corpus size; measured in
+    SCALE_PROBE.md) and k ∝ corpus size (constant cell width keeps the
+    in-cell quadratic flat per SemDeDup).
+    """
     from .dedup import components_from_pairs
 
     # Normalize ONCE per (vector, probe) row — cosine then costs a
@@ -319,7 +344,7 @@ def ml03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    sides = kmeans_probes(spark, sf_dir).select(
+    sides = kmeans_probes(spark, sf_dir, k=k, n_probes=n_probes).select(
         "vec_id",
         "probe",
         F.transform(F.col("v"), lambda x: x / norm).alias("vn"),
@@ -351,7 +376,7 @@ def ml03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.vec_id") < F.col("b.vec_id"),
             ],
         )
-        .filter(cos >= SEMDEDUP_COS)
+        .filter(cos >= F.lit(cos_threshold))
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )

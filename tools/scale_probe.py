@@ -1,0 +1,298 @@
+"""10× scale probe: measure per-query scaling exponents on a real fixture.
+
+Motivation (VERDICT r3 #5): the dd12 word-set trap — fine at sf0.01,
+65 s at sf0.1 because the OUTPUT was quadratic — was caught by ad-hoc
+vigilance. This tool makes that check systematic: it materializes a 10×
+fixture from the bench SF, runs the most expensive registry queries at
+1× and 10×, and fits a scaling exponent per query
+
+    exponent = log(t_10x / t_1x) / log(10)
+
+so ~1.0 reads "linear", ≳1.3 reads "super-linear — explain or fix".
+Output-row counts at both scales are recorded too, because the usual
+cause of a super-linear TIME is a super-linear ANSWER.
+
+Fixture design — 10 disjoint key-shifted shards, NOT 10 raw copies:
+
+- Keyed tables (customer/supplier/part/orders/lineitem/events) get all
+  primary AND foreign keys offset by ``copy * stride`` with one stride
+  per key family, so referential joins stay intact and each shard is an
+  independent world. GroupBys/joins then scale linearly in both input
+  and output — the correct null hypothesis for exponent fitting. Raw
+  row duplication would instead collapse groupBys (same keys 10×) and
+  square self-join outputs by construction.
+- ``documents``: doc_id offset; every token in copy k>0 is tagged
+  ``_k`` so shingle/token sets across shards are DISJOINT — each
+  shard replicates the base duplicate/near-dup structure instead of
+  every doc gaining 9 cross-copy near-dups (which would force a
+  quadratic pair count no matter how good the operator is).
+- ``embeddings``: vec_id offset; copy k's vectors are multiplied by a
+  per-shard Rademacher sign mask (deterministic ±1 per dimension).
+  Sign masks preserve INTRA-shard cosines exactly (cos(m⊙a, m⊙b) =
+  Σ mᵢ²aᵢbᵢ = cos(a,b)) while cross-shard cosine becomes a
+  random-sign-weighted sum concentrating near 0, so semantic-dedup
+  structure replicates per shard. (The first draft used a circular
+  rotation by k dims; the probe's own rows_ratio diagnostic caught it —
+  ml03 emitted 20.7× rows instead of 10× because adjacent shards'
+  rotations differ by one position and the vectors are lag-1
+  autocorrelated. The diagnostic exists precisely for this failure
+  shape; see SCALE_PROBE.md.)
+- ``region``/``nation`` stay as-is: dimensions have fixed cardinality
+  at any SF.
+- Every table is written with 32 files so 10× scans actually
+  parallelize (single-row-group inputs serialize scans — see PERF.md
+  "scan parallelism"); this is also what a production layout looks
+  like.
+
+Each probed query runs under a cancellable job group with a hard
+per-query timeout (default 600 s): a run that blows the budget at 10×
+is itself the finding (recorded as ``timeout``), not a reason for the
+probe to hang.
+
+Usage:
+    python tools/scale_probe.py [--base /root/testdata/sf0.1]
+        [--factor 10] [--timeout 600] [--keep-fixture DIR]
+Prints one JSON line per query and a final summary JSON line; the
+committed human-readable digest lives in SCALE_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from chicago_business_owners_data_engineering_spark import registry
+from chicago_business_owners_data_engineering_spark.session import get_spark
+
+# The most expensive registry queries by the r03 bench record (ml03,
+# dd12, er02/er03, inc02, dd06, dd04 lead every round), plus one
+# representative per heavy family not already present (graph, ANN,
+# retrieval, sessionization) and one scan-bound control whose exponent
+# SHOULD be ~1.0 (q01) to calibrate the fixed-cost floor.
+PROBE_QUERIES: tuple[str, ...] = (
+    "q01_pricing_summary",  # control: one scan + one agg, linear by design
+    "ml03_semantic_dedup",
+    "ml03_semdedup_cos0.9",  # pseudo-query: production-θ calibration of ml03
+    "dd12_prefix_filter_jaccard",
+    "er03_entity_revenue",
+    "er02_entity_clusters",
+    "inc02_incremental_components",
+    "dd06_neardup_components",
+    "dd04_minhash_lsh_pairs",
+    "gr01_pagerank",
+    "sim03_ivf_topk",
+    "tx11_bm25_search",
+    "st01_sessionization",
+)
+
+# One stride per key family — shared by every table that references the
+# family, so cross-table joins keep matching inside a shard and never
+# match across shards.
+KEY_FAMILIES: dict[str, tuple[tuple[str, str], ...]] = {
+    # family: ((table, column), ...); stride = max(column over first table)+1
+    "custkey": (("customer", "c_custkey"), ("orders", "o_custkey")),
+    "suppkey": (("supplier", "s_suppkey"), ("lineitem", "l_suppkey")),
+    "partkey": (("part", "p_partkey"), ("lineitem", "l_partkey")),
+    "orderkey": (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+    "eventid": (("events", "event_id"),),
+    "userid": (("events", "user_id"),),
+    "docid": (("documents", "doc_id"),),
+    "vecid": (("embeddings", "vec_id"),),
+}
+
+REPLICATED_TABLES = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+COPIED_TABLES = ("region", "nation")
+
+FIXTURE_FILES = 32  # files per table: real multi-file layout at 10×
+
+
+def _strides(spark: SparkSession, base: str) -> dict[tuple[str, str], int]:
+    """Resolve (table, column) -> additive stride for shard k."""
+    out: dict[tuple[str, str], int] = {}
+    for cols in KEY_FAMILIES.values():
+        t0, c0 = cols[0]
+        df = spark.read.parquet(os.path.join(base, f"{t0}.parquet"))
+        stride = int(df.agg(F.max(c0)).first()[0]) + 1
+        for t, c in cols:
+            out[(t, c)] = stride
+    return out
+
+
+def _shard(df: DataFrame, table: str, k: int, strides: dict[tuple[str, str], int]) -> DataFrame:
+    """Produce shard k of `table`: keys offset, text/embeddings made disjoint."""
+    for (t, c), stride in strides.items():
+        if t == table:
+            df = df.withColumn(c, F.col(c) + F.lit(k * stride).cast("long"))
+    if k == 0:
+        return df
+    if table == "documents":
+        tagged = F.array_join(
+            F.transform(F.split(F.col("text"), " "), lambda x: F.concat(x, F.lit(f"_{k}"))),
+            " ",
+        )
+        df = df.withColumn("text", tagged).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+    if table == "embeddings":
+        # ±1 per (shard, dim) from xxhash64 parity — deterministic, no RNG
+        sign = lambda i: (  # noqa: E731
+            F.lit(1.0) - F.lit(2.0) * F.pmod(F.xxhash64(F.lit(k) * 4099 + i), F.lit(2))
+        ).cast("float")
+        masked = F.transform(F.col("embedding"), lambda x, i: x * sign(i))
+        df = df.withColumn("embedding", masked)
+    return df
+
+
+def build_fixture(spark: SparkSession, base: str, out: str, factor: int) -> None:
+    strides = _strides(spark, base)
+    for table in COPIED_TABLES:
+        src = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+        src.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    for table in REPLICATED_TABLES:
+        src = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+        shards = [_shard(src, table, k, strides) for k in range(factor)]
+        full = shards[0]
+        for s in shards[1:]:
+            full = full.unionByName(s)
+        (
+            full.repartition(FIXTURE_FILES)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"{table}.parquet"))
+        )
+
+
+def _ml03_calibrated(spark: SparkSession, sf_dir: str):
+    """ml03's engine at a production duplicate threshold (θ=0.9, outside
+    the random-cosine tail) — the registry pin θ=0.4 sits INSIDE that
+    tail for this 64-dim corpus, so its output pair density grows with
+    corpus size by semantics, not by implementation. This probe shows
+    the same blocking yields ~10× rows at 10× data once θ is calibrated."""
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        semantic_dedup_components,
+    )
+
+    return semantic_dedup_components(spark, sf_dir, cos_threshold=0.9)
+
+
+# Pseudo-queries: probe-only callables that are not registry entries
+# (parameter calibrations of registry engines).
+EXTRA_PROBES = {"ml03_semdedup_cos0.9": _ml03_calibrated}
+
+
+def _timed_count(
+    spark: SparkSession, fn, sf_dir: str, group: str, timeout_s: float
+) -> tuple[float | None, int | None]:
+    """(seconds, rows) for one full execution; (None, None) on timeout."""
+    result: dict = {}
+
+    def work() -> None:
+        try:
+            spark.sparkContext.setJobGroup(group, group, interruptOnCancel=True)
+            t0 = time.time()
+            result["rows"] = fn(spark, sf_dir).count()
+            result["sec"] = time.time() - t0
+        except Exception as exc:  # cancellation surfaces as an exception
+            result.setdefault("err", str(exc)[:200])
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive() or "sec" not in result:
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(10)
+        return None, None
+    return result["sec"], result["rows"]
+
+
+def probe_query(
+    spark: SparkSession, name: str, base: str, big: str, timeout_s: float
+) -> dict:
+    fn = EXTRA_PROBES.get(name) or registry.QUERIES[name]
+    rec: dict = {"query": name}
+    for label, sf_dir in (("base", base), ("x10", big)):
+        samples, rows = [], None
+        for i in range(2):
+            sec, r = _timed_count(spark, fn, sf_dir, f"probe-{name}-{label}-{i}", timeout_s)
+            if sec is None:
+                rec[f"{label}_timeout"] = True
+                break
+            samples.append(sec)
+            rows = r
+        if samples:
+            rec[f"{label}_sec"] = round(min(samples), 3)
+            rec[f"{label}_rows"] = rows
+    if "base_sec" in rec and "x10_sec" in rec:
+        rec["exponent"] = round(math.log(rec["x10_sec"] / rec["base_sec"]) / math.log(10), 2)
+        if rec.get("base_rows") and rec.get("x10_rows"):
+            rec["rows_ratio"] = round(rec["x10_rows"] / max(rec["base_rows"], 1), 2)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument("--keep-fixture", default=None, help="persist fixture here instead of a temp dir")
+    ap.add_argument("--queries", default=None, help="comma-separated override of PROBE_QUERIES")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-probe")
+    fixture = args.keep_fixture or tempfile.mkdtemp(prefix="scale_probe_sfx_")
+    names = tuple(args.queries.split(",")) if args.queries else PROBE_QUERIES
+    try:
+        t0 = time.time()
+        build_fixture(spark, args.base, fixture, args.factor)
+        build_s = round(time.time() - t0, 1)
+        print(json.dumps({"fixture": fixture, "factor": args.factor, "build_sec": build_s}), flush=True)
+
+        records = []
+        for name in names:
+            rec = probe_query(spark, name, args.base, fixture, args.timeout)
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+        flagged = [
+            r["query"]
+            for r in records
+            if r.get("exponent", 0) > 1.3 or r.get("x10_timeout")
+        ]
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_probe",
+                    "base": args.base,
+                    "factor": args.factor,
+                    "queries": {r["query"]: r.get("exponent") for r in records},
+                    "flagged_superlinear": flagged,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        if not args.keep_fixture:
+            shutil.rmtree(fixture, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
