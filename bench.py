@@ -121,6 +121,13 @@ BENCH_R3C = [
 ]
 
 
+# Round-4 additions (same freezing rationale).
+BENCH_R4 = [
+    "gr05_kcore",
+    "sim12_ivf_mmr_rerank",
+]
+
+
 def run_pipeline_e2e(sf_dir: str) -> dict[str, float]:
     """Time the full warehouse CLI (ingestion → warehouse → analytics).
 
@@ -199,6 +206,7 @@ def main() -> None:
     r3 = run_set(BENCH_R3)
     r3b = run_set(BENCH_R3B)
     r3c = run_set(BENCH_R3C)
+    r4 = run_set(BENCH_R4)
     e2e = run_pipeline_e2e(sf_dir)
 
     # One JSON line PER metric group, headline group LAST: the driver's
@@ -224,6 +232,7 @@ def main() -> None:
     emit("round3_queries_total_runtime", r3)
     emit("round3_tail_queries_total_runtime", r3b)
     emit("round3_session_queries_total_runtime", r3c)
+    emit("round4_queries_total_runtime", r4)
     emit("pipeline_e2e_runtime", e2e)
     emit("headline_queries_total_runtime", timings)
 

@@ -750,3 +750,119 @@ def gr04_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr_micro"), F.asc("part"))
         .limit(20)
     )
+
+
+KCORE_K = 4
+KCORE_ROUNDS = 8  # ≥ measured rounds-to-fixpoint at every test SF (7 at sf0.1)
+
+
+def kcore_bounded(
+    edges_canon: DataFrame, k: int = KCORE_K, rounds: int | None = KCORE_ROUNDS
+) -> DataFrame:
+    """K-core via iterative peeling → (node, core_deg) for survivors.
+
+    Each round drops every node whose degree within the surviving
+    subgraph is < k; the k-core is the fixpoint (Seidman '83 — the
+    standard dense-subgraph / graph-sampling primitive). All arithmetic
+    is integer (degree counts), so the recurrence is bit-exact across
+    engines and the DuckDB oracle replays it round for round.
+
+    ``rounds`` fixed (registry default): exactly that many peels run —
+    deterministic at any SF whether or not converged, which is what
+    makes the differential check exact; KCORE_ROUNDS is sized past the
+    measured fixpoint at every test SF, so the answer IS the true
+    k-core here. ``rounds=None``: run to fixpoint with a driver loop
+    (one count() per round — the standard coordinator pattern for
+    unbounded iteration; the pytest proves it matches the bounded form).
+
+    Scale: each round is two semi-joins keyed on the node id plus one
+    map-side-combined degree count — shuffles stay on one key family.
+    The alive set shrinks monotonically and is localCheckpoint-ed per
+    round, both to stop the unrolled lazy plan re-deriving round r-1
+    twice per reference and to keep lineage shallow. Round count is
+    bounded by the peel depth, which for power-law graphs is small
+    (degeneracy ordering, not diameter).
+    """
+    bidir = (
+        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            edges_canon.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = bidir.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    deg = None
+    prev_n = alive.count() if rounds is None else None
+    r = 0
+    while True:
+        e = bidir.join(alive, bidir["src"] == alive["node"], "left_semi")
+        e = e.join(alive, e["dst"] == alive["node"], "left_semi")
+        deg = e.groupBy("src").agg(F.count("*").alias("core_deg")).withColumnRenamed(
+            "src", "node"
+        )
+        alive = (
+            deg.filter(F.col("core_deg") >= k).select("node").localCheckpoint(eager=True)
+        )
+        r += 1
+        if rounds is None:
+            n = alive.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        elif r >= rounds:
+            break
+    return deg.filter(F.col("core_deg") >= k).select("node", "core_deg")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling chain: alive_r = {deg within alive_{r-1} >= k}."""
+    head = """
+    , e0 AS (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL SELECT part_b, part_a FROM copairs
+    ), alive0 AS (SELECT DISTINCT src AS node FROM e0)"""
+    body = "".join(
+        f"""
+    , d{r} AS (
+        SELECT e.src AS node, COUNT(*) AS core_deg
+        FROM e0 e
+        JOIN alive{r - 1} a ON e.src = a.node
+        JOIN alive{r - 1} b ON e.dst = b.node
+        GROUP BY 1
+    ), alive{r} AS (SELECT node FROM d{r} WHERE core_deg >= {k})"""
+        for r in range(1, rounds + 1)
+    )
+    tail = f"""
+    SELECT node AS part, core_deg
+    FROM d{rounds} WHERE core_deg >= {k}
+    ORDER BY part
+    """
+    return head + body + tail
+
+
+@query(
+    "gr05_kcore",
+    oracle=_COPURCHASE_EDGE_CTE.rstrip() + _kcore_oracle(KCORE_K, KCORE_ROUNDS),
+)
+def gr05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {K}-core of the 1995 co-purchase graph: parts that survive
+    iterative peeling, with their within-core degree.
+
+    The dense-backbone query (complements gr02's triangles): nodes in
+    the 4-core participate in a subgraph where EVERY member has ≥4
+    surviving co-purchase partners — the standard definition of a
+    cohesive product cluster, robust to pendant/chain noise that raw
+    degree filters keep. See :func:`kcore_bounded`.
+
+    Parity: graph-analytics family beyond the reference's surface
+    (SURVEY.md §2 extras), same bounded-iteration oracle discipline as
+    gr01/gr03/gr04/tx12.
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return (
+        kcore_bounded(edges, KCORE_K, KCORE_ROUNDS)
+        .select(F.col("node").alias("part"), "core_deg")
+        .orderBy("part")
+    )

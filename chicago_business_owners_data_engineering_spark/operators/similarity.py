@@ -119,6 +119,40 @@ def sim02_near_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_probed_labels(embeddings: DataFrame, q: DataFrame, nprobe: int = 3) -> DataFrame:
+    """IVF coarse-probe: per-cell mean centroids → nearest ``nprobe``
+    cells to the query by centroid cosine. Shared by sim03 (pruned
+    top-k) and sim12 (pruned MMR candidate pool). ``q`` must carry one
+    row with a double-array column ``qv``.
+
+    Centroids via positional explode → groupBy(cell, pos) avg →
+    re-assemble: the explode is map-side and partial aggregation
+    collapses each task to ncells×dim tiny rows before the shuffle (the
+    measured-faster form — see sim03's docstring).
+    """
+    pos = embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    centroid = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s.mean_val,
+            ).alias("centroid")
+        )
+    )
+    return (
+        centroid.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("cell_sim"))
+        .orderBy(F.desc("cell_sim"), F.asc("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+
+
 @query(
     "sim03_ivf_topk",
     # Deterministic given the probe rule, so fully oracle-able. The
@@ -179,34 +213,13 @@ def sim03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     embeddings = load_table(spark, sf_dir, "embeddings")
 
-    # 1. per-label centroids: positional explode → mean per (label, pos) → collect ordered
-    pos = embeddings.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
-    centroid = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("val").alias("mean_val"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
-                lambda s: s.mean_val,
-            ).alias("centroid")
-        )
-    )
-
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").cast("array<double>").alias("qv"))
     )
 
-    # 2. nearest nprobe cells by centroid cosine
-    probed = (
-        centroid.crossJoin(F.broadcast(q))
-        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("cell_sim"))
-        .orderBy(F.desc("cell_sim"), F.asc("label"))
-        .limit(3)
-        .select("label")
-    )
+    probed = _ivf_probed_labels(embeddings, q)
 
     # 3. exact scoring restricted to probed cells
     cos = F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6)
@@ -730,12 +743,15 @@ MMR_CAND = 20
 MMR_LAMBDA = 0.5  # exactly representable in binary — no drift
 
 
-def _mmr_oracle() -> str:
+def _mmr_oracle(pre_ctes: str = "", en_from: str = "embeddings") -> str:
     """Generated chained-CTE oracle replaying the greedy MMR loop:
     candidate pool → K argmax rounds, each scoring every remaining
     candidate against the selected set via a correlated MAX subquery.
     MAX over ≤K−1 doubles is order-independent (unlike SUM), so the
-    whole chain is engine-deterministic; ties break on vec_id."""
+    whole chain is engine-deterministic; ties break on vec_id.
+
+    ``pre_ctes``/``en_from`` let sim12 splice an IVF cell-probe in
+    front of the candidate pool (same chain, pruned FROM clause)."""
     head = f"""
     WITH qv AS (
         SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -743,13 +759,13 @@ def _mmr_oracle() -> str:
     ), qn AS (
         SELECT LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v))) AS vn
         FROM qv
-    ), en AS (
+    ){pre_ctes}, en AS (
         SELECT vec_id,
                LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
                               x -> x / SQRT(LIST_DOT_PRODUCT(
                                   CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[])))) AS vn
-        FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+        FROM {en_from} WHERE vec_id <> {QUERY_VEC_ID}
     ), cand AS (
         SELECT e.vec_id, e.vn, LIST_DOT_PRODUCT(e.vn, q.vn) AS rel
         FROM en e, qn q
@@ -815,8 +831,16 @@ def sim11_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         en.select("vec_id", "vn", dot(F.col("vn"), qlit).alias("rel"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_CAND)
-        .localCheckpoint(eager=True)
     )
+    return _mmr_greedy(spark, cand)
+
+
+def _mmr_greedy(spark: SparkSession, cand: DataFrame) -> DataFrame:
+    """K driver-coordinated greedy MMR rounds over a bounded candidate
+    pool (``vec_id``, ``vn``, ``rel``). The pool is localCheckpointed
+    once (≤ MMR_CAND rows) so each round re-scans a materialized
+    pool, not the corpus plan."""
+    cand = cand.localCheckpoint(eager=True)
     picks: list[tuple] = []  # (pick_rank, vec_id, rel, score)
     selected: list[list[float]] = []
     remaining = cand
@@ -848,3 +872,80 @@ def sim11_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel", 6).alias("rel"),
         F.round("mmr_score", 6).alias("mmr_score"),
     ).orderBy("pick_rank")
+
+
+# sim12's oracle splices sim03's cell probe in front of sim11's greedy
+# chain: centroids → nprobe nearest cells → candidate pool restricted
+# to probed cells → identical K-round MMR trajectory. GENERATE_SERIES
+# is pinned to this corpus's dim=64 for the same DuckDB reason as
+# sim03's oracle; the Spark side handles any dim.
+_SIM12_PRE_CTES = """, pos AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, GENERATE_SERIES(1, 64) AS g(i)
+    ), cent AS (
+        SELECT label, LIST(mean_val ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(val) AS mean_val FROM pos GROUP BY label, pos)
+        GROUP BY label
+    ), probed AS (
+        SELECT label
+        FROM cent, qv
+        ORDER BY LIST_DOT_PRODUCT(centroid, qv.v) /
+                 (SQRT(LIST_DOT_PRODUCT(centroid, centroid)) *
+                  SQRT(LIST_DOT_PRODUCT(qv.v, qv.v))) DESC,
+                 label ASC
+        LIMIT 3
+    )"""
+
+
+@query(
+    "sim12_ivf_mmr_rerank",
+    oracle=_mmr_oracle(
+        pre_ctes=_SIM12_PRE_CTES,
+        en_from="embeddings JOIN probed USING (label)",
+    ),
+)
+def sim12_ivf_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-fed MMR: IVF cell probe feeds the diversity re-rank.
+
+    The production retrieval stack composed end-to-end: sim11's exact
+    corpus scan for the candidate pool is replaced by sim03's IVF
+    blocking — score only vectors in the ``nprobe`` nearest cells, keep
+    the top {MMR_CAND} as the pool, then run the identical K-round
+    greedy MMR trajectory. At 100 TB this is THE shape: the corpus scan
+    becomes a partition-pruned read of nprobe/ncells of the data
+    (cell = partition key), the pool is a TakeOrderedAndProject over
+    that pruned scan, and the greedy loop still touches only the
+    {MMR_CAND}-row pool. The generated oracle replays the probe AND the
+    trajectory, so the differential check is exact at every pick —
+    approximate search, deterministic replay.
+
+    Parity: composition of the reference's similarity-search and
+    re-ranking surfaces (SURVEY.md §2.11); no single reference twin —
+    this is the scale path the two components exist to form.
+    """
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        embeddings.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    probed = _ivf_probed_labels(embeddings, q)
+
+    emb = embeddings.join(F.broadcast(probed), "label").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    vn = F.transform(F.col("v"), lambda x: x / norm(F.col("v")))
+    en = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select("vec_id", vn.alias("vn"))
+    qrow = (
+        q.select(
+            F.transform(
+                F.col("qv"), lambda x: x / norm(F.col("qv"))
+            ).alias("vn")
+        ).collect()
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]["vn"]])
+    cand = (
+        en.select("vec_id", "vn", dot(F.col("vn"), qlit).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+    )
+    return _mmr_greedy(spark, cand)

@@ -197,3 +197,43 @@ def test_personalized_pagerank_concentrates_near_seed(spark):
     # (truncating division loses micro-units; teleport injects ≤ what
     # pass-through withholds).
     assert sum(ranks.values()) <= PR_SCALE
+
+
+from chicago_business_owners_data_engineering_spark.operators.graph import (  # noqa: E402
+    kcore_bounded,
+)
+
+
+def _core(df):
+    return {(r.node, r.core_deg) for r in df.collect()}
+
+
+def test_kcore_keeps_clique_drops_pendants(spark):
+    # K5 clique (every node degree 4) with a pendant path hanging off
+    # node 0: the 4-core is exactly the clique, and node 0's core degree
+    # is its WITHIN-CORE degree (4), not its raw degree (5).
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(0, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + path, "part_a long, part_b long")
+    assert _core(kcore_bounded(df, k=4, rounds=4)) == {(i, 4) for i in range(5)}
+
+
+def test_kcore_peeling_cascades(spark):
+    # Path P10 under k=2: endpoints peel first, exposing new endpoints —
+    # each round removes exactly the two current ends, so the bounded
+    # form shows the cascade mid-flight and the fixpoint form empties.
+    df = spark.createDataFrame([(i, i + 1) for i in range(9)], "part_a long, part_b long")
+    after2 = kcore_bounded(df, k=2, rounds=2)
+    assert {r.node for r in after2.collect()} == set(range(2, 8))
+    assert kcore_bounded(df, k=2, rounds=None).count() == 0
+
+
+def test_kcore_bounded_matches_fixpoint_engine(spark):
+    rng = random.Random(7)
+    pairs = {(rng.randint(0, 39), rng.randint(0, 39)) for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "part_a long, part_b long")
+    for k in (2, 3, 4):
+        assert _core(kcore_bounded(df, k=k, rounds=12)) == _core(
+            kcore_bounded(df, k=k, rounds=None)
+        )

@@ -352,3 +352,44 @@ def test_sim11_mmr_diversifies_vs_plain_topk(spark, sf_dir):
     plain_ids = [r.vec_id for r in plain[:MMR_K]]
     assert QUERY_VEC_ID not in mmr_ids
     assert maxpair(mmr_ids) <= maxpair(plain_ids) + 1e-12
+
+
+def test_sim12_ivf_mmr_pool_is_probed_and_trajectory_valid(spark, sf_dir):
+    """sim12's picks all live in the IVF-probed cells, its first pick is
+    the top-rel vector WITHIN those cells, and when the probe happens to
+    cover the plain pool the trajectory degrades to sim11's."""
+    from pyspark.sql import functions as F
+
+    from chicago_business_owners_data_engineering_spark import registry
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        MMR_K,
+        QUERY_VEC_ID,
+        _ivf_probed_labels,
+        cosine,
+    )
+
+    out = registry.QUERIES["sim12_ivf_mmr_rerank"](spark, sf_dir).collect()
+    assert [r.pick_rank for r in out] == list(range(1, MMR_K + 1))
+    assert QUERY_VEC_ID not in {r.vec_id for r in out}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    probed = {r.label for r in _ivf_probed_labels(emb, q).collect()}
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r.vec_id] in probed for r in out)
+
+    # first pick = argmax cosine among probed-cell vectors (ties: vec_id)
+    best = (
+        emb.filter(F.col("label").isin(list(probed)) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine(F.col("embedding").cast("array<double>"), F.col("qv")).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .first()
+    )
+    assert out[0].vec_id == best.vec_id
