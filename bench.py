@@ -125,6 +125,7 @@ BENCH_R3C = [
 BENCH_R4 = [
     "gr05_kcore",
     "sim12_ivf_mmr_rerank",
+    "sim13_knn_join",
 ]
 
 

@@ -389,3 +389,91 @@ def semantic_dedup_components(
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim13_knn_join",
+    oracle=_KMEANS_CTE
+    + f"""
+    , probes AS (
+        SELECT d2.vec_id, d2.cid AS probe, emb.v
+        FROM d2 JOIN emb ON d2.vec_id = emb.vec_id
+        WHERE d2.rn <= {N_PROBES}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid,
+               LIST_DOT_PRODUCT(a.v, b.v) /
+               (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) *
+                SQRT(LIST_DOT_PRODUCT(b.v, b.v))) AS cs
+        FROM probes a JOIN probes b
+          ON a.probe = b.probe AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT qid, nid, cs,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cs DESC, nid) AS rn
+        FROM cand
+    )
+    SELECT qid AS vec_id, nid AS nn_id, ROUND(cs, 6) AS nn_cos
+    FROM ranked WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def sim13_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic nearest-neighbor JOIN: every vector finds its top-1
+    neighbor through the multi-probe k-means blocking.
+
+    The batch shape missing between single-query search (sim01/sim03),
+    fixed-panel batch (sim07), and threshold all-pairs (ml03): the
+    corpus joined against ITSELF, one best match per row — the workhorse
+    behind semantic labeling ("tag each doc with its closest curated
+    exemplar"), transfer filtering, and retrieval-augmented dedup.
+    Candidates are only pairs sharing one of their N_PROBES nearest
+    cells, so the pair count is Σ (probe-cell)², never n² — the same
+    blocking bound as ml03 — and the top-1-per-query window runs over
+    that bounded candidate relation with an early-out rank. The same
+    salting recipe as ml03 stripes each cell's pair grid across tasks.
+
+    Exactness: cosine is computed as dot/(norm·norm) on the RAW double
+    vectors in the same element-order fold as DuckDB's
+    LIST_DOT_PRODUCT — no pre-normalization — because here the score is
+    IN the output and drives the (cs DESC, nid) ranking, so both
+    engines must agree to the last bit, not merely on a threshold.
+
+    Parity: SURVEY.md §2.11 similarity family; composition of the
+    reference's embedding-search surface into its batch-join form.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    sides = kmeans_probes(spark, sf_dir)  # (vec_id, v, probe)
+    SALTS = 8
+    a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
+    b = sides.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
+    ).alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.probe") == F.col("b.probe"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cs"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("nn_id"),
+            F.round("cs", 6).alias("nn_cos"),
+        )
+        .orderBy("vec_id")
+    )

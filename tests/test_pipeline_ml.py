@@ -393,3 +393,33 @@ def test_sim12_ivf_mmr_pool_is_probed_and_trajectory_valid(spark, sf_dir):
         .first()
     )
     assert out[0].vec_id == best.vec_id
+
+
+def test_sim13_knn_join_structure_and_recall(spark, sf_dir):
+    """One row per query vector, never a self-match, and the blocked
+    top-1 agrees with the exact brute-force top-1 for a solid majority
+    of vectors (multi-probe blocking recall — same bound family as
+    ml03's pair recall)."""
+    import numpy as np
+
+    from chicago_business_owners_data_engineering_spark import registry
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+
+    out = registry.QUERIES["sim13_knn_join"](spark, sf_dir).collect()
+    assert all(r.vec_id != r.nn_id for r in out)
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids))
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    V = np.array([[float(x) for x in r.embedding] for r in rows])
+    vid = np.array([r.vec_id for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    np.fill_diagonal(C, -2.0)
+    exact = {}
+    for i in range(len(vid)):
+        j = int(np.argmax(C[i]))
+        exact[int(vid[i])] = int(vid[j])
+    got = {r.vec_id: r.nn_id for r in out}
+    agree = sum(1 for k in got if exact.get(k) == got[k])
+    assert agree / len(got) >= 0.6, f"recall {agree}/{len(got)}"
