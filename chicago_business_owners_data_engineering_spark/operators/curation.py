@@ -543,3 +543,119 @@ def dq05_expectation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_failed") > 0)
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# k-anonymity parameters: quasi-identifier columns on the customer
+# dimension (segment, nation, coarse balance bucket) and the minimum
+# equivalence-class size below which a group is re-identifiable.
+K_ANON = 5
+_QI_SQL = "c_mktsegment, c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket"
+
+
+@query(
+    "dq06_k_anonymity",
+    oracle=f"""
+    SELECT {_QI_SQL}, COUNT(*) AS n_rows
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {K_ANON}
+    ORDER BY c_mktsegment, c_nationkey, bal_bucket
+    """,
+)
+def dq06_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: quasi-identifier equivalence classes smaller
+    than k — the re-identification risk report.
+
+    The privacy half of curation that tx05's PII redaction doesn't
+    cover: redaction strips DIRECT identifiers, but a row is still
+    re-identifiable when its quasi-identifier combination (here
+    segment × nation × coarse balance bucket) is shared by fewer than
+    k individuals (Sweeney's k-anonymity). One map-side-combined
+    groupBy on the QI tuple — the equivalence-class relation is
+    QI-cardinality-sized, tiny next to the table at any SF — then a
+    count filter. Floor-bucketing is exact cross-engine (IEEE division
+    then FLOOR of an integral double).
+
+    Parity: beyond-reference privacy audit (SURVEY.md §2.11 extras);
+    the reference exposes owner NAMES post-redaction only
+    (cbddl/src/analytics/demographics_analyzer.py), with no class-size
+    audit.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") < K_ANON)
+        .orderBy("c_mktsegment", "c_nationkey", "bal_bucket")
+    )
+
+
+@query(
+    "dq07_k_anonymity_suppress",
+    oracle=f"""
+    WITH classes AS (
+        SELECT {_QI_SQL}, COUNT(*) AS n_rows
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c.c_custkey,
+           CASE WHEN k.n_rows < {K_ANON} THEN NULL ELSE c.c_mktsegment END AS mktsegment,
+           CASE WHEN k.n_rows < {K_ANON} THEN NULL ELSE c.c_nationkey END AS nationkey,
+           CASE WHEN k.n_rows < {K_ANON} THEN NULL
+                ELSE CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) END AS bal_bucket,
+           k.n_rows < {K_ANON} AS suppressed
+    FROM customer c
+    JOIN classes k
+      ON c.c_mktsegment = k.c_mktsegment
+     AND c.c_nationkey = k.c_nationkey
+     AND CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) = k.bal_bucket
+    ORDER BY c.c_custkey
+    """,
+)
+def dq07_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable twin of dq06: release the table with every risky
+    equivalence class's quasi-identifiers SUPPRESSED (nulled), keeping
+    safe classes intact.
+
+    Plan: the class-size relation from dq06 (QI-cardinality-sized) is
+    BROADCAST back onto the table — the fact side never shuffles — and
+    suppression is a per-row conditional projection. This is the
+    standard suppression-only cell generalization; at 100 TB the same
+    plan holds because the broadcast side scales with QI cardinality,
+    not row count.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000)
+    # disambiguated key names on the class relation: it derives from the
+    # same scan it joins back onto (classic self-join lineage trap)
+    classes = (
+        customer.groupBy(
+            F.col("c_mktsegment").alias("k_seg"),
+            F.col("c_nationkey").alias("k_nat"),
+            bucket.alias("k_bucket"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    risky = F.col("n_rows") < K_ANON
+    return (
+        customer.withColumn("bb", bucket)
+        .join(
+            F.broadcast(classes),
+            on=[
+                F.col("c_mktsegment") == F.col("k_seg"),
+                F.col("c_nationkey") == F.col("k_nat"),
+                F.col("bb") == F.col("k_bucket"),
+            ],
+        )
+        .select(
+            "c_custkey",
+            F.when(risky, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("mktsegment"),
+            F.when(risky, F.lit(None)).otherwise(F.col("c_nationkey")).alias("nationkey"),
+            F.when(risky, F.lit(None).cast("long")).otherwise(F.col("bb")).alias("bal_bucket"),
+            risky.alias("suppressed"),
+        )
+        .orderBy("c_custkey")
+    )

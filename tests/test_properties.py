@@ -453,3 +453,26 @@ def test_integer_pagerank_invariants(spark, pairs):
     )
     ranks_rev = {r.node: r["rank"] for r in pagerank_integer(df_rev).collect()}
     assert ranks == ranks_rev
+
+
+def test_k_anonymity_audit_and_suppression_consistent(spark):
+    """Every class dq06 reports is genuinely < k; dq07 suppresses
+    exactly the rows of those classes and no others; suppressed rows
+    null ALL quasi-identifiers (no partial leakage)."""
+    from chicago_business_owners_data_engineering_spark import registry
+    from chicago_business_owners_data_engineering_spark.operators.curation import K_ANON
+
+    sf = "/root/testdata/sf0.001"
+    risky = registry.QUERIES["dq06_k_anonymity"](spark, sf).collect()
+    assert all(r.n_rows < K_ANON for r in risky)
+    risky_keys = {(r.c_mktsegment, r.c_nationkey, r.bal_bucket) for r in risky}
+
+    released = registry.QUERIES["dq07_k_anonymity_suppress"](spark, sf).collect()
+    n_suppressed = sum(1 for r in released if r.suppressed)
+    assert n_suppressed == sum(r.n_rows for r in risky)
+    for r in released:
+        if r.suppressed:
+            assert r.mktsegment is None and r.nationkey is None and r.bal_bucket is None
+        else:
+            assert (r.mktsegment, r.nationkey, r.bal_bucket) not in risky_keys
+            assert None not in (r.mktsegment, r.nationkey, r.bal_bucket)

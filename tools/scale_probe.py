@@ -91,6 +91,9 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dd06_neardup_components",
     "dd04_minhash_lsh_pairs",
     "gr01_pagerank",
+    "gr05_kcore",
+    "sim12_ivf_mmr_rerank",
+    "sim13_knn_join",
     "sim03_ivf_topk",
     "tx11_bm25_search",
     "st01_sessionization",
