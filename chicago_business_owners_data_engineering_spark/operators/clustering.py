@@ -439,12 +439,33 @@ def sim13_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: SURVEY.md §2.11 similarity family; composition of the
     reference's embedding-search surface into its batch-join form.
+
+    SCALE NOTE (measured, SCALE_PROBE.md): at FIXED k the per-cell
+    population grows with the corpus, so candidate pairs grow
+    quadratically — the probe flagged exactly this (exponent 1.74 at
+    10× with k=8). The registry pins k=8 for oracle comparability;
+    production calls :func:`knn_join_topk` with k ∝ corpus size
+    (constant cell width), which the probe's scaled-k pseudo-query
+    shows restores linear behavior.
+    """
+    return knn_join_topk(spark, sf_dir)
+
+
+def knn_join_topk(
+    spark: SparkSession, sf_dir: str, k: int = K, n_probes: int = N_PROBES
+) -> DataFrame:
+    """Parameterized engine behind sim13 — same plan, tunable blocking.
+
+    ``k`` is THE scale knob: candidate pairs per cell ≈ (n/k)², so
+    holding cell width constant (k ∝ corpus size) keeps total candidate
+    work linear. ``n_probes`` trades recall for candidate volume
+    exactly as in ml03.
     """
     from pyspark.sql import Window
 
     from .similarity import cosine
 
-    sides = kmeans_probes(spark, sf_dir)  # (vec_id, v, probe)
+    sides = kmeans_probes(spark, sf_dir, k=k, n_probes=n_probes)  # (vec_id, v, probe)
     SALTS = 8
     a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
     b = sides.withColumn(

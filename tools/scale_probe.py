@@ -94,6 +94,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "gr05_kcore",
     "sim12_ivf_mmr_rerank",
     "sim13_knn_join",
+    "sim13_knnjoin_scaledk",  # pseudo-query: k ∝ corpus size calibration
     "sim03_ivf_topk",
     "tx11_bm25_search",
     "st01_sessionization",
@@ -197,9 +198,27 @@ def _ml03_calibrated(spark: SparkSession, sf_dir: str):
     return semantic_dedup_components(spark, sf_dir, cos_threshold=0.9)
 
 
+def _sim13_scaled_k(spark: SparkSession, sf_dir: str):
+    """sim13's engine with k ∝ corpus size (constant ~250-vector cell
+    width) — the production configuration. The registry pin k=8 was
+    probe-flagged at exponent 1.74 (fixed k ⇒ cells grow with the
+    corpus ⇒ quadratic candidate pairs); this pseudo-query demonstrates
+    the scaled-k fix."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        knn_join_topk,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return knn_join_topk(spark, sf_dir, k=max(8, n // 250))
+
+
 # Pseudo-queries: probe-only callables that are not registry entries
 # (parameter calibrations of registry engines).
-EXTRA_PROBES = {"ml03_semdedup_cos0.9": _ml03_calibrated}
+EXTRA_PROBES = {
+    "ml03_semdedup_cos0.9": _ml03_calibrated,
+    "sim13_knnjoin_scaledk": _sim13_scaled_k,
+}
 
 
 def _timed_count(
