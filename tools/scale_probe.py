@@ -105,13 +105,21 @@ PROBE_QUERIES: tuple[str, ...] = (
 # match across shards.
 KEY_FAMILIES: dict[str, tuple[tuple[str, str], ...]] = {
     # family: ((table, column), ...); stride = max(column over first table)+1
-    "custkey": (("customer", "c_custkey"), ("orders", "o_custkey")),
+    # events.user_id DRAWS FROM the custkey domain (j08 joins
+    # o_custkey = user_id), so it must share the custkey stride — its
+    # own smaller stride would land shard-k users inside shard-0's
+    # custkey range and corrupt the events↔orders link.
+    "custkey": (("customer", "c_custkey"), ("orders", "o_custkey"), ("events", "user_id")),
     "suppkey": (("supplier", "s_suppkey"), ("lineitem", "l_suppkey")),
     "partkey": (("part", "p_partkey"), ("lineitem", "l_partkey")),
     "orderkey": (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
     "eventid": (("events", "event_id"),),
-    "userid": (("events", "user_id"),),
     "docid": (("documents", "doc_id"),),
+    # label is the IVF cell id: offsetting it gives each shard its own
+    # cells, so label-blocked queries (sim03/sim12) probe a replica of
+    # base-scale cell structure instead of cells that mix 10
+    # decorrelated shards into near-zero centroids.
+    "veclabel": (("embeddings", "label"),),
     "vecid": (("embeddings", "vec_id"),),
 }
 
@@ -144,9 +152,12 @@ def _strides(spark: SparkSession, base: str) -> dict[tuple[str, str], int]:
 
 def _shard(df: DataFrame, table: str, k: int, strides: dict[tuple[str, str], int]) -> DataFrame:
     """Produce shard k of `table`: keys offset, text/embeddings made disjoint."""
+    dtypes = dict(df.dtypes)
     for (t, c), stride in strides.items():
         if t == table:
-            df = df.withColumn(c, F.col(c) + F.lit(k * stride).cast("long"))
+            # cast back to the column's original dtype: the offset must
+            # not silently widen the schema (int label stays int)
+            df = df.withColumn(c, (F.col(c) + F.lit(k * stride)).cast(dtypes[c]))
     if k == 0:
         return df
     if table == "documents":
@@ -223,8 +234,14 @@ EXTRA_PROBES = {
 
 def _timed_count(
     spark: SparkSession, fn, sf_dir: str, group: str, timeout_s: float
-) -> tuple[float | None, int | None]:
-    """(seconds, rows) for one full execution; (None, None) on timeout."""
+) -> dict:
+    """One full execution → {'sec', 'rows'} | {'timeout': True} | {'error': msg}.
+
+    A query that ERRORS (analysis exception, OOM) is a different finding
+    from one that blows the time budget — conflating them would let the
+    report claim 'super-linear, timed out at 10×' about a query that
+    crashed in two seconds.
+    """
     result: dict = {}
 
     def work() -> None:
@@ -233,38 +250,47 @@ def _timed_count(
             t0 = time.time()
             result["rows"] = fn(spark, sf_dir).count()
             result["sec"] = time.time() - t0
-        except Exception as exc:  # cancellation surfaces as an exception
-            result.setdefault("err", str(exc)[:200])
+        except Exception as exc:  # cancellation also surfaces here
+            result.setdefault("err", f"{type(exc).__name__}: {exc}"[:300])
 
     th = threading.Thread(target=work, daemon=True)
     th.start()
     th.join(timeout_s)
-    if th.is_alive() or "sec" not in result:
+    if th.is_alive():
         spark.sparkContext.cancelJobGroup(group)
         th.join(10)
-        return None, None
-    return result["sec"], result["rows"]
+        return {"timeout": True}
+    if "sec" not in result:
+        return {"error": result.get("err", "unknown failure")}
+    return {"sec": result["sec"], "rows": result["rows"]}
 
 
 def probe_query(
-    spark: SparkSession, name: str, base: str, big: str, timeout_s: float
+    spark: SparkSession, name: str, base: str, big: str, timeout_s: float, factor: int
 ) -> dict:
     fn = EXTRA_PROBES.get(name) or registry.QUERIES[name]
     rec: dict = {"query": name}
     for label, sf_dir in (("base", base), ("x10", big)):
         samples, rows = [], None
         for i in range(2):
-            sec, r = _timed_count(spark, fn, sf_dir, f"probe-{name}-{label}-{i}", timeout_s)
-            if sec is None:
-                rec[f"{label}_timeout"] = True
+            out = _timed_count(spark, fn, sf_dir, f"probe-{name}-{label}-{i}", timeout_s)
+            if "sec" not in out:
+                # a truncated measurement poisons the exponent — record
+                # ONLY the failure mode, never a partial sec/rows pair
+                samples = []
+                rec[f"{label}_timeout" if out.get("timeout") else f"{label}_error"] = (
+                    out.get("error", True)
+                )
                 break
-            samples.append(sec)
-            rows = r
+            samples.append(out["sec"])
+            rows = out["rows"]
         if samples:
             rec[f"{label}_sec"] = round(min(samples), 3)
             rec[f"{label}_rows"] = rows
     if "base_sec" in rec and "x10_sec" in rec:
-        rec["exponent"] = round(math.log(rec["x10_sec"] / rec["base_sec"]) / math.log(10), 2)
+        rec["exponent"] = round(
+            math.log(rec["x10_sec"] / rec["base_sec"]) / math.log(factor), 2
+        )
         if rec.get("base_rows") and rec.get("x10_rows"):
             rec["rows_ratio"] = round(rec["x10_rows"] / max(rec["base_rows"], 1), 2)
     return rec
@@ -290,14 +316,14 @@ def main() -> None:
 
         records = []
         for name in names:
-            rec = probe_query(spark, name, args.base, fixture, args.timeout)
+            rec = probe_query(spark, name, args.base, fixture, args.timeout, args.factor)
             records.append(rec)
             print(json.dumps(rec), flush=True)
 
         flagged = [
             r["query"]
             for r in records
-            if r.get("exponent", 0) > 1.3 or r.get("x10_timeout")
+            if r.get("exponent", 0) > 1.3 or r.get("x10_timeout") or r.get("x10_error")
         ]
         print(
             json.dumps(
