@@ -126,6 +126,9 @@ BENCH_R4 = [
     "gr05_kcore",
     "sim12_ivf_mmr_rerank",
     "sim13_knn_join",
+    "dq06_k_anonymity",
+    "dq07_k_anonymity_suppress",
+    "gr06_onion_layers",
 ]
 
 

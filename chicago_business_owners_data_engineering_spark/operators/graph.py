@@ -814,30 +814,45 @@ def kcore_bounded(
     return deg.filter(F.col("core_deg") >= k).select("node", "core_deg")
 
 
-def _kcore_oracle(k: int, rounds: int) -> str:
-    """Unrolled peeling chain: alive_r = {deg within alive_{r-1} >= k}."""
+def _kcore_chain(k: int, rounds: int) -> str:
+    """Unrolled peeling CTEs: alive_r = {deg within alive_{r-1} >= k}.
+    Shared by gr05 (core tail) and gr06 (layer tail).
+
+    Every chain CTE is AS MATERIALIZED: each alive_r is referenced
+    2-3× (both join sides of d_{r+1}, plus gr06's membership union),
+    and DuckDB's default inlining would duplicate the whole upstream
+    subtree per reference — 3^rounds expansion, measured as a
+    gr06 oracle that never finished. Materialization makes the chain
+    cost linear in rounds, matching how the Spark side
+    localCheckpoints each round."""
     head = """
-    , e0 AS (
+    , e0 AS MATERIALIZED (
         SELECT part_a AS src, part_b AS dst FROM copairs
         UNION ALL SELECT part_b, part_a FROM copairs
-    ), alive0 AS (SELECT DISTINCT src AS node FROM e0)"""
+    ), alive0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0)"""
     body = "".join(
         f"""
-    , d{r} AS (
+    , d{r} AS MATERIALIZED (
         SELECT e.src AS node, COUNT(*) AS core_deg
         FROM e0 e
         JOIN alive{r - 1} a ON e.src = a.node
         JOIN alive{r - 1} b ON e.dst = b.node
         GROUP BY 1
-    ), alive{r} AS (SELECT node FROM d{r} WHERE core_deg >= {k})"""
+    ), alive{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE core_deg >= {k})"""
         for r in range(1, rounds + 1)
     )
-    tail = f"""
+    return head + body
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    return (
+        _kcore_chain(k, rounds)
+        + f"""
     SELECT node AS part, core_deg
     FROM d{rounds} WHERE core_deg >= {k}
     ORDER BY part
     """
-    return head + body + tail
+    )
 
 
 @query(
@@ -864,5 +879,109 @@ def gr05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kcore_bounded(edges, KCORE_K, KCORE_ROUNDS)
         .select(F.col("node").alias("part"), "core_deg")
+        .orderBy("part")
+    )
+
+
+ONION_K = 2
+ONION_ROUNDS = 8  # ≥ measured k=2 rounds-to-fixpoint at every test SF (7 at sf0.1)
+
+
+def onion_layers(
+    edges_canon: DataFrame, k: int = ONION_K, rounds: int = ONION_ROUNDS
+) -> DataFrame:
+    """Onion decomposition under k-peeling → (node, layer).
+
+    layer = the round (1-based) at which the node was peeled; 0 = the
+    node survives in the k-core after ``rounds`` rounds. With k=2 the
+    layer is a graph-periphery depth: pendant trees peel inward one
+    ring per round (leaves first), so high layers mark nodes close to
+    the cohesive core — the graph-shaped counterpart of tp10's
+    curriculum ordering, used to stage samples from periphery to core.
+    Same integer peeling recurrence as :func:`kcore_bounded`; the
+    peeled set per round is a set difference of consecutive alive sets
+    (NOT "core_deg < k" rows — a node whose last neighbors were all
+    peeled in the same round has no degree row at all, and the
+    difference form catches it where the filter form would drop it).
+    """
+    bidir = (
+        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            edges_canon.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = bidir.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    layers = []
+    for r in range(1, rounds + 1):
+        e = bidir.join(alive, bidir["src"] == alive["node"], "left_semi")
+        e = e.join(alive, e["dst"] == alive["node"], "left_semi")
+        deg = e.groupBy("src").agg(F.count("*").alias("core_deg")).withColumnRenamed(
+            "src", "node"
+        )
+        alive_next = (
+            deg.filter(F.col("core_deg") >= k).select("node").localCheckpoint(eager=True)
+        )
+        layers.append(
+            alive.exceptAll(alive_next).select("node", F.lit(r).alias("layer"))
+        )
+        alive = alive_next
+    layers.append(alive.select("node", F.lit(0).alias("layer")))
+    out = layers[0]
+    for df in layers[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _onion_oracle(rounds: int) -> str:
+    """Layer extraction over the same unrolled peeling chain as gr05.
+
+    Count formulation, not per-round set differences: alive sets shrink
+    monotonically, so a node peeled at round r belongs to exactly r-1 of
+    alive_1..alive_R and layer = count+1 (count = R ⇒ survives ⇒ layer
+    0). One union + one grouped left join instead of R NOT-IN
+    anti-joins re-referencing every alive CTE."""
+    mem = "\n        UNION ALL ".join(
+        f"SELECT node FROM alive{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    , mem AS (
+        {mem}
+    ), cnt AS (
+        SELECT a0.node, COUNT(m.node) AS c
+        FROM alive0 a0 LEFT JOIN mem m ON a0.node = m.node
+        GROUP BY a0.node
+    )
+    SELECT node AS part,
+           CAST(CASE WHEN c = {rounds} THEN 0 ELSE c + 1 END AS INT) AS layer
+    FROM cnt ORDER BY part
+    """
+
+
+@query(
+    "gr06_onion_layers",
+    oracle=_COPURCHASE_EDGE_CTE.rstrip()
+    + _kcore_chain(ONION_K, ONION_ROUNDS)
+    + _onion_oracle(ONION_ROUNDS),
+)
+def gr06_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion layer per part in the 1995 co-purchase graph: the peel
+    round under 2-core peeling (0 = survives in the 2-core).
+
+    The periphery-depth signal behind graph-aware sampling: layer-1
+    parts are one-off co-purchase leaves, higher layers sit closer to
+    the dense backbone gr05 extracts, and layer 0 IS that backbone's
+    2-core superset. See :func:`onion_layers` for the set-difference
+    subtlety that makes zero-degree peels exact.
+
+    Parity: graph-analytics family beyond the reference's surface
+    (SURVEY.md §2 extras); shares gr05's unrolled-chain oracle.
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return (
+        onion_layers(edges, ONION_K, ONION_ROUNDS)
+        .select(F.col("node").alias("part"), F.col("layer").cast("int"))
         .orderBy("part")
     )

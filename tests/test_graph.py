@@ -237,3 +237,31 @@ def test_kcore_bounded_matches_fixpoint_engine(spark):
         assert _core(kcore_bounded(df, k=k, rounds=12)) == _core(
             kcore_bounded(df, k=k, rounds=None)
         )
+
+
+from chicago_business_owners_data_engineering_spark.operators.graph import (  # noqa: E402
+    onion_layers,
+)
+
+
+def test_onion_layers_peel_pendant_path_inward(spark):
+    # K5 clique with a pendant path 0-10-11-12: under k=2 the path peels
+    # one ring per round from the leaf inward (12 -> 11 -> 10), and the
+    # clique is the 2-core (layer 0).
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(0, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + path, "part_a long, part_b long")
+    layers = {r.node: r.layer for r in onion_layers(df, k=2, rounds=6).collect()}
+    assert layers == {**{i: 0 for i in range(5)}, 12: 1, 11: 2, 10: 3}
+
+
+def test_onion_layer_zero_equals_kcore(spark):
+    rng = random.Random(13)
+    pairs = {(rng.randint(0, 49), rng.randint(0, 49)) for _ in range(150)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "part_a long, part_b long")
+    core = {r.node for r in kcore_bounded(df, k=2, rounds=None).collect()}
+    layer0 = {
+        r.node for r in onion_layers(df, k=2, rounds=12).collect() if r.layer == 0
+    }
+    assert layer0 == core
