@@ -34,9 +34,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_scan
 from ..registry import query
+from .shared_oracles import (
+    EMB_DIM as DIM,
+    KMEANS_K as K,
+    KMEANS_N_PROBES,
+    KMEANS_PROBES_CTE,
+    KMEANS_TRAJECTORY_CTE,
+)
 
-K = 8
-DIM = 64
 ITERATIONS = 2
 
 
@@ -98,38 +103,10 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     ]
 
 
-# Shared DuckDB replay of the two-iteration trajectory: deterministic
-# init -> assign -> centroid update -> assign, with the final
-# assignment's distance kept in d2. ml01 and ml02 both compose on this
-# constant so they can never verify against different trajectories.
-_KMEANS_CTE = f"""
-    WITH RECURSIVE emb AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), cents0 AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-        FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {K})
-    ), d1 AS (
-        SELECT e.vec_id, c0.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY list_distance(e.v, c0.c), c0.cid) AS rn
-        FROM emb e CROSS JOIN cents0 c0
-    ), a1 AS (
-        SELECT vec_id, cid AS cluster FROM d1 WHERE rn = 1
-    ), expl AS (
-        SELECT a1.cluster AS cid, g.dim, e.v[g.dim + 1] AS x
-        FROM a1 JOIN emb e ON a1.vec_id = e.vec_id
-        CROSS JOIN (SELECT UNNEST(RANGE(0, {DIM})) AS dim) g
-    ), cents1 AS (
-        SELECT cid, LIST(cx ORDER BY dim) AS c
-        FROM (SELECT cid, dim, AVG(x) AS cx FROM expl GROUP BY cid, dim)
-        GROUP BY cid
-    ), d2 AS (
-        SELECT e.vec_id, c1.cid, list_distance(e.v, c1.c) AS dist,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY list_distance(e.v, c1.c), c1.cid) AS rn
-        FROM emb e CROSS JOIN cents1 c1
-    )
-"""
+# The DuckDB trajectory replay lives in shared_oracles (registry-free,
+# so peer modules can compose it at decoration time); alias kept for
+# this module's own oracle compositions.
+_KMEANS_CTE = KMEANS_TRAJECTORY_CTE
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +200,7 @@ SEMDEDUP_COS = 0.4
 # Single-probe recall on this corpus is ~35% (θ=0.4 near-dups are not
 # extremely close, so they often straddle a Voronoi boundary); 2-probe
 # recovers ~80% for a ≤4× candidate-count increase.
-N_PROBES = 2
+N_PROBES = KMEANS_N_PROBES
 
 
 def kmeans_probes(
@@ -265,12 +242,9 @@ def kmeans_probes(
 @query(
     "ml03_semantic_dedup",
     oracle=_KMEANS_CTE
+    + KMEANS_PROBES_CTE
     + f"""
-    , probes AS (
-        SELECT d2.vec_id, d2.cid AS probe, emb.v
-        FROM d2 JOIN emb ON d2.vec_id = emb.vec_id
-        WHERE d2.rn <= {N_PROBES}
-    ), spairs AS (
+    , spairs AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM probes a JOIN probes b
           ON a.probe = b.probe AND a.vec_id < b.vec_id
@@ -394,12 +368,9 @@ def semantic_dedup_components(
 @query(
     "sim13_knn_join",
     oracle=_KMEANS_CTE
+    + KMEANS_PROBES_CTE
     + f"""
-    , probes AS (
-        SELECT d2.vec_id, d2.cid AS probe, emb.v
-        FROM d2 JOIN emb ON d2.vec_id = emb.vec_id
-        WHERE d2.rn <= {N_PROBES}
-    ), cand AS (
+    , cand AS (
         SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid,
                LIST_DOT_PRODUCT(a.v, b.v) /
                (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) *
@@ -495,6 +466,228 @@ def knn_join_topk(
             F.col("qid").alias("vec_id"),
             F.col("nid").alias("nn_id"),
             F.round("cs", 6).alias("nn_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- ml04: density-based dedup (DBSCAN over blocked candidates) -------------
+
+# DBSCAN eps in cosine-similarity form: two vectors are neighbors when
+# cos >= DBSCAN_COS. 0.35 sits below the sim02/ml03 near-dup threshold
+# (0.4) so the density graph is denser than the dedup graph — the point
+# of the operator is separating DENSE regions (templated/boilerplate
+# content) from sparse ones, not finding near-identical pairs.
+DBSCAN_COS = 0.35
+# Core point: >= MIN_PTS candidate neighbors at the threshold (self
+# excluded — DBSCAN's minPts counts the point itself; 2 here ~ minPts=3).
+DBSCAN_MIN_PTS = 2
+
+
+@query(
+    "ml04_density_dedup",
+    oracle=KMEANS_TRAJECTORY_CTE
+    + KMEANS_PROBES_CTE
+    + f"""
+    , cpairs AS (
+        SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nb
+        FROM probes a JOIN probes b
+          ON a.probe = b.probe AND a.vec_id <> b.vec_id
+        WHERE LIST_DOT_PRODUCT(a.v, b.v) /
+              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v)))
+              >= {DBSCAN_COS}
+    ), core AS (
+        SELECT vid FROM cpairs GROUP BY vid HAVING COUNT(*) >= {DBSCAN_MIN_PTS}
+    ), cedge AS (
+        SELECT p.vid AS src, p.nb AS dst
+        FROM cpairs p JOIN core c1 ON p.vid = c1.vid JOIN core c2 ON p.nb = c2.vid
+    ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM cedge
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN cedge e ON r.node = e.src
+    ), comp AS (
+        SELECT node AS vid, MIN(r) AS component FROM reach GROUP BY node
+    ), corec AS (
+        SELECT c.vid, COALESCE(comp.component, c.vid) AS cluster
+        FROM core c LEFT JOIN comp ON c.vid = comp.vid
+    ), borderc AS (
+        SELECT p.vid, MIN(cc.cluster) AS cluster
+        FROM cpairs p JOIN corec cc ON p.nb = cc.vid
+        WHERE p.vid NOT IN (SELECT vid FROM core)
+        GROUP BY p.vid
+    ), rolec AS (
+        SELECT e.vec_id,
+               CASE WHEN cc.vid IS NOT NULL THEN 'core'
+                    WHEN bc.vid IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(cc.cluster, bc.cluster, -1) AS cluster
+        FROM emb e
+        LEFT JOIN corec cc ON e.vec_id = cc.vid
+        LEFT JOIN borderc bc ON e.vec_id = bc.vid
+    ), cmin AS (
+        SELECT cluster, MIN(vec_id) AS canon
+        FROM rolec WHERE cluster <> -1 GROUP BY cluster
+    )
+    SELECT r.vec_id, r.role, r.cluster,
+           (r.cluster = -1 OR r.vec_id = c.canon) AS keep
+    FROM rolec r LEFT JOIN cmin c ON r.cluster = c.cluster
+    ORDER BY r.vec_id
+    """,
+)
+def ml04_density_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based dedup (DBSCAN over blocked candidates): core /
+    border / noise roles, density clusters, one survivor per cluster.
+
+    The HDBSCAN-shaped gap between threshold dedup (ml03: any pair over
+    θ merges) and clustering (ml01: every point gets a cluster):
+    density dedup drops only the DENSE regions — templated boilerplate,
+    scraped mirror farms — while passing sparse singletons through
+    untouched. Roles follow DBSCAN: a vector is **core** when it has
+    ≥ MIN_PTS neighbors at cos ≥ ε among its blocked candidates,
+    **border** when it is not core but sees a core neighbor, **noise**
+    otherwise. Clusters are connected components over core-core
+    neighbor edges (the scale-safe large-star engine — O(log n) rounds);
+    a border point attaches to the MINIMUM cluster label among its core
+    neighbors (the deterministic stand-in for DBSCAN's
+    first-visitor-wins, which is scan-order-dependent and therefore
+    unreproducible). ``keep`` marks the survivors a curation pass
+    retains: every noise point plus each cluster's min-vec_id canonical.
+
+    Scale shape: identical to ml03 — multi-probe k-means blocking bounds
+    candidates at Σ (probe-cell)², the salted self-join stripes each
+    cell's pair grid, neighbor counting is one partial-agg shuffle, and
+    components run on the (much smaller) core-core subgraph. The DuckDB
+    oracle replays the same trajectory and blocking, so roles, cluster
+    labels, and survivors are all differentially certified.
+
+    Parity: beyond-reference (SURVEY §2.11 extension); the density
+    analog of the reference's dedup surface, per the LLM-pipeline brief.
+    """
+    return dbscan_density_dedup(spark, sf_dir)
+
+
+def dbscan_density_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    cos_threshold: float = DBSCAN_COS,
+    min_pts: int = DBSCAN_MIN_PTS,
+    n_probes: int = N_PROBES,
+) -> DataFrame:
+    """Parameterized engine behind ml04 (same plan, tunable knobs).
+
+    Same knob semantics as :func:`semantic_dedup_components`: production
+    corpora raise ``cos_threshold`` out of the random-cosine tail and
+    grow ``k`` with the corpus so cell width stays constant.
+    """
+    from .dedup import components_from_pairs
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    sides = kmeans_probes(spark, sf_dir, k=k, n_probes=n_probes).select(
+        "vec_id",
+        "probe",
+        F.transform(F.col("v"), lambda x: x / norm).alias("vn"),
+    )
+    SALTS = 8
+    a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
+    b = sides.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
+    ).alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.vn"), F.col("b.vn"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # Directed neighbor relation (both orientations present) — degree
+    # and border lookups need per-point adjacency, not canonical pairs.
+    nbrs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.probe") == F.col("b.probe"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+            ],
+        )
+        .filter(cos >= F.lit(cos_threshold))
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nb"))
+        .dropDuplicates(["vec_id", "nb"])
+    )
+    core = (
+        nbrs.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_nb"))
+        .filter(F.col("n_nb") >= min_pts)
+        .select("vec_id")
+    )
+    core_edges = (
+        nbrs.filter(F.col("vec_id") < F.col("nb"))
+        .join(core, "vec_id")
+        .join(core.withColumnRenamed("vec_id", "nb"), "nb")
+        .select(F.col("vec_id").alias("doc_a"), F.col("nb").alias("doc_b"))
+    )
+    comp = components_from_pairs(core_edges)
+    # Isolated cores (enough neighbors, none of them core) form their
+    # own singleton cluster — hence the coalesce to self.
+    corec = (
+        core.join(comp, core["vec_id"] == comp["doc_id"], "left")
+        .select(
+            core["vec_id"],
+            F.coalesce(comp["component"], core["vec_id"]).alias("cluster"),
+        )
+    )
+    border = (
+        nbrs.join(
+            corec.select(
+                F.col("vec_id").alias("nb"), F.col("cluster").alias("nb_cluster")
+            ),
+            "nb",
+        )
+        .join(core, "vec_id", "left_anti")
+        .groupBy("vec_id")
+        .agg(F.min("nb_cluster").alias("cluster"))
+    )
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    allv = embeddings.select("vec_id")
+    labeled = (
+        allv.join(
+            corec.select("vec_id", F.col("cluster").alias("core_cluster")),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select("vec_id", F.col("cluster").alias("border_cluster")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(
+                "core_cluster", "border_cluster", F.lit(-1).cast("long")
+            ).alias("cluster"),
+        )
+    )
+    cmin = (
+        labeled.filter(F.col("cluster") != -1)
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("canon"))
+    )
+    return (
+        labeled.join(cmin, "cluster", "left")
+        .select(
+            "vec_id",
+            "role",
+            "cluster",
+            ((F.col("cluster") == -1) | (F.col("vec_id") == F.col("canon"))).alias(
+                "keep"
+            ),
         )
         .orderBy("vec_id")
     )

@@ -8,6 +8,59 @@ class fixed in round 3). Anything here must stay import-pure: no
 registry, no pyspark, just strings.
 """
 
+# K-means trajectory constants — shared by the embedding-space family
+# (ml01-ml04, sim12-sim14). Import-pure ints; clustering.py re-exports
+# them as K / DIM / N_PROBES for its engine code.
+KMEANS_K = 8
+EMB_DIM = 64
+KMEANS_N_PROBES = 2
+
+# Shared DuckDB replay of the two-iteration Lloyd trajectory over the
+# embeddings table: deterministic init (k lowest vec_ids) -> assign ->
+# centroid update -> assign, with the final assignment's distance kept
+# in d2. Every embedding-space oracle (ml01/ml02/ml03/ml04, sim13/sim14)
+# composes on this single constant so no two can verify against
+# different trajectories.
+KMEANS_TRAJECTORY_CTE = f"""
+    WITH RECURSIVE emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {KMEANS_K})
+    ), d1 AS (
+        SELECT e.vec_id, c0.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c0.c), c0.cid) AS rn
+        FROM emb e CROSS JOIN cents0 c0
+    ), a1 AS (
+        SELECT vec_id, cid AS cluster FROM d1 WHERE rn = 1
+    ), expl AS (
+        SELECT a1.cluster AS cid, g.dim, e.v[g.dim + 1] AS x
+        FROM a1 JOIN emb e ON a1.vec_id = e.vec_id
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {EMB_DIM})) AS dim) g
+    ), cents1 AS (
+        SELECT cid, LIST(cx ORDER BY dim) AS c
+        FROM (SELECT cid, dim, AVG(x) AS cx FROM expl GROUP BY cid, dim)
+        GROUP BY cid
+    ), d2 AS (
+        SELECT e.vec_id, c1.cid, list_distance(e.v, c1.c) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c1.c), c1.cid) AS rn
+        FROM emb e CROSS JOIN cents1 c1
+    )
+"""
+
+# Multi-probe blocking on top of the trajectory: each vector exploded to
+# its N_PROBES nearest final centroids — the candidate universe for
+# ml03/ml04/sim13/sim14.
+KMEANS_PROBES_CTE = f"""
+    , probes AS (
+        SELECT d2.vec_id, d2.cid AS probe, emb.v
+        FROM d2 JOIN emb ON d2.vec_id = emb.vec_id
+        WHERE d2.rn <= {KMEANS_N_PROBES}
+    )
+"""
+
 # Word-3-gram shingle sets per document — the single definition of the
 # similarity universe the whole near-dup family (dd04, dd06, dd07,
 # dd08) verifies against. Shared as a fragment so no two oracles can

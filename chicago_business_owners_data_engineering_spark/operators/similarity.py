@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_scan
 from ..registry import query
+from .shared_oracles import KMEANS_PROBES_CTE, KMEANS_TRAJECTORY_CTE
 
 QUERY_VEC_ID = 0  # fixed probe vector for deterministic top-k queries
 TOP_K = 10
@@ -949,3 +950,178 @@ def sim12_ivf_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_CAND)
     )
     return _mmr_greedy(spark, cand)
+
+
+# --- sim14: PQ-quantized kNN join -------------------------------------------
+
+# ADC candidates kept per query before the exact re-rank. Smaller than
+# sim09's PQ_RERANK=30 because the join re-ranks per QUERY ROW (n·rerank
+# exact distances total), not once per query vector.
+PQ_JOIN_RERANK = 8
+
+
+@query(
+    "sim14_pq_knn_join",
+    oracle=KMEANS_TRAJECTORY_CTE
+    + KMEANS_PROBES_CTE
+    + f"""
+    , cbsrc AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+        FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {PQ_NCODES})
+    ), cb AS (
+        SELECT g.m, cbsrc.c,
+               cbsrc.v[g.m * {PQ_DSUB} + 1 : g.m * {PQ_DSUB} + {PQ_DSUB}] AS sub
+        FROM cbsrc CROSS JOIN (SELECT UNNEST(RANGE(0, {PQ_M})) AS m) g
+    ), enc AS (
+        SELECT e.vec_id, cb.m, cb.c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, cb.m
+                   ORDER BY POWER(list_distance(
+                       e.v[cb.m * {PQ_DSUB} + 1 : cb.m * {PQ_DSUB} + {PQ_DSUB}],
+                       cb.sub), 2), cb.c) AS rn
+        FROM emb e CROSS JOIN cb
+    ), codes AS (
+        SELECT vec_id, m, c FROM enc WHERE rn = 1
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        FROM probes a JOIN probes b
+          ON a.probe = b.probe AND a.vec_id <> b.vec_id
+    ), adc AS (
+        SELECT c.qid, c.nid,
+               list_sum(LIST(POWER(list_distance(
+                   q.v[cb.m * {PQ_DSUB} + 1 : cb.m * {PQ_DSUB} + {PQ_DSUB}],
+                   cb.sub), 2) ORDER BY cb.m)) AS ad
+        FROM cand c
+        JOIN emb q ON c.qid = q.vec_id
+        JOIN codes cd ON cd.vec_id = c.nid
+        JOIN cb ON cb.m = cd.m AND cb.c = cd.c
+        GROUP BY c.qid, c.nid
+    ), topc AS (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad, nid) AS rn
+        FROM adc
+    ), rer AS (
+        SELECT t.qid, t.nid, list_distance(q.v, n.v) AS d,
+               ROW_NUMBER() OVER (PARTITION BY t.qid
+                                  ORDER BY list_distance(q.v, n.v), t.nid) AS rn2
+        FROM topc t
+        JOIN emb q ON t.qid = q.vec_id
+        JOIN emb n ON t.nid = n.vec_id
+        WHERE t.rn <= {PQ_JOIN_RERANK}
+    )
+    SELECT qid AS vec_id, nid AS nn_id, ROUND(d, 6) AS nn_l2
+    FROM rer WHERE rn2 = 1 ORDER BY vec_id
+    """,
+)
+def sim14_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-quantized semantic kNN join: every vector finds its top-1
+    neighbor by scanning CODES, touching raw floats only to re-rank.
+
+    The composition ROADMAP round 4 called for — sim09's product
+    quantization inside sim13's batch join shape. The candidate stage
+    never reads the neighbor-side vectors: each candidate is scored by
+    asymmetric distance computation (ADC) — the query row's raw
+    subvectors against the neighbor's M=8 codebook words — so the
+    shuffled build side carries M single-byte codes instead of 64
+    doubles (~64x less candidate-stage I/O, the reason PQ joins win at
+    memory-bound scale). Only the PQ_JOIN_RERANK ADC survivors per
+    query are joined back to raw vectors for the exact-L2 re-rank.
+
+    Determinism mirrors sim09: codebook = subvectors of the NCODES
+    lowest vec_ids; every distance on both engines is the same
+    (sqrt(sequential-fold))^2 double; the per-subspace ADC terms are
+    summed in subspace order (Spark: left-fold m=0..7; DuckDB:
+    list_sum(LIST(d ORDER BY m))); all ranks tie-break on (value, id).
+    The DuckDB oracle replays trajectory, blocking, encoding, ADC, and
+    re-rank, so the differential check certifies the full quantized
+    pipeline, not just the final ids.
+
+    Parity: composition of the reference's similarity surface
+    (SURVEY.md §2.11); the quantized batch-join scale path.
+    """
+    return pq_knn_join(spark, sf_dir)
+
+
+def pq_knn_join(
+    spark: SparkSession, sf_dir: str, rerank: int = PQ_JOIN_RERANK
+) -> DataFrame:
+    """Parameterized engine behind sim14.
+
+    Blocking knobs (k, n_probes) inherit kmeans_probes' defaults for
+    oracle comparability; production corpora grow k with corpus size
+    (constant cell width) exactly as sim13/ml03 document.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import kmeans_probes
+
+    sides = kmeans_probes(spark, sf_dir)  # (vec_id, v, probe)
+    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cb_rows = emb.orderBy("vec_id").limit(PQ_NCODES).collect()
+    cb = [
+        [list(r["v"][m * PQ_DSUB : (m + 1) * PQ_DSUB]) for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+    coded = sides.select(
+        "vec_id", "probe", *[pq_code_col(cb, m).alias(f"code{m}") for m in range(PQ_M)]
+    )
+    SALTS = 8
+    a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
+    b = coded.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
+    ).alias("b")
+    # ADC score: per subspace, look the neighbor's codeword up in the
+    # broadcast codebook literal and measure it against the query row's
+    # raw subvector; accumulate in subspace order (oracle fold parity).
+    ad = None
+    for m in range(PQ_M):
+        cb_lit = F.array(
+            *[F.array(*[F.lit(x) for x in cb[m][c]]) for c in range(PQ_NCODES)]
+        )
+        cw = F.element_at(cb_lit, F.col(f"code{m}") + 1)
+        term = _sq_l2_mirror(F.slice(F.col("a.v"), m * PQ_DSUB + 1, PQ_DSUB), cw)
+        ad = term if ad is None else ad + term
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.probe") == F.col("b.probe"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"), ad.alias("ad"))
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("ad"), F.asc("nid"))
+    top = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rerank)
+        .select("qid", "nid")
+    )
+    qv = emb.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    nv = emb.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("nid"))
+    return (
+        top.join(qv, "qid")
+        .join(nv, "nid")
+        .select("qid", "nid", d.alias("d"))
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("nn_id"),
+            F.round("d", 6).alias("nn_l2"),
+        )
+        .orderBy("vec_id")
+    )

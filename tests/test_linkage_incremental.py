@@ -415,3 +415,61 @@ def test_sim10_runs_end_to_end(spark, sf_dir):
     opq = [r["vec_id"] for r in sim10_opq_topk(spark, sf_dir).collect()]
     assert len(opq) == TOP_K
     assert len(set(opq) & truth) >= 0.3 * TOP_K, (sorted(opq), sorted(truth))
+
+
+def test_ml04_dbscan_invariants(spark, sf_dir):
+    """Recompute the DBSCAN definition in plain Python over the same
+    blocked candidate universe and assert every role, edge, and survivor
+    rule ml04 claims: core ⇔ ≥ MIN_PTS blocked neighbors, border ⇔
+    non-core with a core neighbor, core-core neighbors share a cluster,
+    and keep = noise ∪ one canonical (min vec_id) per cluster."""
+    import math
+
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        DBSCAN_COS,
+        DBSCAN_MIN_PTS,
+        kmeans_probes,
+        ml04_density_dedup,
+    )
+
+    vecs: dict[int, list] = {}
+    probes: dict[int, set] = {}
+    for r in kmeans_probes(spark, sf_dir).collect():
+        vecs[r["vec_id"]] = list(r["v"])
+        probes.setdefault(r["vec_id"], set()).add(r["probe"])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    ids = sorted(vecs)
+    nbrs: dict[int, set] = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j and probes[i] & probes[j] and cos(vecs[i], vecs[j]) >= DBSCAN_COS:
+                nbrs[i].add(j)
+                nbrs[j].add(i)
+    cores = {i for i in ids if len(nbrs[i]) >= DBSCAN_MIN_PTS}
+
+    out = {r["vec_id"]: r for r in ml04_density_dedup(spark, sf_dir).collect()}
+    assert set(out) == set(ids)
+    by_cluster: dict[int, list] = {}
+    for i, r in out.items():
+        if r["role"] == "core":
+            assert i in cores
+        elif r["role"] == "border":
+            assert i not in cores and nbrs[i] & cores, i
+        else:
+            assert i not in cores and not (nbrs[i] & cores), i
+            assert r["cluster"] == -1 and r["keep"]
+        if r["cluster"] != -1:
+            by_cluster.setdefault(r["cluster"], []).append(i)
+    # core-core neighbor edges never straddle clusters
+    for i in cores:
+        for j in nbrs[i]:
+            if j in cores:
+                assert out[i]["cluster"] == out[j]["cluster"], (i, j)
+    # exactly one survivor per cluster: its min member, which labels it
+    for c, members in by_cluster.items():
+        keepers = [i for i in members if out[i]["keep"]]
+        assert keepers == [min(members)], (c, keepers)

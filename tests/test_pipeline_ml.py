@@ -423,3 +423,59 @@ def test_sim13_knn_join_structure_and_recall(spark, sf_dir):
     got = {r.vec_id: r.nn_id for r in out}
     agree = sum(1 for k in got if exact.get(k) == got[k])
     assert agree / len(got) >= 0.6, f"recall {agree}/{len(got)}"
+
+
+def test_sim14_pq_join_quality_vs_exact_blocked(spark, sf_dir):
+    """The PQ-quantized join's contract, measured against the exact
+    blocked top-1: (a) every reported nn_l2 is the TRUE distance to the
+    emitted neighbor (quantization may pick a worse neighbor, never
+    misreport a distance); (b) at the default rerank most matches land
+    within 5% of the exact neighbor's distance; (c) widening the
+    re-rank budget monotonically improves quality — on this
+    near-uniform corpus the top-1 margin is tiny (all pairwise
+    distances ~1.1-1.2), so rerank, not the 16-word codebook, is the
+    quality knob."""
+    import math
+
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        kmeans_probes,
+    )
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        pq_knn_join,
+        sim14_pq_knn_join,
+    )
+
+    vecs: dict[int, list] = {}
+    probes: dict[int, set] = {}
+    for r in kmeans_probes(spark, sf_dir).collect():
+        vecs[r["vec_id"]] = list(r["v"])
+        probes.setdefault(r["vec_id"], set()).add(r["probe"])
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    exact_nn = {}
+    for i in vecs:
+        best = min(
+            ((l2(vecs[i], vecs[j]), j) for j in vecs if j != i and probes[i] & probes[j]),
+            default=None,
+        )
+        if best:
+            exact_nn[i] = best
+
+    def quality(rows):
+        within = hits = 0
+        for r in rows:
+            assert abs(r["nn_l2"] - l2(vecs[r["vec_id"]], vecs[r["nn_id"]])) < 1e-5
+            d0, nn0 = exact_nn[r["vec_id"]]
+            within += r["nn_l2"] <= 1.05 * d0
+            hits += r["nn_id"] == nn0
+        return within, hits
+
+    out = sim14_pq_knn_join(spark, sf_dir).collect()
+    assert {r["vec_id"] for r in out} == set(exact_nn)
+    within8, hits8 = quality(out)
+    assert within8 >= 0.6 * len(out), (within8, len(out))
+    within32, hits32 = quality(pq_knn_join(spark, sf_dir, rerank=32).collect())
+    assert within32 >= 0.9 * len(out), (within32, len(out))
+    assert hits32 >= hits8, (hits8, hits32)
