@@ -129,6 +129,8 @@ BENCH_R4 = [
     "dq06_k_anonymity",
     "dq07_k_anonymity_suppress",
     "gr06_onion_layers",
+    "ml04_density_dedup",
+    "sim14_pq_knn_join",
 ]
 
 

@@ -659,3 +659,107 @@ def dq07_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- tx13: bigram-LM surprisal (the CCNet-style quality filter) -------------
+
+# Add-alpha smoothing mass. Non-zero so unseen continuations are finite;
+# small so the corpus statistics, not the prior, dominate observed pairs.
+BIGRAM_ALPHA = 0.5
+
+
+@query(
+    "tx13_bigram_surprisal",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS l FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               UNNEST(l[1 : LEN(l) - 1]) AS ctx,
+               UNNEST([l[i] || ' ' || l[i + 1]
+                       FOR i IN GENERATE_SERIES(1, LEN(l) - 1)]) AS bigram
+        FROM w
+    ), c12 AS (
+        SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+    ), c1 AS (
+        SELECT ctx, COUNT(*) AS c FROM bg GROUP BY ctx
+    ), vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LOG2((c12.c + {BIGRAM_ALPHA}) /
+                           (c1.c + {BIGRAM_ALPHA} * vocab.v))), 4)
+               AS avg_bigram_surprisal
+    FROM bg b
+    JOIN c12 ON b.bigram = c12.bigram
+    JOIN c1 ON b.ctx = c1.ctx
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def tx13_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprisal — the CCNet-shaped quality score.
+
+    The language-model filter one rung above tx09's unigram proxy:
+    score each document by the mean −log2 p(w₂ | w₁) of its bigrams
+    under an add-α corpus bigram model, p = (c(w₁w₂) + α) /
+    (c(w₁·) + α·V). CCNet-style curation buckets a crawl by exactly
+    this kind of small-LM perplexity and keeps the low/middle tail;
+    unusually LOW surprisal is boilerplate (the same bigrams over and
+    over), unusually HIGH is tokenizer garbage or the wrong language.
+    Bigrams follow tp03's convention (lowercased space-split, adjacent
+    pairs, no empty-token filtering) so the LM statistics here are the
+    same relation tp03 reports the head of.
+
+    Plan shape: ONE bigram explode feeds the numerator counts, the
+    context (denominator) counts, and the per-token scoring join;
+    vocabulary size re-enters as a 1-row broadcast. Both count
+    aggregates shuffle on vocabulary cardinality with map-side
+    partials, never corpus size; the scoring joins are vocabulary-sized
+    relations against the exploded corpus (AQE picks broadcast at test
+    scale, shuffle join at 100 TB — same posture as tx09/tx06). All
+    model statistics are exact integers; the only float ops are the
+    per-row division/log and the rounded AVG (tx09's determinism
+    recipe).
+
+    Parity: beyond-reference (SURVEY §2.11 text-analysis family);
+    completes the tx09 → tx13 perplexity-proxy ladder the LLM-pipeline
+    brief calls for.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    sz = F.size(words)
+    zipped = F.arrays_zip(F.slice(words, 1, sz - 1), F.slice(words, 2, sz - 1))
+    bg = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                zipped,
+                lambda s: F.struct(
+                    s["0"].alias("ctx"), F.concat_ws(" ", s["0"], s["1"]).alias("bigram")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.ctx").alias("ctx"), F.col("b.bigram").alias("bigram"))
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        documents.select(F.explode(words).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    p = (F.col("c12") + F.lit(BIGRAM_ALPHA)) / (
+        F.col("c1") + F.lit(BIGRAM_ALPHA) * F.col("v")
+    )
+    return (
+        bg.join(c12, "bigram")
+        .join(c1, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 4).alias("avg_bigram_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1043,19 +1043,30 @@ def sim14_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_knn_join(
-    spark: SparkSession, sf_dir: str, rerank: int = PQ_JOIN_RERANK
+    spark: SparkSession,
+    sf_dir: str,
+    rerank: int = PQ_JOIN_RERANK,
+    k: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Parameterized engine behind sim14.
 
-    Blocking knobs (k, n_probes) inherit kmeans_probes' defaults for
+    Blocking knobs (k, n_probes) default to kmeans_probes' values for
     oracle comparability; production corpora grow k with corpus size
-    (constant cell width) exactly as sim13/ml03 document.
+    (constant cell width) exactly as sim13/ml03 document — fixed k at
+    growing corpus means quadratic candidate pairs (measured for sim13
+    in SCALE_PROBE.md; sim14 shares the blocking, so the same knob).
     """
     from pyspark.sql import Window
 
     from .clustering import kmeans_probes
 
-    sides = kmeans_probes(spark, sf_dir)  # (vec_id, v, probe)
+    probe_kwargs = {}
+    if k is not None:
+        probe_kwargs["k"] = k
+    if n_probes is not None:
+        probe_kwargs["n_probes"] = n_probes
+    sides = kmeans_probes(spark, sf_dir, **probe_kwargs)  # (vec_id, v, probe)
     embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
     emb = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")

@@ -479,3 +479,43 @@ def test_sim14_pq_join_quality_vs_exact_blocked(spark, sf_dir):
     within32, hits32 = quality(pq_knn_join(spark, sf_dir, rerank=32).collect())
     assert within32 >= 0.9 * len(out), (within32, len(out))
     assert hits32 >= hits8, (hits8, hits32)
+
+
+def test_tx13_bigram_surprisal_matches_python_recompute(spark, sf_dir):
+    """Recompute the full add-α bigram LM in plain Python over the same
+    corpus and compare every document's score — an independent
+    implementation of the model definition, not a replay of the SQL."""
+    import math
+
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.curation import (
+        BIGRAM_ALPHA,
+        tx13_bigram_surprisal,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    c12: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for toks in docs.values():
+        vocab.update(toks)
+        for w1, w2 in zip(toks, toks[1:]):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    V = len(vocab)
+
+    out = {r["doc_id"]: r for r in tx13_bigram_surprisal(spark, sf_dir).collect()}
+    expected_ids = {d for d, toks in docs.items() if len(toks) >= 2}
+    assert set(out) == expected_ids
+    for d in expected_ids:
+        toks = docs[d]
+        s = [
+            -math.log2((c12[(w1, w2)] + BIGRAM_ALPHA) / (c1[w1] + BIGRAM_ALPHA * V))
+            for w1, w2 in zip(toks, toks[1:])
+        ]
+        assert out[d]["n_bigrams"] == len(s)
+        assert abs(out[d]["avg_bigram_surprisal"] - sum(s) / len(s)) < 2e-4, d
+        assert 0.0 < out[d]["avg_bigram_surprisal"] < 64.0

@@ -95,6 +95,10 @@ PROBE_QUERIES: tuple[str, ...] = (
     "sim12_ivf_mmr_rerank",
     "sim13_knn_join",
     "sim13_knnjoin_scaledk",  # pseudo-query: k ∝ corpus size calibration
+    "sim14_pq_knn_join",
+    "sim14_pqjoin_scaledk",  # pseudo-query: same k knob as sim13
+    "ml04_density_dedup",
+    "ml04_density_scaledk",  # pseudo-query: k ∝ n + out-of-tail θ
     "sim03_ivf_topk",
     "tx11_bm25_search",
     "st01_sessionization",
@@ -224,11 +228,42 @@ def _sim13_scaled_k(spark: SparkSession, sf_dir: str):
     return knn_join_topk(spark, sf_dir, k=max(8, n // 250))
 
 
+def _sim14_scaled_k(spark: SparkSession, sf_dir: str):
+    """sim14's engine with k ∝ corpus size — identical blocking knob to
+    sim13 (the registry pin k=8 shares sim13's fixed-k quadratic
+    candidate growth); the PQ/ADC candidate stage and bounded re-rank
+    are both linear per candidate, so scaled-k should restore ~1.0."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        pq_knn_join,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return pq_knn_join(spark, sf_dir, k=max(8, n // 250))
+
+
+def _ml04_scaled(spark: SparkSession, sf_dir: str):
+    """ml04's engine at production calibration: k ∝ corpus size AND a
+    threshold nearer the random-cosine tail's edge (θ=0.5 vs the
+    registry pin 0.35, which sits inside the tail for this 64-dim
+    corpus — fixed-θ neighbor counts grow with corpus size by
+    semantics, exactly ml03's measured behavior)."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        dbscan_density_dedup,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return dbscan_density_dedup(spark, sf_dir, k=max(8, n // 250), cos_threshold=0.5)
+
+
 # Pseudo-queries: probe-only callables that are not registry entries
 # (parameter calibrations of registry engines).
 EXTRA_PROBES = {
     "ml03_semdedup_cos0.9": _ml03_calibrated,
     "sim13_knnjoin_scaledk": _sim13_scaled_k,
+    "sim14_pqjoin_scaledk": _sim14_scaled_k,
+    "ml04_density_scaledk": _ml04_scaled,
 }
 
 
