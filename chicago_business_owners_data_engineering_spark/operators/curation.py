@@ -713,13 +713,17 @@ def tx13_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, no empty-token filtering) so the LM statistics here are the
     same relation tp03 reports the head of.
 
-    Plan shape: ONE bigram explode feeds the numerator counts, the
-    context (denominator) counts, and the per-token scoring join;
-    vocabulary size re-enters as a 1-row broadcast. Both count
-    aggregates shuffle on vocabulary cardinality with map-side
-    partials, never corpus size; the scoring joins are vocabulary-sized
-    relations against the exploded corpus (AQE picks broadcast at test
-    scale, shuffle join at 100 TB — same posture as tx09/tx06). All
+    Plan shape: the context (denominator) counts are DERIVED from the
+    bigram counts — c(w₁·) = Σ_w₂ c(w₁w₂) — so that aggregate reads the
+    bigram-vocabulary relation, not a second corpus explode (one fewer
+    full scan, and the c1 shuffle input shrinks from corpus-size to
+    vocab-size). Vocabulary size re-enters as a 1-row broadcast. Spark
+    recomputes the bigram explode for the scoring branch (its
+    no-materialization default — a corpus-sized cache would cost more
+    than the rescan); both count aggregates shuffle on vocabulary
+    cardinality with map-side partials; the scoring joins put
+    vocab-sized relations against the exploded corpus (AQE broadcasts
+    at test scale, shuffle join at 100 TB — tx09/tx06's posture). All
     model statistics are exact integers; the only float ops are the
     per-row division/log and the rounded AVG (tx09's determinism
     recipe).
@@ -743,8 +747,8 @@ def tx13_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.ctx").alias("ctx"), F.col("b.bigram").alias("bigram"))
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("ctx", "bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("ctx").agg(F.sum("c12").alias("c1"))
     vocab = (
         documents.select(F.explode(words).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
@@ -753,7 +757,7 @@ def tx13_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c1") + F.lit(BIGRAM_ALPHA) * F.col("v")
     )
     return (
-        bg.join(c12, "bigram")
+        bg.join(c12, ["ctx", "bigram"])
         .join(c1, "ctx")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
