@@ -602,20 +602,25 @@ def dbscan_density_dedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # Directed neighbor relation (both orientations present) — degree
-    # and border lookups need per-point adjacency, not canonical pairs.
-    nbrs = (
+    # Score each candidate pair ONCE in canonical (a < b) orientation —
+    # half the quadratic stage's cosine work — then symmetrize the
+    # (filtered, much smaller) result: degree and border lookups need
+    # per-point adjacency, not canonical pairs.
+    cpairs = (
         a.join(
             b,
             on=[
                 F.col("a.probe") == F.col("b.probe"),
                 F.col("a.salt") == F.col("b.salt"),
-                F.col("a.vec_id") != F.col("b.vec_id"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
             ],
         )
         .filter(cos >= F.lit(cos_threshold))
         .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nb"))
         .dropDuplicates(["vec_id", "nb"])
+    )
+    nbrs = cpairs.union(
+        cpairs.select(F.col("nb").alias("vec_id"), F.col("vec_id").alias("nb"))
     )
     core = (
         nbrs.groupBy("vec_id")
@@ -624,7 +629,7 @@ def dbscan_density_dedup(
         .select("vec_id")
     )
     core_edges = (
-        nbrs.filter(F.col("vec_id") < F.col("nb"))
+        cpairs
         .join(core, "vec_id")
         .join(core.withColumnRenamed("vec_id", "nb"), "nb")
         .select(F.col("vec_id").alias("doc_a"), F.col("nb").alias("doc_b"))

@@ -1080,20 +1080,33 @@ def pq_knn_join(
         "vec_id", "probe", *[pq_code_col(cb, m).alias(f"code{m}") for m in range(PQ_M)]
     )
     SALTS = 8
-    a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
+    # Pre-slice the query side into its M subvectors ONCE per (row,
+    # probe) — inside the candidate loop the slice would run per PAIR
+    # (M array allocations × the quadratic candidate count; the probe
+    # flagged exactly this cost shape at 10×). Same bytes shuffled
+    # (M·DSUB doubles = the vector), zero per-pair allocation.
+    a = sides.select(
+        "vec_id",
+        "probe",
+        *[
+            F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB).alias(f"qsub{m}")
+            for m in range(PQ_M)
+        ],
+    ).withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
     b = coded.withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
     ).alias("b")
     # ADC score: per subspace, look the neighbor's codeword up in the
     # broadcast codebook literal and measure it against the query row's
-    # raw subvector; accumulate in subspace order (oracle fold parity).
+    # pre-sliced subvector; accumulate in subspace order (oracle fold
+    # parity).
     ad = None
     for m in range(PQ_M):
         cb_lit = F.array(
             *[F.array(*[F.lit(x) for x in cb[m][c]]) for c in range(PQ_NCODES)]
         )
         cw = F.element_at(cb_lit, F.col(f"code{m}") + 1)
-        term = _sq_l2_mirror(F.slice(F.col("a.v"), m * PQ_DSUB + 1, PQ_DSUB), cw)
+        term = _sq_l2_mirror(F.col(f"a.qsub{m}"), cw)
         ad = term if ad is None else ad + term
     cand = (
         a.join(
