@@ -767,3 +767,118 @@ def tx13_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- dq08: two-sample Kolmogorov-Smirnov drift ------------------------------
+
+# ECDF evaluation grid: unit-width bins clamped to [0, KS_BINS-1].
+# events.value sits in [0, ~560] across fixtures, so the grid resolves
+# the distribution ~50x finer than dq04's PSI histogram.
+KS_BINS = 1000
+KS_BIN_WIDTH = 1.0
+
+
+@query(
+    "dq08_ks_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(value / {KS_BIN_WIDTH}) AS BIGINT),
+                     {KS_BINS - 1}) AS bin,
+               ts < TIMESTAMP '{_DRIFT_SPLIT}' AS is_ref
+        FROM events
+    ), spine AS (
+        SELECT UNNEST(GENERATE_SERIES(0, {KS_BINS - 1})) AS bin
+    ), counts AS (
+        SELECT s.bin,
+               COUNT(*) FILTER (b.is_ref) AS c_ref,
+               COUNT(*) FILTER (NOT b.is_ref) AS c_cur
+        FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+        GROUP BY s.bin
+    ), tot AS (
+        SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(c_cur) AS BIGINT) AS n_cur
+        FROM counts
+    ), diffs AS (
+        SELECT bin,
+               ABS(CAST(SUM(c_ref) OVER (ORDER BY bin) AS BIGINT) * t.n_cur -
+                   CAST(SUM(c_cur) OVER (ORDER BY bin) AS BIGINT) * t.n_ref)
+                   AS d_int
+        FROM counts CROSS JOIN tot t
+    ), dm AS (
+        SELECT bin, d_int, MAX(d_int) OVER () AS mx FROM diffs
+    )
+    SELECT t.n_ref, t.n_cur,
+           ROUND(MAX(d_int) * 1.0 / (t.n_ref * t.n_cur), 6) AS ks_stat,
+           MIN(bin) FILTER (d_int = mx) AS ks_at_bin
+    FROM dm CROSS JOIN tot t
+    GROUP BY t.n_ref, t.n_cur
+    """,
+)
+def dq08_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between two time slices.
+
+    The shape-drift alarm dq04's PSI cannot give: KS is binning-robust
+    (sup of ECDF distance, no Laplace smoothing, no log), detects
+    location/scale shifts PSI's 10 coarse bins smear out, and its
+    statistic has a distribution-free null — the monitoring layer can
+    alarm at c(α)·sqrt((n+m)/nm) without calibrating per metric.
+    Computed as the exact sup over a fixed unit-width evaluation grid:
+    one scan produces per-bin conditional counts (same one-pass shape
+    as dq04), the grid spine fills absent bins, cumulative sums give
+    both ECDFs, and the max runs per the repo's integer-arithmetic
+    invariant: D = max |cumR·nC − cumC·nR| / (nR·nC) with the argmax
+    and max taken over exact BIGINTs (float ECDF subtraction would
+    make the argmax tie-dependent on ulp noise), one float division at
+    the end. ``ks_at_bin`` = the lowest grid point attaining the sup —
+    WHERE the distributions diverge most, the first thing an oncall
+    looks at.
+
+    Scale shape: everything after the first aggregate moves ≤ KS_BINS
+    rows; the global cumulative window runs post-aggregation on the
+    1000-row grid relation (the documented small-relation exception to
+    the no-global-window rule). The grid pins ECDF evaluation points so
+    the sup is over 1000 exact rationals, not corpus-cardinality
+    distinct values — at 100 TB an exact per-distinct-value KS would
+    need a range-partitioned prefix sum over billions of distinct
+    doubles for at most 1/1000 extra resolution.
+
+    Parity: beyond-reference (monitoring-family extension); completes
+    the dq03 (volume) → dq04 (PSI shape) → dq08 (ECDF shape) drift
+    ladder.
+    """
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        F.least(
+            F.floor(F.col("value") / KS_BIN_WIDTH).cast("long"),
+            F.lit(KS_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    spine = spark.range(KS_BINS).select(F.col("id").alias("bin"))
+    full = (
+        F.broadcast(spine)
+        .join(counts, "bin", "left")
+        .na.fill({"c_ref": 0, "c_cur": 0})
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    d_int = F.abs(
+        F.sum("c_ref").over(w_cum) * F.sum("c_cur").over(w_all)
+        - F.sum("c_cur").over(w_cum) * F.sum("c_ref").over(w_all)
+    )
+    stats = full.select(
+        "bin",
+        F.sum("c_ref").over(w_all).alias("n_ref"),
+        F.sum("c_cur").over(w_all).alias("n_cur"),
+        d_int.alias("d_int"),
+    ).withColumn("mx", F.max("d_int").over(w_all))
+    return stats.groupBy("n_ref", "n_cur").agg(
+        F.round(
+            (F.max("d_int") * F.lit(1.0)) / (F.col("n_ref") * F.col("n_cur")), 6
+        ).alias("ks_stat"),
+        F.min(F.when(F.col("d_int") == F.col("mx"), F.col("bin"))).alias("ks_at_bin"),
+    )

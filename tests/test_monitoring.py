@@ -145,3 +145,39 @@ def test_gap_fill_interpolation(spark):
     assert out2[("b", "2024-01-02")] == 7.0  # backfill before first obs
     assert out2[("b", "2024-01-05")] == 7.0  # carry after last obs
     assert out2[("a", "2024-01-04")] == 30.0  # interp unchanged by key b
+
+
+def test_dq08_ks_matches_python_recompute(spark, sf_dir):
+    """Recompute the grid-ECDF KS statistic in plain Python (independent
+    of the SQL shape) and check statistic, argmax bin, and bounds."""
+    import datetime
+    import math
+
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.curation import (
+        _DRIFT_SPLIT,
+        KS_BIN_WIDTH,
+        KS_BINS,
+        dq08_ks_drift,
+    )
+
+    split = datetime.datetime.fromisoformat(_DRIFT_SPLIT)
+    ref, cur = [0] * KS_BINS, [0] * KS_BINS
+    for r in load_table(spark, sf_dir, "events").select("ts", "value").collect():
+        b = min(int(math.floor(r["value"] / KS_BIN_WIDTH)), KS_BINS - 1)
+        (ref if r["ts"] < split else cur)[b] += 1
+    n_ref, n_cur = sum(ref), sum(cur)
+    cr = cc = 0
+    best = (-1, None)
+    for b in range(KS_BINS):
+        cr += ref[b]
+        cc += cur[b]
+        d = abs(cr * n_cur - cc * n_ref)
+        if d > best[0]:
+            best = (d, b)
+
+    [row] = dq08_ks_drift(spark, sf_dir).collect()
+    assert (row["n_ref"], row["n_cur"]) == (n_ref, n_cur)
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert abs(row["ks_stat"] - best[0] / (n_ref * n_cur)) < 1e-6
+    assert row["ks_at_bin"] == best[1]
