@@ -131,6 +131,8 @@ BENCH_R4 = [
     "gr06_onion_layers",
     "ml04_density_dedup",
     "sim14_pq_knn_join",
+    "tx13_bigram_surprisal",
+    "dq08_ks_drift",
 ]
 
 

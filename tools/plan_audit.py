@@ -49,6 +49,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # global rank/ntile over one row per document (post-aggregation);
     # the docstring documents the per-shard form at scale
     "tp10_curriculum_order",
+    # cumulative ECDF window over the fixed 1000-row KS bin grid —
+    # post-aggregation, bounded by KS_BINS regardless of corpus size
+    "dq08_ks_drift",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design

@@ -102,6 +102,8 @@ PROBE_QUERIES: tuple[str, ...] = (
     "sim03_ivf_topk",
     "tx11_bm25_search",
     "st01_sessionization",
+    "tx13_bigram_surprisal",  # bigram vocab grows with corpus — verify the agg stays linear
+    "dq08_ks_drift",  # per-column rank/window over the union — linear check
 )
 
 # One stride per key family — shared by every table that references the
