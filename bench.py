@@ -133,6 +133,9 @@ BENCH_R4 = [
     "sim14_pq_knn_join",
     "tx13_bigram_surprisal",
     "dq08_ks_drift",
+    "dq09_mann_whitney",
+    "ml05_fasttext_quality",
+    "dd13_containment_join",
 ]
 
 

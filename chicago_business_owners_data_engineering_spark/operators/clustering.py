@@ -696,3 +696,104 @@ def dbscan_density_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+# --- ml05: fastText-shaped linear quality classifier -------------------------
+
+FT_BUCKETS = 64  # hashed-token parameter-table size
+FT_KEEP_MICRO = 50_000_000  # decision threshold on the micro-unit score
+
+
+@query(
+    "ml05_fasttext_quality",
+    oracle=f"""
+    WITH wt AS (
+        SELECT range AS bucket,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(range AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 101 AS w
+        FROM RANGE({FT_BUCKETS})
+    ), feat AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 8)) AS BIGINT)
+                   % {FT_BUCKETS} AS bucket
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+              FROM documents)
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST((1000000 * SUM(w.w)) // COUNT(*) AS BIGINT) AS score_micro,
+           CASE WHEN (1000000 * SUM(w.w)) // COUNT(*) >= {FT_KEEP_MICRO}
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM feat f JOIN wt w ON f.bucket = w.bucket
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def ml05_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality-classifier INFERENCE over the corpus.
+
+    The model-based quality gate every modern pretraining pipeline runs
+    after the heuristic filters (tx01's Gopher-style rules): fastText's
+    architecture is bag-of-hashed-tokens → fixed-size parameter table →
+    averaged score → linear decision, and that is exactly this plan —
+    explode tokens, hash into FT_BUCKETS parameter rows (the hashing
+    trick), broadcast-join the parameter table, average per document,
+    threshold. A production deployment swaps the derived weights for a
+    learned table loaded from parquet; the plan is unchanged, which is
+    the point — classifier inference at 100 TB is a broadcast join plus
+    one doc-keyed aggregate, not a Python UDF per row.
+
+    Determinism: weights are md5-derived integers in [0, 100] (replayed
+    identically by the oracle), the per-doc average is carried in
+    micro-units with ``div`` — everything nonnegative, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree — and the sum
+    is an integer sum (fold-order-free).
+
+    Scale shape: explode is map-side; the parameter table is
+    FT_BUCKETS rows (broadcast, never shuffled — real fastText uses
+    2M buckets × 256 dims ≈ 2 GB, still broadcastable); the only
+    exchange is the doc-keyed partial-aggregated count/sum. At 100 TB
+    the pre-aggregation ``groupBy(doc_id, bucket).count()`` variant cuts
+    the join input by the token/bucket ratio if the bucket table ever
+    outgrows broadcast range.
+
+    Parity: beyond-reference (§2.11 mandate — model-based curation);
+    quality-signal seed cbddl/src/data_ingestion/ingestion_pipeline.py:54-74.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    weights = spark.range(FT_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 101
+        ).alias("w"),
+    )
+    feat = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % FT_BUCKETS
+        ).alias("bucket"),
+    )
+    score = F.expr("(1000000 * sum_w) div n_tokens")
+    return (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("sum_w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            score.alias("score_micro"),
+            F.when(score >= FT_KEEP_MICRO, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )

@@ -882,3 +882,129 @@ def dq08_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_stat"),
         F.min(F.when(F.col("d_int") == F.col("mx"), F.col("bin"))).alias("ks_at_bin"),
     )
+
+
+# --- dq09: Mann-Whitney U (Wilcoxon rank-sum) drift --------------------------
+
+
+@query(
+    "dq09_mann_whitney",
+    oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(value / {KS_BIN_WIDTH}) AS BIGINT),
+                     {KS_BINS - 1}) AS bin,
+               ts < TIMESTAMP '{_DRIFT_SPLIT}' AS is_ref
+        FROM events
+    ), counts AS (
+        SELECT bin,
+               COUNT(*) FILTER (is_ref) AS c_ref,
+               COUNT(*) FILTER (NOT is_ref) AS c_cur,
+               COUNT(*) AS t
+        FROM binned
+        GROUP BY bin
+    ), ranked AS (
+        SELECT c_ref, t,
+               CAST(SUM(t) OVER (ORDER BY bin) AS BIGINT) - t AS c_before
+        FROM counts
+    ), agg AS (
+        SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(t - c_ref) AS BIGINT) AS n_cur,
+               CAST(SUM(c_ref * (2 * c_before + t + 1)) AS BIGINT) AS w2_ref,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tiesum
+        FROM ranked
+    ), u AS (
+        SELECT n_ref, n_cur, tiesum,
+               w2_ref - n_ref * (n_ref + 1) AS u2,
+               n_ref + n_cur AS n
+        FROM agg
+    )
+    SELECT n_ref, n_cur, u2 AS u2_stat,
+           ROUND(u2 * 1.0 / (2.0 * n_ref * n_cur), 6) AS auc,
+           ROUND(((CAST(u2 AS DOUBLE) - CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) / 2.0)
+                 / SQRT(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 12.0 *
+                        ((CAST(n AS DOUBLE) + 1.0)
+                         - CAST(tiesum AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))),
+                 4) AS z_score
+    FROM u
+    """,
+)
+def dq09_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift between two time slices.
+
+    The third leg of the drift ladder: dq04's PSI needs binning choices,
+    dq08's KS is sensitive anywhere in the CDF; Mann-Whitney answers the
+    narrower oncall question "did the metric systematically shift UP or
+    DOWN?" with a signed z and an effect size (AUC = P(cur > ref), the
+    common-language effect size) — robust to outliers because it only
+    sees ranks.
+
+    Integer-exactness per the repo invariant: midranks are
+    half-integers, so the engine carries the DOUBLED rank-sum
+    ``w2 = Σ c_ref·(2·c_before + t + 1)`` over per-bin counts — exact
+    BIGINTs (fold-order-free), as is the doubled U statistic
+    ``u2 = w2 − n_ref·(n_ref+1)``. The tie-corrected normal
+    approximation then runs ONE float expression, written with the
+    identical parse tree on both engines so the IEEE result is
+    bit-equal:
+    ``z = (u2 − nR·nC)/2 / sqrt(nR·nC/12·((n+1) − Σ(t³−t)/(n(n−1))))``.
+
+    Scale shape: one scan → per-bin conditional counts (≤ KS_BINS
+    rows), cumulative window post-aggregation on that small relation
+    (the documented exception), one-row final aggregate. BIGINT
+    headroom: w2 ~ n² holds to n ≈ 3·10⁹ events per slice-pair; beyond
+    that the rank-sum carries in DECIMAL(38,0) — the grid bins, not
+    the row count, bound every other term.
+
+    Parity: beyond-reference (monitoring-family extension of
+    cbddl/src/monitoring/pipeline_monitor.py's health queries).
+    """
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        F.least(
+            F.floor(F.col("value") / KS_BIN_WIDTH).cast("long"),
+            F.lit(KS_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.withColumn("c_before", F.sum("t").over(w_cum) - F.col("t"))
+    agg = ranked.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum(F.col("t") - F.col("c_ref")).alias("n_cur"),
+        F.sum(
+            F.col("c_ref") * (2 * F.col("c_before") + F.col("t") + 1)
+        ).alias("w2_ref"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tiesum"),
+    )
+    u = agg.select(
+        "n_ref",
+        "n_cur",
+        "tiesum",
+        (F.col("w2_ref") - F.col("n_ref") * (F.col("n_ref") + 1)).alias("u2"),
+        (F.col("n_ref") + F.col("n_cur")).alias("n"),
+    )
+    n_d = F.col("n").cast("double")
+    nr_d = F.col("n_ref").cast("double")
+    nc_d = F.col("n_cur").cast("double")
+    var = (
+        nr_d * nc_d / F.lit(12.0)
+        * ((n_d + F.lit(1.0)) - F.col("tiesum").cast("double") / (n_d * (n_d - F.lit(1.0))))
+    )
+    return u.select(
+        "n_ref",
+        "n_cur",
+        F.col("u2").alias("u2_stat"),
+        F.round(
+            F.col("u2") * F.lit(1.0) / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur")), 6
+        ).alias("auc"),
+        F.round(
+            ((F.col("u2").cast("double") - nr_d * nc_d) / F.lit(2.0)) / F.sqrt(var), 4
+        ).alias("z_score"),
+    )

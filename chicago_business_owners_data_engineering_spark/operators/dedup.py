@@ -1249,3 +1249,127 @@ def _minhash_bands(
             )
         ).alias("b"),
     ).select(id_col, "b.band_id", "b.band_hash")
+
+
+# --- dd13: exact containment join (quote / partial-dup detection) -----------
+
+
+def containment_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "ws",
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT containment join: ordered pairs with |A∩B| ≥ t·|A|.
+
+    Containment C(A→B) = |A∩B| / |A| is the asymmetric twin of Jaccard:
+    a 50-shingle quote embedded in a 5000-shingle page scores C ≈ 1
+    where J ≈ 0.01 — the pairs a Jaccard join (dd03/dd04/dd12)
+    STRUCTURALLY cannot surface, and exactly the pairs that matter for
+    quote detection, boilerplate containment, and train-set documents
+    swallowed whole by larger crawl pages.
+
+    Prefix-filter argument (asymmetric form): order the vocabulary
+    rarest-first and let the CONTAINED side A expose only its first
+    ``|A| − ceil(t·|A|) + 1`` tokens. If the first p_A tokens of A all
+    miss B, the overlap is at most ``|A| − p_A = ceil(t·|A|) − 1`` —
+    below threshold — so every qualifying pair shares an exposed
+    A-token. The container side B has no prefix (its required overlap
+    depends on its PARTNER's size), so candidates come from probing
+    A-prefix tokens against the full token relation — the classic
+    inverted-index probe, cost Σ_{a,tok∈prefix(a)} df(tok), bounded by
+    the rarest-first order exactly as in :func:`jaccard_join_prefix`.
+    The size filter ``t_den·|B| ≥ t_num·|A|`` (an integer ≥ a real iff
+    ≥ its ceil) prunes containers too small to hold the overlap.
+
+    Integer-exactness: prefix length and both threshold comparisons use
+    the rational t_num/t_den with integer cross-multiplication — see
+    jaccard_join_prefix for why a float ``ceil(0.8·5)`` silently drops
+    true pairs. Verification compares ``t_den·|A∩B| ≥ t_num·|A|``
+    exactly; only the reported score divides.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(set_col).alias("ws")
+    ).withColumn("sz", F.size("ws"))
+    toks = base.select("doc_id", "sz", F.explode("ws").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    # contained-side prefix length p = sz - ceil(t*sz) + 1, integer-exact
+    p = F.col("sz") - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}") + 1
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix = (
+        toks.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= p)
+        .select("doc_id", "sz", "token")
+    )
+    a, b = prefix.alias("a"), toks.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.token") == F.col("b.token"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+                # container big enough: t_den·sz_b ≥ t_num·sz_a ⇔ sz_b ≥ ceil(t·sz_a)
+                F.lit(t_den) * F.col("b.sz") >= F.lit(t_num) * F.col("a.sz"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verify = cands.join(
+        base.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")),
+        "doc_a",
+    ).join(
+        base.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    return (
+        verify.filter(F.lit(t_den) * inter >= F.lit(t_num) * F.size("ws_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter * F.lit(1.0) / F.size("ws_a"), 6).alias("containment"),
+        )
+    )
+
+
+@query(
+    "dd13_containment_join",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN LEN(t) >= 3
+                    THEN LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
+                                        FOR i IN RANGE(1, LEN(t) - 1)])
+                    ELSE [LOWER(text)] END AS ws
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 / LEN(a.ws), 6)
+               AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE 10 * LEN(LIST_INTERSECT(a.ws, b.ws)) >= 7 * LEN(a.ws)
+    """,
+)
+def dd13_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed quote/containment pairs: 70 % of doc_a's shingles inside doc_b.
+
+    Completes the similarity-join geometry ladder: symmetric Jaccard
+    (dd03 brute / dd12 prefix-exact / dd04 LSH-approximate) finds
+    near-COPIES; this finds near-CONTAINMENTS — short documents
+    swallowed by longer ones, the case Jaccard's union denominator
+    hides. Same shingle sets as dd06/dd12, exact prefix-filter
+    algorithm in :func:`containment_join_prefix`, certified against the
+    brute-force ordered-pair oracle.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    return containment_join_prefix(docs, t_num=7, t_den=10)

@@ -295,3 +295,78 @@ def test_jaccard_join_prefix_matches_brute_force(spark):
     got = {(r.doc_a, r.doc_b) for r in jaccard_join_prefix(df).collect()}
     assert got == expected
     assert (0, 1) in got  # the exact-boundary pair survived integer math
+
+
+# --- round-4 additions: dq09 / ml05 / dd13 ----------------------------------
+
+
+def _write_events(spark, tmp_path, ref_vals, cur_vals):
+    rows = [(float(v), "2024-01-10 00:00:00") for v in ref_vals] + [
+        (float(v), "2024-01-20 00:00:00") for v in cur_vals
+    ]
+    df = spark.createDataFrame(rows, "value double, ts_s string").select(
+        "value", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_mann_whitney_planted_shift(spark, tmp_path):
+    """dq09: a pure location shift drives AUC to the extreme and signs
+    the z-statistic; identical distributions give AUC 0.5 and z == 0."""
+    q = QUERIES["dq09_mann_whitney"]
+    # cur shifted UP: every ref value ranks below every cur value
+    r = q(spark, _write_events(spark, tmp_path, [1, 2, 3, 4], [11, 12, 13])).collect()[0]
+    assert (r.n_ref, r.n_cur) == (4, 3)
+    assert r.u2_stat == 0 and r.auc == 0.0 and r.z_score < 0
+    # cur shifted DOWN
+    r = q(spark, _write_events(spark, tmp_path, [11, 12, 13, 14], [1, 2, 3])).collect()[0]
+    assert r.u2_stat == 2 * 4 * 3 and r.auc == 1.0 and r.z_score > 0
+    # identical non-degenerate distributions: dead-center, z exactly 0
+    r = q(spark, _write_events(spark, tmp_path, [1, 2, 3, 4], [1, 2, 3, 4])).collect()[0]
+    assert r.u2_stat == 4 * 4 and r.auc == 0.5 and r.z_score == 0.0
+
+
+def test_mann_whitney_hand_computed_ties(spark, tmp_path):
+    """dq09 doubled-midrank arithmetic against a by-hand rank table."""
+    # ref = [1, 2, 2], cur = [2, 3]; midranks: 1→1, 2→3, 3→5
+    # W_ref = 1 + 3 + 3 = 7, U_ref = 7 − 3·4/2 = 1 → u2 = 2
+    r = QUERIES["dq09_mann_whitney"](
+        spark, _write_events(spark, tmp_path, [1, 2, 2], [2, 3])
+    ).collect()[0]
+    assert (r.n_ref, r.n_cur, r.u2_stat) == (3, 2, 2)
+    assert r.auc == round(2 / (2 * 3 * 2), 6)
+
+
+def test_fasttext_quality_bag_average_invariant(spark, tmp_path):
+    """ml05: the score is a bag AVERAGE — repeating a document's text
+    leaves score_micro unchanged while n_tokens doubles."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["ml05_fasttext_quality"](spark, str(tmp_path)).collect()
+    }
+    assert rows[2].n_tokens == 2 * rows[1].n_tokens
+    assert rows[1].score_micro == rows[2].score_micro
+    assert 0 <= rows[1].score_micro <= 100_000_000
+    assert rows[1].label in ("keep", "drop")
+
+
+def test_containment_join_directed_asymmetry(spark):
+    """dd13's geometry: a small set fully inside a large one scores
+    containment 1.0 in that direction only — the pair Jaccard hides."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        containment_join_prefix,
+    )
+
+    big = [f"tok{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, big[:8]), (2, big)],  # doc 1 ⊂ doc 2; J = 8/40 = 0.2
+        "doc_id long, ws array<string>",
+    )
+    got = {(r.doc_a, r.doc_b): r.containment for r in containment_join_prefix(df).collect()}
+    assert got == {(1, 2): 1.0}

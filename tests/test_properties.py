@@ -476,3 +476,30 @@ def test_k_anonymity_audit_and_suppression_consistent(spark):
         else:
             assert (r.mktsegment, r.nationkey, r.bal_bucket) not in risky_keys
             assert None not in (r.mktsegment, r.nationkey, r.bal_bucket)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_tokens, min_size=2, max_size=10))
+def test_containment_join_equals_brute_force(spark, sets):
+    """dd13's asymmetric prefix-filter join returns EXACTLY the
+    brute-force ordered containment pairs on arbitrary token sets —
+    like dd12, losslessness is a theorem, so any counterexample is a
+    bug, not noise."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        containment_join_prefix,
+    )
+
+    expected = set()
+    for i in range(len(sets)):
+        for j in range(len(sets)):
+            if i == j:
+                continue
+            si, sj = set(sets[i]), set(sets[j])
+            if 10 * len(si & sj) >= 7 * len(si):
+                expected.add((i, j))
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(sets)],
+        "doc_id long, ws array<string>",
+    )
+    got = {(r.doc_a, r.doc_b) for r in containment_join_prefix(df).collect()}
+    assert got == expected

@@ -104,6 +104,9 @@ PROBE_QUERIES: tuple[str, ...] = (
     "st01_sessionization",
     "tx13_bigram_surprisal",  # bigram vocab grows with corpus — verify the agg stays linear
     "dq08_ks_drift",  # per-column rank/window over the union — linear check
+    "dq09_mann_whitney",  # same grid-bounded shape as dq08 — linear check
+    "ml05_fasttext_quality",  # explode + broadcast + doc agg — linear check
+    "dd13_containment_join",  # asymmetric prefix probe — output-sensitivity check
 )
 
 # One stride per key family — shared by every table that references the
