@@ -52,6 +52,8 @@ EXPECTED_GLOBAL_WINDOW = {
     # cumulative ECDF window over the fixed 1000-row KS bin grid —
     # post-aggregation, bounded by KS_BINS regardless of corpus size
     "dq08_ks_drift",
+    # cumulative rank window over the same ≤ KS_BINS-row bin relation
+    "dq09_mann_whitney",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
