@@ -935,9 +935,10 @@ def dq09_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     The third leg of the drift ladder: dq04's PSI needs binning choices,
     dq08's KS is sensitive anywhere in the CDF; Mann-Whitney answers the
     narrower oncall question "did the metric systematically shift UP or
-    DOWN?" with a signed z and an effect size (AUC = P(cur > ref), the
-    common-language effect size) — robust to outliers because it only
-    sees ranks.
+    DOWN?" with a signed z and an effect size (AUC = P(ref > cur) +
+    ½P(tie), the common-language effect size: 0.5 = no shift, → 0 =
+    current slice shifted up, → 1 = shifted down) — robust to outliers
+    because it only sees ranks.
 
     Integer-exactness per the repo invariant: midranks are
     half-integers, so the engine carries the DOUBLED rank-sum

@@ -415,6 +415,21 @@ def _versioned_publish(
             g = int(d.split("=", 1)[1])
             if base_gen is not None and g < base_gen:
                 shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+    if fault:
+        fault("post_data_gc")
+    # Ledger markers mirror the data GC, or the per-batch committed-set
+    # listing grows without bound (one dir per epoch forever). Safe for
+    # the same reason: base selection is "max committed < epoch", future
+    # epochs only look above this commit, and a replay of THIS epoch
+    # finds its own marker and skips — markers below base_gen can never
+    # be chosen again. GC runs only after the commit marker lands, so a
+    # pre-commit crash leaves the ledger untouched.
+    ledger_dir = os.path.join(root, "_ledger")
+    for d in os.listdir(ledger_dir) if os.path.isdir(ledger_dir) else []:
+        if d.startswith("epoch="):
+            g = int(d.split("=", 1)[1])
+            if base_gen is not None and g < base_gen:
+                shutil.rmtree(os.path.join(ledger_dir, d), ignore_errors=True)
 
 
 def foreach_batch_upsert(lake_path: str, keys: list[str], version_col: str, fault=None):

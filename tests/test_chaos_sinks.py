@@ -58,7 +58,7 @@ def _canon(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-GEN_BOUNDARIES = ["pre_publish", "post_data_write", "post_commit"]
+GEN_BOUNDARIES = ["pre_publish", "post_data_write", "post_commit", "post_data_gc"]
 
 
 @pytest.mark.parametrize("boundary", GEN_BOUNDARIES)
@@ -82,6 +82,15 @@ def test_rollup_crash_at_every_boundary(spark, tmp_path, boundary):
     replay(batches[1], 1)
     replay(batches[2], 2)
     assert _canon(read_versioned(spark, chaos)) == expected
+    # Both GC legs hold: data gens AND ledger markers stay bounded
+    # (only the merge base and the head survive), so per-batch ledger
+    # listings don't grow with stream lifetime.
+    import os
+
+    gens = sorted(os.listdir(os.path.join(chaos, "data")))
+    marks = sorted(os.listdir(os.path.join(chaos, "_ledger")))
+    assert gens == ["gen=1", "gen=2"]
+    assert marks == ["epoch=1", "epoch=2"]
 
 
 @pytest.mark.parametrize("boundary", GEN_BOUNDARIES)
@@ -134,7 +143,8 @@ def test_committed_snapshot_survives_every_crash(spark, tmp_path):
     gold = str(tmp_path / "gold_window")
     foreach_batch_incremental_rollup(gold)(batches[0], 0)
     committed = _canon(read_versioned(spark, gold))
-    for boundary in GEN_BOUNDARIES[:-1]:  # post_commit already advanced
+    # boundaries at/after post_commit have already advanced the snapshot
+    for boundary in ["pre_publish", "post_data_write"]:
         with pytest.raises(Boom):
             foreach_batch_incremental_rollup(gold, fault=_fault_at(boundary))(
                 batches[1], 1
