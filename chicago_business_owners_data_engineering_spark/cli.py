@@ -21,7 +21,7 @@ Modes:
              enrich→window pipeline into the lake
              (streaming_processor.py:395-418 analog)
   curate     the staged training-data curation funnel over documents
-             (gate → dedup → mixture → split → shard → dataset card;
+             (gate → model gate → dedup → containment → mixture → split → shard → card;
              plans/curation_pipeline.py)
   full       ingestion → warehouse → analytics
 

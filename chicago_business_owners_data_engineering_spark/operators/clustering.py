@@ -761,6 +761,28 @@ def ml05_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-signal seed cbddl/src/data_ingestion/ingestion_pipeline.py:54-74.
     """
     documents = load_table(spark, sf_dir, "documents")
+    score = F.col("score_micro")
+    return (
+        fasttext_scores(documents)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_micro",
+            F.when(score >= FT_KEEP_MICRO, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fasttext_scores(documents: DataFrame) -> DataFrame:
+    """The scoring core behind ml05: (doc_id, n_tokens, score_micro).
+
+    Takes any (doc_id, text) relation so pipeline stages can score
+    intermediate survivor sets, not just the raw table; see ml05's
+    docstring for the architecture and determinism notes."""
+    spark = documents.sparkSession
     weights = spark.range(FT_BUCKETS).select(
         F.col("id").alias("bucket"),
         (
@@ -779,7 +801,6 @@ def ml05_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             % FT_BUCKETS
         ).alias("bucket"),
     )
-    score = F.expr("(1000000 * sum_w) div n_tokens")
     return (
         feat.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
@@ -790,10 +811,6 @@ def ml05_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            score.alias("score_micro"),
-            F.when(score >= FT_KEEP_MICRO, F.lit("keep"))
-            .otherwise(F.lit("drop"))
-            .alias("label"),
+            F.expr("(1000000 * sum_w) div n_tokens").alias("score_micro"),
         )
-        .orderBy("doc_id")
     )

@@ -5,9 +5,15 @@ job a 100 TB pretraining corpus actually runs, end to end:
 
     1 gate     quality filters: Gopher repetition signals + length
                floor (tx07's fractions as predicates)
+    1b model   classifier gate: fastText-shaped score (ml05 machinery)
+               with a LOW bar — drop the clearly-bad tail, not half
+               the corpus (heuristics first, model second: the model
+               never sees what the cheap gates already killed)
     2 dedup    exact dedup (first copy per text hash), then near-dup
                canonical selection (keep the longest doc per connected
-               component — dd06/dd07 machinery)
+               component — dd06/dd07 machinery), then containment
+               dedup (dd13): drop docs ≥70 % swallowed by a LARGER
+               survivor — the asymmetric pairs Jaccard can't see
     3 mix      deterministic per-source mixture downsampling (tp08)
     4 split    hash-based train/valid/test assignment (tp01)
     5 shard    byte-budget shard manifest per (split, source) (mm05)
@@ -45,6 +51,14 @@ from ..operators.multimodal import SHARD_BUDGET_BYTES, shard_id_over
 MIN_TOKENS = 5
 MAX_DUP_TOKEN_FRAC = 0.6
 MAX_TOP_TOKEN_FRAC = 0.3
+# Model-gate floor: a LOW bar relative to ml05's demo decision point
+# (50M ≈ the corpus median) — the pipeline's job is removing the
+# clearly-bad tail (~p05 of the fixture distribution), not halving the
+# corpus on a coin-flip score.
+FT_PIPELINE_MIN_MICRO = 35_000_000
+# Containment-dedup threshold as a rational (integer cross-multiplied
+# comparisons — see containment_join_prefix).
+CONTAIN_T_NUM, CONTAIN_T_DEN = 7, 10
 
 SOURCE_WEIGHTS = {
     ("src0", "src1", "src2"): 25,
@@ -75,6 +89,20 @@ def gate_quality(documents: DataFrame) -> DataFrame:
         )
         .drop("dup_token_frac", "top_token_frac")
     )
+
+
+def gate_model(docs: DataFrame) -> DataFrame:
+    """Stage 1b: classifier gate — ml05's broadcast-join scorer with the
+    pipeline's low-bar floor. Runs AFTER the heuristic gate so the
+    model never scores what repetition/length already killed (the cheap
+    filters are ~free; the explode+join here is the priciest pre-dedup
+    pass)."""
+    from ..operators.clustering import fasttext_scores
+
+    passing = fasttext_scores(docs.select("doc_id", "text")).filter(
+        F.col("score_micro") >= FT_PIPELINE_MIN_MICRO
+    )
+    return docs.join(passing.select("doc_id"), "doc_id", "left_semi")
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -125,6 +153,44 @@ def dedup_near(docs: DataFrame, use_lsh_edges: bool = True) -> DataFrame:
     return docs.join(drops, "doc_id", "left_anti")
 
 
+def dedup_containment(docs: DataFrame) -> DataFrame:
+    """Stage 2c: drop docs ≥70 % contained in a LARGER surviving doc.
+
+    The near-dup stage (J ≥ 0.5) cannot see a short doc swallowed by a
+    much longer one — the union denominator hides it — so the exact
+    containment join (dd13 machinery) sweeps those after cluster
+    dedup, when the survivor set is already smallest. Survivorship is
+    deterministic and cycle-free: doc_a drops only when its container
+    has MORE shingles (ties → smaller doc_id), so the maximal-size
+    min-id member of any containment cluster always survives and
+    mutual containment keeps exactly one member. Greedy semantics on
+    chains, deliberately: in a ⊂ b ⊂ c both a and b drop even though
+    a's direct container dropped too — the redundancy judgment is
+    against the PRE-sweep corpus (a was mostly-covered somewhere),
+    which is the standard one-pass containment sweep; a coverage-exact
+    variant would need the component machinery dd07 already provides
+    for the symmetric case.
+    """
+    from ..operators.dedup import containment_join_prefix
+
+    shingled = docs.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    sizes = shingled.select("doc_id", F.size("ws").alias("sz"))
+    pairs = containment_join_prefix(
+        shingled, t_num=CONTAIN_T_NUM, t_den=CONTAIN_T_DEN
+    )
+    drops = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(
+            (F.col("sz_b") > F.col("sz_a"))
+            | ((F.col("sz_b") == F.col("sz_a")) & (F.col("doc_b") < F.col("doc_a")))
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(drops, "doc_id", "left_anti")
+
+
 def sample_mixture(docs: DataFrame) -> DataFrame:
     """Stage 3: per-source hash-deterministic downsampling (tp08)."""
     from ..operators.pipeline_ml import _md5_bucket
@@ -166,9 +232,11 @@ def run_curation_pipeline(
     # gate is the heaviest pre-dedup scan (full token explode); cache it
     # so the card's funnel counts don't replay it per stage
     gated = gate_quality(documents).cache()
-    exact = dedup_exact(gated)
+    modeled = gate_model(gated).cache()
+    exact = dedup_exact(modeled)
     near = dedup_near(exact).cache()
-    mixed = sample_mixture(near)
+    contained = dedup_containment(near).cache()
+    mixed = sample_mixture(contained)
     split = assign_splits(mixed)
     sharded = assign_shards(split).cache()
 
@@ -185,17 +253,21 @@ def run_curation_pipeline(
     card_rows = [
         ("0_raw", n(documents)),
         ("1_gated", n(gated)),
-        ("2_exact_dedup", n(exact)),
-        ("3_near_dedup", n(near)),
-        ("4_mixture", n(mixed)),
-        ("5_final", n(sharded)),
+        ("2_model_gate", n(modeled)),
+        ("3_exact_dedup", n(exact)),
+        ("4_near_dedup", n(near)),
+        ("5_containment", n(contained)),
+        ("6_mixture", n(mixed)),
+        ("7_final", n(sharded)),
     ]
     card = spark.createDataFrame(card_rows, "stage string, docs long")
     card.coalesce(1).write.mode("overwrite").json(os.path.join(out_dir, "card"))
-    # release the two intermediate caches — the pipeline may run inside a
+    # release the intermediate caches — the pipeline may run inside a
     # long-lived session (CLI full mode, tests) and cached RDDs otherwise
     # pin executor memory for the rest of the session
     gated.unpersist()
+    modeled.unpersist()
     near.unpersist()
+    contained.unpersist()
     sharded.unpersist()
     return card

@@ -884,15 +884,19 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert (
         funnel["0_raw"]
         >= funnel["1_gated"]
-        >= funnel["2_exact_dedup"]
-        >= funnel["3_near_dedup"]
-        >= funnel["4_mixture"]
-        == funnel["5_final"]
+        >= funnel["2_model_gate"]
+        >= funnel["3_exact_dedup"]
+        >= funnel["4_near_dedup"]
+        >= funnel["5_containment"]
+        >= funnel["6_mixture"]
+        == funnel["7_final"]
         > 0
     )
+    # the low-bar model gate trims a tail, it does not gut the corpus
+    assert funnel["2_model_gate"] >= funnel["1_gated"] * 0.8
 
     curated = spark.read.parquet(str(tmp_path / "cur/curated"))
-    assert curated.count() == funnel["5_final"]
+    assert curated.count() == funnel["7_final"]
     # no exact duplicates survive
     assert curated.select("text").distinct().count() == curated.count()
     # every doc has exactly one split; all three splits materialized as partitions
