@@ -136,6 +136,7 @@ BENCH_R4 = [
     "dq09_mann_whitney",
     "ml05_fasttext_quality",
     "dd13_containment_join",
+    "tx14_bpe_merges",
 ]
 
 

@@ -420,3 +420,143 @@ def tx11_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# --- tx14: BPE tokenizer training (iterative pair merging) ------------------
+
+BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB chain replaying the BPE merge recurrence exactly.
+
+    One CTE trio per round: pairs (weighted adjacent-pair counts from
+    the wrapped strings), best (argmax with the count DESC, left, right
+    tie order), next vocab (single-pass REPLACE of the wrapped pair).
+    MATERIALIZED per gr06's lesson — the t/b chain is referenced more
+    than once per round and DuckDB's default inlining re-expands it.
+    """
+    parts = [
+        """
+    WITH words AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+              FROM documents)
+        WHERE REGEXP_MATCHES(word, '^[a-z]+$')
+        GROUP BY word
+    ), t0 AS MATERIALIZED (
+        SELECT REGEXP_REPLACE(word, '(.)', '<\\1>', 'g') AS s, n FROM words
+    )"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(f"""
+    , p{r} AS (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(n) AS BIGINT) AS c
+        FROM (SELECT UNNEST([[toks[i], toks[i + 1]]
+                             FOR i IN RANGE(1, LEN(toks))]) AS pr, n
+              FROM (SELECT STRING_SPLIT(SUBSTRING(s, 2, LEN(s) - 2), '><')
+                        AS toks, n
+                    FROM t{r - 1}))
+        GROUP BY pr[1], pr[2]
+    ), b{r} AS MATERIALIZED (
+        SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1
+    ), t{r} AS MATERIALIZED (
+        SELECT REPLACE(t.s, '<' || b.l || '><' || b.r || '>',
+                       '<' || b.l || b.r || '>') AS s, n
+        FROM t{r - 1} t, b{r} b
+    )""")
+    steps = " UNION ALL ".join(
+        f"SELECT {r} AS step, l, r, c FROM b{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    parts.append(f"""
+    SELECT step, l AS left, r AS right, l || r AS merged, c AS pair_count
+    FROM ({steps}) ORDER BY step""")
+    return "".join(parts)
+
+
+@query("tx14_bpe_merges", oracle=_bpe_oracle())
+def tx14_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING: the first BPE_ROUNDS merge rules learned
+    from the corpus (Sennrich et al.'s byte-pair encoding).
+
+    The tokenizer-side gap in the text family: tx02 COUNTS tokens under
+    a fixed BPE-ish regex; this learns the merge table itself — the
+    iterative most-frequent-adjacent-pair recurrence every subword
+    tokenizer starts from. Classic BPE trains on the word-FREQUENCY
+    table, not the corpus: one corpus scan builds (word, count), which
+    is vocabulary-sized, and all merge rounds run there — that is why
+    the vocab is localCheckpointed eagerly (the bounded-coordinator
+    pattern sim11 uses for its candidate pool) and each round's
+    transformed vocab re-checkpoints: round r is one weighted
+    pair-count aggregate (map-side partials over ≤vocab rows), a 1-row
+    argmax broadcast, and a projection.
+
+    Determinism and cross-engine exactness: counts are integer sums;
+    the argmax tie order is (count DESC, left, right); and the merge
+    application wraps every token in angle brackets (``the`` →
+    ``<t><h><e>``) so a single left-to-right non-overlapping
+    ``replace('<l><r>', '<lr>')`` — identical semantics in Spark and
+    DuckDB — implements EXACT greedy BPE: adjacent occurrences share no
+    characters once wrapped (``<a><a><a><a>`` merges to
+    ``<aa><aa>``, where space-joined tokens would stall at the shared
+    separator and under-merge). Tokens are ``^[a-z]+$`` words, so the
+    wrap characters can never collide with token content.
+
+    Parity: beyond-reference (§2.11 text-analysis mandate); the
+    training-side sibling of tx02's token counting
+    (cbddl/src/analytics/demographics_analyzer.py:173-182 is the
+    word-frequency seed).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("s"), "n"
+    ).localCheckpoint(eager=True)
+
+    bests = []
+    for step in range(1, BPE_ROUNDS + 1):
+        toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+        sz = F.size(toks)
+        zipped = F.arrays_zip(F.slice(toks, 1, sz - 1), F.slice(toks, 2, sz - 1))
+        pairs = vocab.select(
+            F.explode(zipped).alias("pr"), "n"
+        ).select(
+            F.col("pr")["0"].alias("l"), F.col("pr")["1"].alias("r"), "n"
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        bests.append(best.select(F.lit(step).alias("step"), "l", "r", "c"))
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(s, '<' || l || '><' || r || '>',"
+                    " '<' || l || r || '>')"
+                ).alias("s"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "step",
+        F.col("l").alias("left"),
+        F.col("r").alias("right"),
+        F.concat(F.col("l"), F.col("r")).alias("merged"),
+        F.col("c").alias("pair_count"),
+    ).orderBy("step")

@@ -370,3 +370,26 @@ def test_containment_join_directed_asymmetry(spark):
     )
     got = {(r.doc_a, r.doc_b): r.containment for r in containment_join_prefix(df).collect()}
     assert got == {(1, 2): 1.0}
+
+
+def test_bpe_merges_hand_computed(spark, tmp_path):
+    """tx14 against by-hand BPE: the wrapped-token replace must merge
+    ADJACENT runs correctly (aaaa → aa,aa — the case space-joined
+    replace under-merges), weight pairs by word frequency, tie-break
+    lexicographically, and degrade gracefully when pairs run out."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab ab ab")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in QUERIES["tx14_bpe_merges"](spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        # (a,a) ties (a,b) at 3 — lexicographic r breaks it; the run
+        # 'aaaa' must yield TWO merged pairs next round, not one
+        (1, "a", "a", "aa", 3),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "aa", "aaaa", 1),
+        # rounds 4-5 find no pairs left: no rows, no crash
+    ]

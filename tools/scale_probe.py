@@ -107,6 +107,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dq09_mann_whitney",  # same grid-bounded shape as dq08 — linear check
     "ml05_fasttext_quality",  # explode + broadcast + doc agg — linear check
     "dd13_containment_join",  # asymmetric prefix probe — output-sensitivity check
+    "tx14_bpe_merges",  # merge rounds run on the vocab table — sublinear check
 )
 
 # One stride per key family — shared by every table that references the
