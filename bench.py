@@ -137,6 +137,7 @@ BENCH_R4 = [
     "ml05_fasttext_quality",
     "dd13_containment_join",
     "tx14_bpe_merges",
+    "tx15_bpe_tokenize",
 ]
 
 

@@ -427,14 +427,16 @@ def tx11_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 5
 
 
-def _bpe_oracle() -> str:
-    """Unrolled DuckDB chain replaying the BPE merge recurrence exactly.
+def _bpe_chain_sql() -> str:
+    """Shared unrolled DuckDB chain replaying the BPE merge recurrence.
 
     One CTE trio per round: pairs (weighted adjacent-pair counts from
     the wrapped strings), best (argmax with the count DESC, left, right
     tie order), next vocab (single-pass REPLACE of the wrapped pair).
     MATERIALIZED per gr06's lesson — the t/b chain is referenced more
     than once per round and DuckDB's default inlining re-expands it.
+    ``word`` rides through every t so the apply oracle (tx15) can map
+    corpus words to their final tokenization.
     """
     parts = [
         """
@@ -445,7 +447,8 @@ def _bpe_oracle() -> str:
         WHERE REGEXP_MATCHES(word, '^[a-z]+$')
         GROUP BY word
     ), t0 AS MATERIALIZED (
-        SELECT REGEXP_REPLACE(word, '(.)', '<\\1>', 'g') AS s, n FROM words
+        SELECT word, REGEXP_REPLACE(word, '(.)', '<\\1>', 'g') AS s, n
+        FROM words
     )"""
     ]
     for r in range(1, BPE_ROUNDS + 1):
@@ -461,17 +464,23 @@ def _bpe_oracle() -> str:
     ), b{r} AS MATERIALIZED (
         SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1
     ), t{r} AS MATERIALIZED (
-        SELECT REPLACE(t.s, '<' || b.l || '><' || b.r || '>',
-                       '<' || b.l || b.r || '>') AS s, n
+        SELECT t.word, REPLACE(t.s, '<' || b.l || '><' || b.r || '>',
+                               '<' || b.l || b.r || '>') AS s, n
         FROM t{r - 1} t, b{r} b
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     steps = " UNION ALL ".join(
         f"SELECT {r} AS step, l, r, c FROM b{r}" for r in range(1, BPE_ROUNDS + 1)
     )
-    parts.append(f"""
+    return (
+        _bpe_chain_sql()
+        + f"""
     SELECT step, l AS left, r AS right, l || r AS merged, c AS pair_count
-    FROM ({steps}) ORDER BY step""")
-    return "".join(parts)
+    FROM ({steps}) ORDER BY step"""
+    )
 
 
 @query("tx14_bpe_merges", oracle=_bpe_oracle())
@@ -508,6 +517,26 @@ def tx14_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-frequency seed).
     """
     documents = load_table(spark, sf_dir, "documents")
+    _, bests = _bpe_train(documents)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "step",
+        F.col("l").alias("left"),
+        F.col("r").alias("right"),
+        F.concat(F.col("l"), F.col("r")).alias("merged"),
+        F.col("c").alias("pair_count"),
+    ).orderBy("step")
+
+
+def _bpe_train(documents: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """The BPE merge recurrence behind tx14/tx15.
+
+    Returns ``(vocab_final, bests)``: the post-merge word→tokenization
+    mapping (word, s, n) and one 1-row (step, l, r, c) relation per
+    round. See tx14's docstring for semantics and determinism notes.
+    """
     words = (
         documents.select(
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
@@ -517,7 +546,7 @@ def tx14_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     vocab = words.select(
-        F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("s"), "n"
+        "word", F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("s"), "n"
     ).localCheckpoint(eager=True)
 
     bests = []
@@ -541,6 +570,7 @@ def tx14_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (
             vocab.crossJoin(F.broadcast(best))
             .select(
+                "word",
                 F.expr(
                     "replace(s, '<' || l || '><' || r || '>',"
                     " '<' || l || r || '>')"
@@ -549,14 +579,73 @@ def tx14_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return vocab, bests
 
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "step",
-        F.col("l").alias("left"),
-        F.col("r").alias("right"),
-        F.concat(F.col("l"), F.col("r")).alias("merged"),
-        F.col("c").alias("pair_count"),
-    ).orderBy("step")
+
+@query(
+    "tx15_bpe_tokenize",
+    oracle=_bpe_chain_sql()
+    + f"""
+    , dw AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+              FROM documents)
+        WHERE REGEXP_MATCHES(word, '^[a-z]+$')
+    ), m AS (
+        SELECT word,
+               CAST(LEN(STRING_SPLIT(SUBSTRING(s, 2, LEN(s) - 2), '><'))
+                    AS BIGINT) AS n_toks,
+               CAST(LEN(word) AS BIGINT) AS n_chars
+        FROM t{BPE_ROUNDS}
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(m.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(m.n_toks) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN m USING (word)
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """,
+)
+def tx15_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: per-document subword token counts
+    under the merge table tx14 learned.
+
+    Completes the tokenizer loop: train on the word-frequency table
+    (tx14), then tokenize the corpus by JOINING words to the learned
+    word→tokenization mapping — the production shape for applying any
+    trained tokenizer in Spark: the mapping is vocabulary-sized (a real
+    tokenizer's vocab, always broadcastable), so application is one
+    corpus explode + one broadcast join + one doc-keyed partial-agg
+    count — never a per-row Python tokenizer in the hot path. The
+    (n_chars, n_bpe_tokens) pair per document gives the compression
+    ratio the budgeting ops (tp09) consume; counts are exact integers
+    end to end, so the whole query hash-compares against the unrolled
+    merge-chain oracle.
+
+    Parity: beyond-reference (§2.11 text-analysis mandate); tx02's
+    whitespace/regex token counts are the untrained baseline this
+    replaces.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(documents)
+    mapping = vocab.select(
+        "word",
+        F.size(F.split(F.expr("substring(s, 2, length(s) - 2)"), "><"))
+        .cast("long")
+        .alias("n_toks"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    dw = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    return (
+        dw.join(F.broadcast(mapping), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -393,3 +393,14 @@ def test_bpe_merges_hand_computed(spark, tmp_path):
         (3, "aa", "aa", "aaaa", 1),
         # rounds 4-5 find no pairs left: no rows, no crash
     ]
+
+
+def test_bpe_tokenize_compression_bounds(spark, sf_dir):
+    """tx15: merges only ever shrink — per doc, n_words ≤ n_bpe_tokens
+    ≤ n_chars, with strict global shrinkage vs characters once any
+    merge applies."""
+    rows = QUERIES["tx15_bpe_tokenize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+    assert sum(r.n_bpe_tokens for r in rows) < sum(r.n_chars for r in rows)

@@ -108,6 +108,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "ml05_fasttext_quality",  # explode + broadcast + doc agg — linear check
     "dd13_containment_join",  # asymmetric prefix probe — output-sensitivity check
     "tx14_bpe_merges",  # merge rounds run on the vocab table — sublinear check
+    "tx15_bpe_tokenize",  # corpus explode + broadcast vocab join — linear check
 )
 
 # One stride per key family — shared by every table that references the
