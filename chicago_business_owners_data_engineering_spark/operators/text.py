@@ -530,18 +530,23 @@ def tx14_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_train(documents: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+def _bpe_train(
+    documents: DataFrame, word_re: str = "^[a-z]+$"
+) -> tuple[DataFrame, list[DataFrame]]:
     """The BPE merge recurrence behind tx14/tx15.
 
     Returns ``(vocab_final, bests)``: the post-merge word→tokenization
     mapping (word, s, n) and one 1-row (step, l, r, c) relation per
     round. See tx14's docstring for semantics and determinism notes.
+    ``word_re`` must admit only characters distinct from the ``<``/``>``
+    wrap markers (the registry pins ``^[a-z]+$``; the scale probe
+    widens it to cover its shard-tagged fixture tokens).
     """
     words = (
         documents.select(
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
         )
-        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.col("word").rlike(word_re))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -627,8 +632,15 @@ def tx15_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace/regex token counts are the untrained baseline this
     replaces.
     """
+    return bpe_tokenize_counts(spark, sf_dir)
+
+
+def bpe_tokenize_counts(
+    spark: SparkSession, sf_dir: str, word_re: str = "^[a-z]+$"
+) -> DataFrame:
+    """Parameterized engine behind tx15 (same plan, tunable charset)."""
     documents = load_table(spark, sf_dir, "documents")
-    vocab, _ = _bpe_train(documents)
+    vocab, _ = _bpe_train(documents, word_re=word_re)
     mapping = vocab.select(
         "word",
         F.size(F.split(F.expr("substring(s, 2, length(s) - 2)"), "><"))
@@ -638,7 +650,7 @@ def tx15_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dw = documents.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
-    ).filter(F.col("word").rlike("^[a-z]+$"))
+    ).filter(F.col("word").rlike(word_re))
     return (
         dw.join(F.broadcast(mapping), "word")
         .groupBy("doc_id")

@@ -109,6 +109,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dd13_containment_join",  # asymmetric prefix probe — output-sensitivity check
     "tx14_bpe_merges",  # merge rounds run on the vocab table — sublinear check
     "tx15_bpe_tokenize",  # corpus explode + broadcast vocab join — linear check
+    "tx15_bpe_widecharset",  # pseudo-query: charset widened to see all fixture shards
 )
 
 # One stride per key family — shared by every table that references the
@@ -264,6 +265,19 @@ def _ml04_scaled(spark: SparkSession, sf_dir: str):
     return dbscan_density_dedup(spark, sf_dir, k=max(8, n // 250), cos_threshold=0.5)
 
 
+def _tx15_wide(spark: SparkSession, sf_dir: str):
+    """tx15's engine with the word charset widened to admit the
+    fixture's shard-tagged tokens (``word_3``). The registry pin
+    ``^[a-z]+$`` filters every tagged token out, so the pinned probe
+    exercises only the untagged shard (rows_ratio 1.0 — the diagnostic
+    caught it); this variant sees all 10 shards."""
+    from chicago_business_owners_data_engineering_spark.operators.text import (
+        bpe_tokenize_counts,
+    )
+
+    return bpe_tokenize_counts(spark, sf_dir, word_re="^[a-z0-9_]+$")
+
+
 # Pseudo-queries: probe-only callables that are not registry entries
 # (parameter calibrations of registry engines).
 EXTRA_PROBES = {
@@ -271,6 +285,7 @@ EXTRA_PROBES = {
     "sim13_knnjoin_scaledk": _sim13_scaled_k,
     "sim14_pqjoin_scaledk": _sim14_scaled_k,
     "ml04_density_scaledk": _ml04_scaled,
+    "tx15_bpe_widecharset": _tx15_wide,
 }
 
 
