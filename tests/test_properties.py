@@ -503,3 +503,57 @@ def test_containment_join_equals_brute_force(spark, sets):
     )
     got = {(r.doc_a, r.doc_b) for r in containment_join_prefix(df).collect()}
     assert got == expected
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(_bpe_words)
+def test_bpe_merges_match_reference_implementation(spark, tmp_path_factory, words):
+    """tx14 against an independent plain-Python greedy BPE: same merge
+    table (pair, count, order) on arbitrary word multisets over a tiny
+    alphabet — the adversarial regime for adjacent-run merging and
+    count ties."""
+    from collections import Counter
+
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    # reference: classic greedy BPE on the word-frequency table
+    freqs = Counter(words)
+    vocab = {w: list(w) for w in freqs}
+    expected = []
+    for _ in range(5):
+        pc: Counter = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += freqs[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), c = best
+        expected.append((l, r, c))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+
+    tmp = tmp_path_factory.mktemp("bpe")
+    spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in QUERIES["tx14_bpe_merges"](spark, str(tmp)).collect()
+    ]
+    assert got == expected
