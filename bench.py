@@ -138,6 +138,7 @@ BENCH_R4 = [
     "dd13_containment_join",
     "tx14_bpe_merges",
     "tx15_bpe_tokenize",
+    "dq10_mad_outliers",
 ]
 
 

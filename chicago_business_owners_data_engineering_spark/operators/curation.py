@@ -1009,3 +1009,152 @@ def dq09_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("u2").cast("double") - nr_d * nc_d) / F.lit(2.0)) / F.sqrt(var), 4
         ).alias("z_score"),
     )
+
+
+# --- dq10: robust location/scale profile (grid median + MAD) ----------------
+
+
+@query(
+    "dq10_mad_outliers",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value / {KS_BIN_WIDTH}) AS BIGINT),
+                     {KS_BINS - 1}) AS bin
+        FROM events
+    ), counts AS (
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM binned GROUP BY event_type, bin
+    ), cum AS (
+        SELECT event_type, bin, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
+                    AS BIGINT) AS cc,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM counts
+    ), med AS (
+        SELECT event_type, MAX(n) AS n,
+               MIN(CASE WHEN 2 * cc >= n THEN bin END) AS med_bin
+        FROM cum GROUP BY event_type
+    ), dists AS (
+        SELECT c.event_type, ABS(c.bin - m.med_bin) AS dist,
+               CAST(SUM(c.c) AS BIGINT) AS dc
+        FROM counts c JOIN med m USING (event_type)
+        GROUP BY c.event_type, ABS(c.bin - m.med_bin)
+    ), dcum AS (
+        SELECT d.event_type, d.dist, d.dc,
+               CAST(SUM(d.dc) OVER (PARTITION BY d.event_type ORDER BY d.dist)
+                    AS BIGINT) AS cdc,
+               m.n
+        FROM dists d JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type,
+               MIN(CASE WHEN 2 * cdc >= n THEN dist END) AS mad_bins
+        FROM dcum GROUP BY event_type
+    )
+    SELECT m.event_type, m.n, m.med_bin, a.mad_bins,
+           CAST(COALESCE(SUM(CASE WHEN ABS(c.bin - m.med_bin) >
+                                       3 * a.mad_bins
+                                  THEN c.c END), 0) AS BIGINT) AS n_outliers
+    FROM counts c
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    GROUP BY m.event_type, m.n, m.med_bin, a.mad_bins
+    ORDER BY m.event_type
+    """,
+)
+def dq10_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-metric location/scale profile: grid median, median
+    absolute deviation, and the |x − med| > 3·MAD outlier count.
+
+    The robust-statistics leg of the monitoring ladder (dq03 volume,
+    dq04 PSI, dq08 KS, dq09 rank-shift): mean/stddev alarms (dq03's
+    style) are themselves dragged by the outliers they hunt; median and
+    MAD have a 50 % breakdown point, so the 3·MAD fence stays put when
+    a bad day floods the metric. Everything is computed on dq08's
+    unit-width evaluation grid, which makes BOTH statistics integers
+    (bin indexes) — the lower-median convention ``min bin with
+    2·cum ≥ n`` and its MAD twin are exact BIGINT comparisons, no
+    interpolation to diverge between engines — and resolves the answer
+    to grid precision, which is what an alarm threshold needs.
+
+    Scale shape: one data-sized aggregate (event_type × bin conditional
+    counts, map-side partials); every window and join after it runs on
+    the ≤ types·KS_BINS grid relation. Same posture as dq08/dq09.
+
+    Parity: beyond-reference (monitoring-family extension of
+    cbddl/src/monitoring/pipeline_monitor.py's health queries).
+    """
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / KS_BIN_WIDTH).cast("long"),
+            F.lit(KS_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(2 * F.col("cc") >= F.col("n"), F.col("bin"))
+        ).alias("med_bin"),
+    )
+    dists = (
+        counts.join(med, "event_type")
+        .groupBy("event_type", F.abs(F.col("bin") - F.col("med_bin")).alias("dist"))
+        .agg(F.sum("c").alias("dc"))
+    )
+    wd_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("dist")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mad = (
+        dists.join(med.select("event_type", "n"), "event_type")
+        .select(
+            "event_type",
+            "dist",
+            F.sum("dc").over(wd_cum).alias("cdc"),
+            "n",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cdc") >= F.col("n"), F.col("dist"))
+            ).alias("mad_bins")
+        )
+    )
+    return (
+        counts.join(med, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type", "n", "med_bin", "mad_bins")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("bin") - F.col("med_bin"))
+                        > 3 * F.col("mad_bins"),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n", "med_bin", "mad_bins", "n_outliers")
+        .orderBy("event_type")
+    )

@@ -404,3 +404,17 @@ def test_bpe_tokenize_compression_bounds(spark, sf_dir):
     for r in rows:
         assert r.n_words <= r.n_bpe_tokens <= r.n_chars
     assert sum(r.n_bpe_tokens for r in rows) < sum(r.n_chars for r in rows)
+
+
+def test_mad_outliers_hand_computed(spark, tmp_path):
+    """dq10 against a by-hand grid median/MAD: values [1,2,2,3,100] →
+    lower-median bin 2, MAD 1, one point beyond the 3·MAD fence."""
+    rows = [(float(v), "2024-01-10 00:00:00", "x") for v in (1, 2, 2, 3, 100)]
+    df = spark.createDataFrame(rows, "value double, ts_s string, event_type string")
+    df.select(
+        "value", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["dq10_mad_outliers"](spark, str(tmp_path)).collect()
+    assert [(x.event_type, x.n, x.med_bin, x.mad_bins, x.n_outliers) for x in r] == [
+        ("x", 5, 2, 1, 1)
+    ]

@@ -110,6 +110,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "tx14_bpe_merges",  # merge rounds run on the vocab table — sublinear check
     "tx15_bpe_tokenize",  # corpus explode + broadcast vocab join — linear check
     "tx15_bpe_widecharset",  # pseudo-query: charset widened to see all fixture shards
+    "dq10_mad_outliers",  # grid-bounded robust stats — linear check
 )
 
 # One stride per key family — shared by every table that references the
