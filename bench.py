@@ -139,6 +139,7 @@ BENCH_R4 = [
     "tx14_bpe_merges",
     "tx15_bpe_tokenize",
     "dq10_mad_outliers",
+    "ts09_seasonal_naive_backtest",
 ]
 
 

@@ -401,3 +401,105 @@ def ts08_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+# --- ts09: seasonal-naive forecast backtest ---------------------------------
+
+SEASONAL_LAG_HOURS = 24
+
+
+@query(
+    "ts09_seasonal_naive_backtest",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type, DATE_TRUNC('hour', ts)
+    ), scored AS (
+        SELECT a.event_type,
+               ABS(a.cents - b.cents) AS ae,
+               ABS(a.cents) AS denom
+        FROM hourly a
+        JOIN hourly b
+          ON a.event_type = b.event_type
+         AND b.h = a.h - INTERVAL {SEASONAL_LAG_HOURS} HOUR
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(ae) AS BIGINT) AS sae_cents,
+           ROUND(SUM(ae) * 1.0 / SUM(denom), 6) AS wape
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts09_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's metric with
+    the value 24 hours earlier, score with WAPE.
+
+    The forecasting leg the ts* family lacks — and the baseline every
+    real forecasting deployment must beat before it earns its
+    complexity (the "seasonal-naive beats your model" trap is the
+    first thing a metrics platform checks). The backtest is a
+    self-join of the hourly rollup on ``h − 24h`` per metric, so
+    missing hours score nothing instead of silently comparing against
+    the previous EXISTING hour (which is what a lag window would do —
+    why this is a join, not a window). WAPE over MAPE: weighting by
+    actual volume keeps near-zero hours from exploding the metric.
+
+    Integer-exactness: the hourly metric is carried in CENTS
+    (``round(value·100)`` per row, integer SUM — fold-order-free), so
+    absolute errors and their sums are exact BIGINTs; the single float
+    division happens once per metric at the end. Timestamps are NTZ —
+    date_trunc and interval arithmetic are NTZ-safe (no session-TZ
+    dependency).
+
+    Scale shape: one data-sized aggregate to the (type × hour) grain
+    with map-side partials; the backtest join and final rollup run on
+    the hourly relation (8760 rows per metric-year at any corpus
+    size). At 100 TB the hourly rollup IS the stored gold table
+    (wh01's analog), and this query reads it instead of re-aggregating.
+
+    Parity: beyond-reference (monitoring-family extension of
+    cbddl/src/monitoring/pipeline_monitor.py's health checks).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("cents_row"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents_row").alias("cents"))
+    )
+    a = hourly.alias("a")
+    b = hourly.select(
+        F.col("event_type").alias("event_type_b"),
+        (F.col("h") + F.expr(f"INTERVAL {SEASONAL_LAG_HOURS} HOURS")).alias("h_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    scored = a.join(
+        b,
+        on=[
+            F.col("a.event_type") == F.col("event_type_b"),
+            F.col("a.h") == F.col("h_b"),
+        ],
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("a.cents") - F.col("cents_b")).alias("ae"),
+        F.abs(F.col("a.cents")).alias("denom"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("ae").alias("sae_cents"),
+            F.round(
+                F.sum("ae") * F.lit(1.0) / F.sum("denom"), 6
+            ).alias("wape"),
+        )
+        .select("event_type", "n_points", "sae_cents", "wape")
+        .orderBy("event_type")
+    )

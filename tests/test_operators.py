@@ -418,3 +418,25 @@ def test_mad_outliers_hand_computed(spark, tmp_path):
     assert [(x.event_type, x.n, x.med_bin, x.mad_bins, x.n_outliers) for x in r] == [
         ("x", 5, 2, 1, 1)
     ]
+
+
+def test_seasonal_naive_backtest_hand_computed(spark, tmp_path):
+    """ts09 against a by-hand backtest: three daily observations give
+    two scored points; a missing 24h-ago hour scores nothing."""
+    rows = [
+        (100.0, "2024-01-01 00:30:00", "x"),
+        (150.0, "2024-01-02 00:30:00", "x"),
+        (130.0, "2024-01-03 00:30:00", "x"),
+        # isolated observation: no 24h-ago partner, never scored
+        (999.0, "2024-02-01 12:00:00", "y"),
+    ]
+    df = spark.createDataFrame(rows, "value double, ts_s string, event_type string")
+    df.select(
+        "value", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.n_points, r.sae_cents, r.wape)
+        for r in QUERIES["ts09_seasonal_naive_backtest"](spark, str(tmp_path)).collect()
+    }
+    # |15000-10000| + |13000-15000| = 7000; denom 15000+13000
+    assert out == {"x": (2, 7000, round(7000 / 28000, 6))}
