@@ -140,6 +140,7 @@ BENCH_R4 = [
     "tx15_bpe_tokenize",
     "dq10_mad_outliers",
     "ts09_seasonal_naive_backtest",
+    "dq11_benford_digits",
 ]
 
 

@@ -1158,3 +1158,116 @@ def dq10_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "med_bin", "mad_bins", "n_outliers")
         .orderBy("event_type")
     )
+
+
+# --- dq11: Benford first-digit conformance ----------------------------------
+
+# log10(1 + 1/d) for d = 1..9, precomputed in Python and embedded as
+# IDENTICAL literals in both engines — log10 is not guaranteed
+# correctly-rounded across libm implementations, and a 1-ulp
+# difference inside the chi-square would break the differential hash.
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+# chi-square critical value, 8 dof, alpha = 0.05
+BENFORD_CHI2_CRIT = 15.507
+
+
+def _benford_chi2_sql(n: str, cols: list[str]) -> str:
+    """The 9-term chi-square as ONE expression over a single row —
+    fixed fold order, so Spark and DuckDB compute identical doubles."""
+    terms = [
+        f"POWER({c} - {n} * {p!r}, 2) / ({n} * {p!r})"
+        for c, p in zip(cols, BENFORD_P)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "dq11_benford_digits",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE value > 0
+    ), digits AS (
+        SELECT c // CAST(POWER(10, LENGTH(CAST(c AS VARCHAR)) - 1) AS BIGINT)
+               AS d
+        FROM cents WHERE c > 0
+    ), counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {", ".join(f"CAST(COUNT(*) FILTER (d = {d}) AS BIGINT) AS c{d}" for d in range(1, 10))}
+        FROM digits
+    )
+    SELECT n, {", ".join(f"c{d}" for d in range(1, 10))},
+           ROUND({_benford_chi2_sql("CAST(n AS DOUBLE)", [f"CAST(c{d} AS DOUBLE)" for d in range(1, 10)])}, 4) AS chi2,
+           {_benford_chi2_sql("CAST(n AS DOUBLE)", [f"CAST(c{d} AS DOUBLE)" for d in range(1, 10)])} > {BENFORD_CHI2_CRIT} AS reject
+    FROM counts
+    """,
+)
+def dq11_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance over the metric column.
+
+    The fabricated-data detector for financial/business metrics (the
+    reference's domain): organically-generated amounts follow
+    P(d) = log10(1+1/d); invented or truncated ones don't, and the
+    9-bin chi-square against that law is the standard audit test.
+    (On THIS synthetic fixture the test rightly rejects — uniform
+    synthetic values are exactly the kind of non-organic data Benford
+    flags, which is the point of shipping it in the dq family.)
+
+    Determinism: first digits come from INTEGER arithmetic — cents =
+    round(100·value) as BIGINT, digit = c div 10^(strlen(c)−1) — never
+    from floor(log10(v)) (not correctly-rounded at powers of ten: one
+    engine's 1.9999999999999998 is another's 2.0, flipping digit 1 to
+    9) and never from double formatting (engines print doubles
+    differently). The digit probabilities are precomputed in Python
+    and embedded as identical literals on both sides, and the
+    chi-square is one fixed-fold-order expression over a single row of
+    conditional counts.
+
+    Scale shape: one scan → one row of 10 conditional counts with
+    map-side partials; the chi-square is driver-free arithmetic on
+    that row. The per-digit counts ship in the output so the alarm
+    consumer can render the distribution without a second query.
+
+    Parity: beyond-reference (monitoring-family extension; the
+    reference's quality checks in
+    cbddl/src/data_ingestion/ingestion_pipeline.py:54-74 are the seed).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = events.filter(F.col("value") > 0).select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    ).filter(F.col("c") > 0)
+    digits = cents.select(
+        F.expr(
+            "c div cast(power(10, length(cast(c as string)) - 1) as bigint)"
+        ).alias("d")
+    )
+    counts = digits.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(F.when(F.col("d") == d, 1)).alias(f"c{d}")
+            for d in range(1, 10)
+        ],
+    )
+    n_d = F.col("n").cast("double")
+    chi2 = None
+    for d, p in zip(range(1, 10), BENFORD_P):
+        term = F.pow(F.col(f"c{d}").cast("double") - n_d * F.lit(p), F.lit(2.0)) / (
+            n_d * F.lit(p)
+        )
+        chi2 = term if chi2 is None else chi2 + term
+    return counts.select(
+        "n",
+        *[f"c{d}" for d in range(1, 10)],
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > BENFORD_CHI2_CRIT).alias("reject"),
+    )

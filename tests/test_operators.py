@@ -440,3 +440,26 @@ def test_seasonal_naive_backtest_hand_computed(spark, tmp_path):
     }
     # |15000-10000| + |13000-15000| = 7000; denom 15000+13000
     assert out == {"x": (2, 7000, round(7000 / 28000, 6))}
+
+
+def test_benford_digits_hand_computed(spark, tmp_path):
+    """dq11: integer-cent digit extraction (0.09 → cents 9 → digit 9),
+    sub-cent and nonpositive values excluded, chi-square vs the
+    Python-recomputed 9-term formula."""
+    from chicago_business_owners_data_engineering_spark.operators.curation import (
+        BENFORD_P,
+    )
+
+    vals = [d / 100 for d in range(1, 10)]  # one observation per digit
+    vals += [0.001, 0.0, -5.0]  # rounds to 0 cents / nonpositive: all excluded
+    rows = [(float(v), "2024-01-10 00:00:00", "x") for v in vals]
+    df = spark.createDataFrame(rows, "value double, ts_s string, event_type string")
+    df.select(
+        "value", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["dq11_benford_digits"](spark, str(tmp_path)).collect()[0]
+    assert r.n == 9
+    assert [r[f"c{d}"] for d in range(1, 10)] == [1] * 9
+    chi2 = sum((1 - 9 * p) ** 2 / (9 * p) for p in BENFORD_P)
+    assert r.chi2 == round(chi2, 4)
+    assert r.reject == (chi2 > 15.507)
