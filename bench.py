@@ -141,6 +141,7 @@ BENCH_R4 = [
     "dq10_mad_outliers",
     "ts09_seasonal_naive_backtest",
     "dq11_benford_digits",
+    "gr07_lpa_communities",
 ]
 
 

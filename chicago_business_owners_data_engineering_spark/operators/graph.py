@@ -985,3 +985,135 @@ def gr06_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part"), F.col("layer").cast("int"))
         .orderBy("part")
     )
+
+
+# --- gr07: label-propagation communities ------------------------------------
+
+LPA_ROUNDS = 3
+LPA_TOP = 20
+
+
+def label_propagation(
+    edges_canon: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Deterministic synchronous label propagation → (node, label).
+
+    Raghavan et al.'s LPA with the two nondeterminism sources pinned
+    down (same discipline as ml04's border rule): SYNCHRONOUS rounds
+    (every node updates from the round r−1 labels — asynchronous LPA's
+    answer depends on visit order) and a total tie order (most frequent
+    neighbor label, ties → MIN label; textbook LPA breaks ties
+    randomly, which is unreproducible by construction). Labels start as
+    node ids, so early rounds let locally-minimal hubs seed their
+    neighborhoods — the dense-community analog of min-label
+    propagation, converging in a handful of rounds on co-purchase-style
+    graphs. Bounded rounds keep the recurrence replayable; all state is
+    integer node ids and counts. Known synchronous-LPA caveat, accepted
+    deliberately: 2-colorable structures (an isolated edge, even
+    cycles) oscillate instead of converging — triangle-dense
+    co-purchase graphs don't, and the deterministic bounded form is
+    what the differential oracle can replay (the semi-synchronous
+    coloring fix would reintroduce an ordering choice).
+
+    Scale shape: each round is one edge⋈label join (node-keyed), one
+    map-side-combined (node, label) count, and one per-node argmax
+    window over the count relation — shuffles stay on the node key
+    family, and each round's label relation is localCheckpointed (the
+    kcore_bounded rationale: stop the unrolled lazy plan re-deriving
+    round r−1 per reference).
+    """
+    from pyspark.sql import Window
+
+    bidir = (
+        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            edges_canon.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bidir.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        nb = bidir.join(labels, bidir["dst"] == labels["node"]).select(
+            "src", "label"
+        )
+        cnt = nb.groupBy("src", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def _lpa_chain(rounds: int) -> str:
+    """Unrolled LPA CTEs after ``copairs``; MATERIALIZED per the
+    _kcore_chain lesson (each lab_r is referenced by the next round's
+    join — default inlining re-expands the upstream chain)."""
+    head = """
+    , e0 AS MATERIALIZED (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL SELECT part_b, part_a FROM copairs
+    ), lab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM e0
+    )"""
+    body = "".join(
+        f"""
+    , lab{r} AS MATERIALIZED (
+        SELECT src AS node, label FROM (
+            SELECT e.src, l.label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY e.src
+                                      ORDER BY COUNT(*) DESC, l.label ASC)
+                       AS rn
+            FROM e0 e JOIN lab{r - 1} l ON e.dst = l.node
+            GROUP BY e.src, l.label
+        ) WHERE rn = 1
+    )"""
+        for r in range(1, rounds + 1)
+    )
+    return head + body
+
+
+@query(
+    "gr07_lpa_communities",
+    oracle=_COPURCHASE_EDGE_CTE.rstrip()
+    + _lpa_chain(LPA_ROUNDS)
+    + f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab{LPA_ROUNDS}
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT {LPA_TOP}
+    """,
+)
+def gr07_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase communities by deterministic label propagation.
+
+    The community-detection leg of the graph family: PageRank ranks
+    nodes (gr01/gr03/gr04), k-core/onion find the dense backbone
+    (gr05/gr06), components find connectivity (dd08) — LPA finds the
+    CLUSTERS, the "products bought together" market segments that drive
+    assortment and recommendation slates. See
+    :func:`label_propagation` for the determinism pinning (synchronous
+    rounds, min-label ties) that makes the recurrence replayable by the
+    unrolled oracle chain.
+
+    Parity: beyond-reference (§2.11 graph-analytics extension; the
+    reference's co-ownership network analysis is the seed —
+    cbddl/src/analytics/network_analyzer.py).
+    """
+    from ..catalog import load_table
+
+    labels = label_propagation(copurchase_edges(load_table(spark, sf_dir, "lineitem")))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(LPA_TOP)
+    )

@@ -265,3 +265,23 @@ def test_onion_layer_zero_equals_kcore(spark):
         r.node for r in onion_layers(df, k=2, rounds=12).collect() if r.layer == 0
     }
     assert layer0 == core
+
+
+def test_label_propagation_hand_computed(spark):
+    """gr07's recurrence by hand: a triangle collapses to its min-id
+    label within three synchronous rounds; an isolated edge oscillates
+    (the documented synchronous-LPA behavior on 2-colorable parts)."""
+    from chicago_business_owners_data_engineering_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 11), (10, 12), (11, 12), (1, 2)],
+        "part_a long, part_b long",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+    # triangle: r1 {10:11, 11:10, 12:10} → r2 {10:10, 11:10, 12:10} → stable
+    assert got[10] == 10 and got[11] == 10 and got[12] == 10
+    # isolated edge: swaps every round; after an odd round count each
+    # node carries the other's id
+    assert (got[1], got[2]) == (2, 1)

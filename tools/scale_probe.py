@@ -112,6 +112,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "tx15_bpe_widecharset",  # pseudo-query: charset widened to see all fixture shards
     "dq10_mad_outliers",  # grid-bounded robust stats — linear check
     "ts09_seasonal_naive_backtest",  # hourly-grain self-join — linear check
+    "gr07_lpa_communities",  # bounded label rounds on node-keyed shuffles — linear check
 )
 
 # One stride per key family — shared by every table that references the
