@@ -142,6 +142,7 @@ BENCH_R4 = [
     "ts09_seasonal_naive_backtest",
     "dq11_benford_digits",
     "gr07_lpa_communities",
+    "ml06_threshold_sweep",
 ]
 
 

@@ -814,3 +814,115 @@ def fasttext_scores(documents: DataFrame) -> DataFrame:
             F.expr("(1000000 * sum_w) div n_tokens").alias("score_micro"),
         )
     )
+
+
+# --- ml06: classifier operating-point sweep ---------------------------------
+
+# Candidate decision thresholds (micro-units) around the score median.
+ML06_THRESHOLDS = (40_000_000, 45_000_000, 50_000_000, 55_000_000, 60_000_000)
+# Weak reference label: substantial documents (chars) — the cheap
+# heuristic the classifier is being calibrated against.
+ML06_LABEL_MIN_CHARS = 200
+
+
+@query(
+    "ml06_threshold_sweep",
+    oracle=f"""
+    WITH wt AS (
+        SELECT range AS bucket,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(range AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 101 AS w
+        FROM RANGE({FT_BUCKETS})
+    ), feat AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 8)) AS BIGINT)
+                   % {FT_BUCKETS} AS bucket
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+              FROM documents)
+    ), scored AS (
+        SELECT f.doc_id,
+               CAST((1000000 * SUM(w.w)) // COUNT(*) AS BIGINT) AS score_micro
+        FROM feat f JOIN wt w ON f.bucket = w.bucket
+        GROUP BY f.doc_id
+    ), labeled AS (
+        SELECT s.score_micro, d.n_chars >= {ML06_LABEL_MIN_CHARS} AS pos
+        FROM scored s JOIN documents d USING (doc_id)
+    ), sweep AS (
+        SELECT UNNEST({list(ML06_THRESHOLDS)}) AS threshold
+    ), conf AS (
+        SELECT t.threshold,
+               CAST(COUNT(*) FILTER (l.score_micro >= t.threshold AND l.pos)
+                    AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (l.score_micro >= t.threshold AND NOT l.pos)
+                    AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (l.score_micro < t.threshold AND l.pos)
+                    AS BIGINT) AS fn,
+               CAST(COUNT(*) FILTER (l.score_micro < t.threshold AND NOT l.pos)
+                    AS BIGINT) AS tn
+        FROM sweep t CROSS JOIN labeled l
+        GROUP BY t.threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall
+    FROM conf
+    ORDER BY threshold
+    """,
+)
+def ml06_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating-point sweep: confusion counts + precision /
+    recall for ml05's scorer at five decision thresholds.
+
+    The evaluation stage between training a quality model and gating a
+    corpus with it (the pipeline's stage-1b floor was chosen from
+    exactly this curve): scores join a cheap reference label, and ONE
+    pass over the scored relation produces every operating point — the
+    threshold spine is a broadcast of five rows, each (doc, threshold)
+    pair contributes to exactly one confusion cell via integer
+    comparisons, and the per-threshold rollup moves 5×4 counters. No
+    per-threshold rescans, no driver loop: the sweep is a crossJoin
+    against a literal spine, which is how a 100 TB eval run should
+    shape it (the scored relation is read once however many operating
+    points are swept).
+
+    Determinism: scores are ml05's exact integers, the label is an
+    integer comparison, the confusion cells are integer counts;
+    precision/recall divide once per output row.
+
+    Parity: beyond-reference (§2.11 model-based-curation extension —
+    the eval half of ml05).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    labeled = fasttext_scores(documents).join(
+        documents.select(
+            "doc_id",
+            (F.col("n_chars") >= ML06_LABEL_MIN_CHARS).alias("pos"),
+        ),
+        "doc_id",
+    )
+    sweep = spark.createDataFrame(
+        [(t,) for t in ML06_THRESHOLDS], "threshold long"
+    )
+    hit = F.col("score_micro") >= F.col("threshold")
+    conf = (
+        labeled.crossJoin(F.broadcast(sweep))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(hit & F.col("pos"), 1)).alias("tp"),
+            F.count(F.when(hit & ~F.col("pos"), 1)).alias("fp"),
+            F.count(F.when(~hit & F.col("pos"), 1)).alias("fn"),
+            F.count(F.when(~hit & ~F.col("pos"), 1)).alias("tn"),
+        )
+    )
+    return conf.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        # NULLIF: an empty operating point (nothing above threshold, or
+        # no positives) reports NULL, matching the oracle — ANSI Spark
+        # raises DIVIDE_BY_ZERO on the bare division.
+        F.expr("round(cast(tp as double) / nullif(tp + fp, 0), 6)").alias("precision"),
+        F.expr("round(cast(tp as double) / nullif(tp + fn, 0), 6)").alias("recall"),
+    ).orderBy("threshold")

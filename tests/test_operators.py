@@ -463,3 +463,18 @@ def test_benford_digits_hand_computed(spark, tmp_path):
     chi2 = sum((1 - 9 * p) ** 2 / (9 * p) for p in BENFORD_P)
     assert r.chi2 == round(chi2, 4)
     assert r.reject == (chi2 > 15.507)
+
+
+def test_threshold_sweep_confusion_identities(spark, sf_dir):
+    """ml06: each operating point partitions the corpus (cells sum to
+    n_docs); raising the threshold can only shrink the predicted-
+    positive set (tp and fp non-increasing)."""
+    rows = QUERIES["ml06_threshold_sweep"](spark, sf_dir).collect()
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+
+    total = load_table(spark, sf_dir, "documents").count()
+    assert [r.threshold for r in rows] == sorted(r.threshold for r in rows)
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == total
+    for a, b in zip(rows, rows[1:]):
+        assert b.tp <= a.tp and b.fp <= a.fp
