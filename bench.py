@@ -143,6 +143,7 @@ BENCH_R4 = [
     "dq11_benford_digits",
     "gr07_lpa_communities",
     "ml06_threshold_sweep",
+    "ab01_experiment_readout",
 ]
 
 

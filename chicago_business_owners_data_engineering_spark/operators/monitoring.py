@@ -503,3 +503,110 @@ def ts09_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_points", "sae_cents", "wape")
         .orderBy("event_type")
     )
+
+
+# --- ab01: A/B experiment readout -------------------------------------------
+
+# The z expression is built ONCE and spliced verbatim into both engines
+# (F.expr and the oracle SQL) so the parse trees — and therefore the
+# IEEE evaluation order — are identical. 1/nA + 1/nB is carried as
+# (nA+nB)/(nA·nB) to keep every literal out of a DECIMAL context
+# (SQL-literal 1.0 is DECIMAL in both engines — the ml06 lesson), and
+# NULLIF guards the degenerate all-or-none-converted case with NULL
+# rather than an ANSI divide-by-zero.
+_AB_Z_EXPR = (
+    "round((cast(conv_a as double) / cast(n_a as double)"
+    " - cast(conv_b as double) / cast(n_b as double))"
+    " / nullif(sqrt("
+    "(cast(conv_a as double) + cast(conv_b as double))"
+    " / (cast(n_a as double) + cast(n_b as double))"
+    " * (1.0 - (cast(conv_a as double) + cast(conv_b as double))"
+    "    / (cast(n_a as double) + cast(n_b as double)))"
+    " * ((cast(n_a as double) + cast(n_b as double))"
+    "    / (cast(n_a as double) * cast(n_b as double)))"
+    "), 0), 4)"
+)
+
+
+@query(
+    "ab01_experiment_readout",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS v,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events
+        GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(COUNT(*) FILTER (v = 0) AS BIGINT) AS n_a,
+               CAST(SUM(conv) FILTER (v = 0) AS BIGINT) AS conv_a,
+               CAST(COUNT(*) FILTER (v = 1) AS BIGINT) AS n_b,
+               CAST(SUM(conv) FILTER (v = 1) AS BIGINT) AS conv_b
+        FROM per_user
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           {_AB_Z_EXPR} AS z_score
+    FROM agg
+    """,
+)
+def ab01_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash-deterministic variant assignment,
+    per-variant conversion, pooled two-proportion z-test.
+
+    The experimentation-analytics shape (assignment → exposure →
+    conversion → hypothesis test) as one plan: variants come from the
+    repo's standard md5 key-hash (tp01's splitter — stable across
+    runs, engines, partitionings, unlike rand(seed)), conversion is a
+    per-user MAX over the event stream (one data-sized aggregate with
+    map-side partials), and the readout is a single conditional-count
+    row. The pooled z statistic evaluates as ONE expression string
+    spliced verbatim into both engines — identical parse tree ⇒
+    bit-equal IEEE doubles — with 1/nA + 1/nB algebraically rewritten
+    to (nA+nB)/(nA·nB) so no literal lands in a DECIMAL context, and
+    NULLIF returning NULL (not an ANSI error) when every user or no
+    user converts.
+
+    Scale shape: the per-user aggregate is the only data-sized
+    exchange; everything after moves one row. At 100 TB the per-user
+    relation is the stored exposure table and this reads it.
+
+    Parity: beyond-reference (monitoring/analytics-family extension —
+    the reference's dashboard KPIs are the seed,
+    cbddl/src/api/main.py's summary endpoints).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("v"),
+        "conv",
+    )
+    agg = per_user.agg(
+        F.count(F.when(F.col("v") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv"))).alias("conv_a"),
+        F.count(F.when(F.col("v") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("round(cast(conv_a as double) / cast(n_a as double), 6)").alias(
+            "rate_a"
+        ),
+        F.expr("round(cast(conv_b as double) / cast(n_b as double), 6)").alias(
+            "rate_b"
+        ),
+        F.expr(_AB_Z_EXPR).alias("z_score"),
+    )

@@ -478,3 +478,43 @@ def test_threshold_sweep_confusion_identities(spark, sf_dir):
         assert r.tp + r.fp + r.fn + r.tn == total
     for a, b in zip(rows, rows[1:]):
         assert b.tp <= a.tp and b.fp <= a.fp
+
+
+def test_ab_readout_hand_computed(spark, tmp_path):
+    """ab01 on a planted experiment: assignment is the md5 parity of
+    the user id (recomputed independently here), conversion is
+    any-purchase, and the degenerate nobody-converts case yields a
+    NULL z instead of an error."""
+    import hashlib
+
+    def variant(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    # users 1..10: even-indexed convert
+    rows = []
+    for uid in range(1, 11):
+        rows.append((float(uid), "2024-01-10 00:00:00", uid, "view"))
+        if uid % 2 == 0:
+            rows.append((float(uid), "2024-01-10 01:00:00", uid, "purchase"))
+    df = spark.createDataFrame(
+        rows, "value double, ts_s string, user_id long, event_type string"
+    )
+    df.select(
+        "value", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["ab01_experiment_readout"](spark, str(tmp_path)).collect()[0]
+    n_a = sum(1 for u in range(1, 11) if variant(u) == 0)
+    conv_a = sum(1 for u in range(1, 11) if variant(u) == 0 and u % 2 == 0)
+    assert (r.n_a, r.conv_a) == (n_a, conv_a)
+    assert r.n_a + r.n_b == 10 and r.conv_a + r.conv_b == 5
+
+    # nobody converts: pooled p = 0 -> NULL z, no divide-by-zero error
+    df2 = spark.createDataFrame(
+        [(1.0, "2024-01-10 00:00:00", u, "view") for u in range(1, 5)],
+        "value double, ts_s string, user_id long, event_type string",
+    )
+    df2.select(
+        "value", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r2 = QUERIES["ab01_experiment_readout"](spark, str(tmp_path)).collect()[0]
+    assert r2.conv_a == 0 and r2.conv_b == 0 and r2.z_score is None
