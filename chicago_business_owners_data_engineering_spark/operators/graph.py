@@ -1117,3 +1117,144 @@ def gr07_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(LPA_TOP)
     )
+
+
+# --- gr08: multi-source BFS hop distances ------------------------------------
+
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 13
+
+
+def bfs_hops(
+    edges_canon: DataFrame,
+    rounds: int = BFS_ROUNDS,
+    seed_mod: int = BFS_SEED_MOD,
+) -> DataFrame:
+    """Bounded multi-source BFS → (node, dist) for nodes reached in
+    ``rounds`` hops.
+
+    The parallel-BFS textbook recurrence, synchronous and replayable:
+
+        dist_0(v)   = 0 for v in the seed set
+        dist_r(v)   = min(dist_{r-1}(v), min over in-neighbors u of
+                      dist_{r-1}(u) + 1)
+
+    expressed as union + min per round — the min over the union of the
+    previous relation and every relaxed neighbor edge IS the BFS
+    relaxation, and because hop counts are integers the recurrence is
+    fold-order-free (no float min ties). Seeds are the nodes whose id
+    divides ``seed_mod`` plus the minimum node id, so the seed set is
+    deterministic AND provably non-empty on any graph.
+
+    Scale shape: each round is one join keyed on the node id plus one
+    map-side-combined groupBy-min — the PageRank exchange layout, all
+    shuffles on the node-key family. The dist relation only ever holds
+    REACHED nodes (frontier-compact: unreached nodes never materialize
+    a row until a relaxation reaches them), and each round is
+    localCheckpointed so the unrolled lazy plan does not re-derive
+    round r−1 per reference (the kcore_bounded rationale).
+    """
+    bidir = (
+        edges_canon.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            edges_canon.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    dist = (
+        nodes.filter(F.col("node") % seed_mod == 0)
+        .unionByName(nodes.agg(F.min("node").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = bidir.join(dist, bidir["dst"] == dist["node"]).select(
+            F.col("src").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def _bfs_chain(rounds: int, seed_mod: int) -> str:
+    """Unrolled BFS CTEs after ``copairs``; MATERIALIZED per the
+    _kcore_chain lesson (each d_r is referenced twice by round r+1)."""
+    head = f"""
+    , e0 AS MATERIALIZED (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL SELECT part_b, part_a FROM copairs
+    ), n0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM e0
+    ), d0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+            SELECT node FROM n0 WHERE node % {seed_mod} = 0
+            UNION
+            SELECT MIN(node) FROM n0
+        )
+    )"""
+    body = "".join(
+        f"""
+    , d{r} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{r - 1}
+            UNION ALL
+            SELECT e.src AS node, d.dist + 1 AS dist
+            FROM e0 e JOIN d{r - 1} d ON e.dst = d.node
+        ) GROUP BY node
+    )"""
+        for r in range(1, rounds + 1)
+    )
+    return head + body
+
+
+@query(
+    "gr08_bfs_hops",
+    oracle=_COPURCHASE_EDGE_CTE.rstrip()
+    + _bfs_chain(BFS_ROUNDS, BFS_SEED_MOD)
+    + f"""
+    SELECT COALESCE(d.dist, -1) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM n0 n LEFT JOIN d{BFS_ROUNDS} d ON n.node = d.node
+    GROUP BY 1
+    ORDER BY hops
+    """,
+)
+def gr08_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability profile of the co-purchase graph: how many nodes sit
+    0, 1, 2, 3, 4 hops from the seed set, and how many are unreached
+    (hops = -1) after BFS_ROUNDS relaxations.
+
+    The graph-radius audit leg of the graph family: PageRank ranks
+    (gr01), k-core/onion measure density (gr05/gr06), LPA clusters
+    (gr07), components connect (dd08) — BFS measures DISTANCE, the
+    primitive behind "within N recommendation hops", influence-radius
+    caps, and crawl-frontier budgeting. See :func:`bfs_hops` for the
+    synchronous integer recurrence the unrolled oracle chain replays.
+
+    Parity: beyond-reference (§2.11 graph-analytics extension; seed
+    cbddl/src/analytics/network_analyzer.py's co-ownership distance
+    views).
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        edges.select(F.col("part_a").alias("node"))
+        .unionByName(edges.select(F.col("part_b").alias("node")))
+        .distinct()
+    )
+    dist = bfs_hops(edges)
+    return (
+        nodes.join(dist, "node", "left")
+        .select(F.coalesce(F.col("dist"), F.lit(-1).cast("long")).alias("hops"))
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hops")
+    )

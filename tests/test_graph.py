@@ -285,3 +285,35 @@ def test_label_propagation_hand_computed(spark):
     # isolated edge: swaps every round; after an odd round count each
     # node carries the other's id
     assert (got[1], got[2]) == (2, 1)
+
+
+def test_bfs_hops_hand_computed(spark):
+    """gr08's recurrence by hand on a path with a detached component:
+    seeds are (node %% 13 == 0) plus the min node; distances are exact
+    hop counts; nodes beyond the round budget stay unreached."""
+    from chicago_business_owners_data_engineering_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    # path 13-14-15-16-17-18-19, detached edge 20-21 (no seed of its
+    # own: 20 % 13 != 0 and 21 % 13 != 0, and min node is 13).
+    edges = spark.createDataFrame(
+        [(13, 14), (14, 15), (15, 16), (16, 17), (17, 18), (18, 19), (20, 21)],
+        "part_a long, part_b long",
+    )
+    got = {r.node: r.dist for r in bfs_hops(edges, rounds=4).collect()}
+    assert got == {13: 0, 14: 1, 15: 2, 16: 3, 17: 4}
+    # 18, 19 are 5-6 hops out; 20, 21 unreachable — none materialize.
+    assert 18 not in got and 20 not in got
+
+
+def test_bfs_seed_fallback_is_min_node(spark):
+    """A graph with no (node %% 13 == 0) member still gets exactly one
+    seed: the minimum node id."""
+    from chicago_business_owners_data_engineering_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    edges = spark.createDataFrame([(7, 8), (8, 9)], "part_a long, part_b long")
+    got = {r.node: r.dist for r in bfs_hops(edges, rounds=2).collect()}
+    assert got == {7: 0, 8: 1, 9: 2}
