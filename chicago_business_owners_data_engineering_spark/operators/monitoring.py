@@ -610,3 +610,119 @@ def ab01_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(_AB_Z_EXPR).alias("z_score"),
     )
+
+
+# --- ts10: per-group OLS trend in exact integer arithmetic -------------------
+
+# The trend window: one calendar year, so the day index x stays < 366
+# and every sufficient statistic fits comfortably in int64 at test SFs.
+TS10_FROM = "1995-01-01"
+TS10_TO = "1996-01-01"
+
+
+@query(
+    "ts10_linear_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT n.n_name,
+               CAST(DATE_DIFF('day', DATE '{TS10_FROM}',
+                              CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '{TS10_FROM}'
+          AND o.o_orderdate <  TIMESTAMP '{TS10_TO}'
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM daily
+        GROUP BY n_name
+    )
+    SELECT n_name, n_days,
+           n_days * sxy - sx * sy AS slope_num,
+           n_days * sxx - sx * sx AS slope_den,
+           ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n_days * sxx - sx * sx AS DOUBLE), 0), 6)
+               AS slope_cents_per_day
+    FROM stats
+    ORDER BY n_name
+    """,
+)
+def ts10_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 1995 revenue trend: OLS slope over the daily grain,
+    carried as an EXACT BIGINT rational (slope_num / slope_den).
+
+    Distributed regression the way Spark wants it: the fit is not an
+    iterative solver but ONE pass of sufficient statistics —
+    Σx, Σy, Σx², Σxy per group — after which the closed-form slope
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    is a two-column projection. Because x is a day index (< 366 inside
+    the fixed window) and y is integer cents, every statistic and both
+    rational components are exact int64 — no float SUM fold-order trap
+    (the repo-wide invariant), and the only float in the output is the
+    final convenience ratio, computed from the SAME two integers with
+    an identical expression tree on both engines (NULLIF guards the
+    single-day degenerate group).
+
+    Scale shape: two shuffles total — the fact→dim joins share the
+    order/customer keys (nation is broadcast-sized), then one
+    (nation, day)-keyed partial-aggregated rollup feeds a 25-row
+    nation-keyed reduce. At 100 TB the int64 headroom argument changes:
+    daily revenue cents × day index × n can approach 2^63, so the
+    production variant runs the same plan in DECIMAL(38,0) or windows
+    the trend per quarter — the plan shape is unchanged.
+
+    Parity: beyond-reference (monitoring/analytics-family extension —
+    trend gauges over the reference's dashboard KPIs,
+    cbddl/src/monitoring/pipeline_monitor.py:1-150).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(TS10_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(TS10_TO).cast("timestamp"))
+        )
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(TS10_FROM).cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("n_name", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    stats = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "n_name",
+        "n_days",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.expr(
+            "round(cast(n_days * sxy - sx * sy as double)"
+            " / nullif(cast(n_days * sxx - sx * sx as double), 0), 6)"
+        ).alias("slope_cents_per_day"),
+    ).orderBy("n_name")

@@ -181,3 +181,57 @@ def test_dq08_ks_matches_python_recompute(spark, sf_dir):
     assert 0.0 <= row["ks_stat"] <= 1.0
     assert abs(row["ks_stat"] - best[0] / (n_ref * n_cur)) < 1e-6
     assert row["ks_at_bin"] == best[1]
+
+
+def test_ts10_slope_matches_numpy_ols(spark, sf_dir):
+    """ts10's BIGINT rational is the genuine least-squares slope: refit
+    each nation's daily series with numpy.polyfit and compare, and check
+    the rational and the rounded ratio agree."""
+    import numpy as np
+
+    from chicago_business_owners_data_engineering_spark.operators.monitoring import (
+        TS10_FROM,
+        TS10_TO,
+        ts10_linear_trend,
+    )
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+
+    got = {r.n_name: r for r in ts10_linear_trend(spark, sf_dir).collect()}
+    assert got, "no nations in the window"
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = {}
+    rows = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(TS10_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(TS10_TO).cast("timestamp"))
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(TS10_FROM).cast("date")
+            ).alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    for r in rows:
+        daily.setdefault(r.n_name, {})
+        daily[r.n_name][r.x] = daily[r.n_name].get(r.x, 0) + r.cents
+
+    for name, series in daily.items():
+        row = got[name]
+        assert row.n_days == len(series)
+        xs = np.array(sorted(series), dtype=float)
+        ys = np.array([series[x] for x in sorted(series)], dtype=float)
+        if len(xs) < 2 or row.slope_den == 0:
+            assert row.slope_cents_per_day is None
+            continue
+        expected = np.polyfit(xs, ys, 1)[0]
+        rational = row.slope_num / row.slope_den
+        assert abs(rational - expected) <= 1e-6 * max(1.0, abs(expected))
+        assert row.slope_cents_per_day == round(rational, 6)
