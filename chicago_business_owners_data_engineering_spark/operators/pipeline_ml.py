@@ -940,3 +940,186 @@ def tp15_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("rn").cast("long").alias("pick_rank"))
         .orderBy("source", "pick_rank")
     )
+
+
+# --- tp16: DSIR-style importance resampling ----------------------------------
+
+DSIR_BUCKETS = 128  # hashed-unigram feature-table size
+DSIR_TARGET_LANG = "en"  # the "looks like the target distribution" corpus
+DSIR_KEEP_MICRO = 500_000  # acceptance scale: ratio 1.0 → 50% keep rate
+
+
+@query(
+    "tp16_dsir_resample",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 8)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS bucket
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+              FROM documents)
+    ), raw_b AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM feat GROUP BY bucket
+    ), tgt_b AS (
+        SELECT f.bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM feat f JOIN documents d USING (doc_id)
+        WHERE d.lang = '{DSIR_TARGET_LANG}'
+        GROUP BY f.bucket
+    ), grid AS (
+        SELECT range AS bucket FROM RANGE({DSIR_BUCKETS})
+    ), smoothed AS (
+        SELECT g.bucket,
+               COALESCE(t.c, 0) + 1 AS t,
+               COALESCE(r.c, 0) + 1 AS r
+        FROM grid g
+        LEFT JOIN tgt_b t ON g.bucket = t.bucket
+        LEFT JOIN raw_b r ON g.bucket = r.bucket
+    ), totals AS (
+        SELECT SUM(t) AS tt, SUM(r) AS rr FROM smoothed
+    ), wt AS (
+        SELECT s.bucket,
+               ((s.t * 1000000) // s.r * (SELECT rr FROM totals))
+                   // (SELECT tt FROM totals) AS w
+        FROM smoothed s
+    ), scored AS (
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS imp_micro
+        FROM feat f JOIN wt w ON f.bucket = w.bucket
+        GROUP BY f.doc_id
+    )
+    SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.imp_micro,
+           CAST(CONCAT('0x', SUBSTRING(MD5('dsir:' || CAST(s.doc_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1000000 AS u_micro
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE CAST(CONCAT('0x', SUBSTRING(MD5('dsir:' || CAST(s.doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 1000000
+          < (s.imp_micro * {DSIR_KEEP_MICRO}) // 1000000
+    ORDER BY s.doc_id
+    """,
+)
+def tp16_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (linearized): re-weight the raw
+    corpus toward the target distribution by hashed-unigram likelihood
+    ratios, then keep each doc by a deterministic weight-proportional
+    coin.
+
+    Xie et al.'s DSIR recipe (Data Selection via Importance Resampling,
+    2023) in its Spark-native integer form: hash tokens into
+    DSIR_BUCKETS features (ml05's hashing trick), estimate the target
+    (lang = 'en' here — any labeled exemplar set works) and raw bucket
+    distributions with Laplace smoothing, give every bucket an integer
+    micro-unit likelihood ratio
+
+        w_b = ((t_b·10^6) div r_b · R) div T      (p̂_b / q̂_b in micros)
+
+    and score each document by its token-AVERAGE ratio. The deliberate
+    linearization: true DSIR multiplies per-token ratios (sums logs),
+    but log/exp are libm calls whose last-ulp behavior differs between
+    engines — not differentially testable — so the score is the
+    arithmetic rather than geometric mean of the same per-token ratios,
+    which preserves the ranking signal (target-like tokens ↑, off-target
+    tokens ↓) in exact int64 arithmetic (target ⊆ raw ⇒ t_b ≤ r_b ⇒
+    every product stays far below 2^63). Acceptance is an RNG-free
+    Bernoulli: keep iff the doc's md5-uniform micro-draw falls under
+    imp_micro · DSIR_KEEP_MICRO — reproducible across runs, engines,
+    and partitionings, and append-stable (tp12's argument).
+
+    Scale shape: the feature explode is map-side; the bucket relation is
+    DSIR_BUCKETS rows (broadcast) and the totals are one more broadcast
+    row; the only data-sized exchanges are the doc-keyed score aggregate
+    and the final doc-keyed join back to documents. At 100 TB the
+    exemplar fit runs once and is stored; scoring reads it — the plan
+    here fits and scores in one job only so the oracle can replay it.
+
+    Parity: beyond-reference (§2.11 mandate — importance-based data
+    selection; quality-signal seed
+    cbddl/src/data_ingestion/ingestion_pipeline.py:54-74).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    scored = dsir_scores(documents)
+    u_micro = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        scored.join(documents.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "imp_micro",
+            u_micro.alias("u_micro"),
+        )
+        .filter(
+            F.col("u_micro")
+            < F.expr(f"imp_micro * {DSIR_KEEP_MICRO} div 1000000")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_scores(documents: DataFrame) -> DataFrame:
+    """The scoring core behind tp16: (doc_id, n_tokens, imp_micro).
+
+    Takes any (doc_id, text, lang) relation so the exemplar set and
+    the corpus can be pipeline intermediates; see tp16's docstring for
+    the linearization and int64-exactness argument."""
+    spark = documents.sparkSession
+    feat = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    raw_b = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_b = (
+        feat.join(
+            documents.filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id"),
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    smoothed = (
+        spark.range(DSIR_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .join(F.broadcast(tgt_b), "bucket", "left")
+        .join(F.broadcast(raw_b), "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("tc"), F.lit(0)) + 1).alias("t"),
+            (F.coalesce(F.col("rc"), F.lit(0)) + 1).alias("r"),
+        )
+    )
+    totals = smoothed.agg(
+        F.sum("t").alias("tt"), F.sum("r").alias("rr")
+    )
+    wt = smoothed.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr("(t * 1000000) div r * rr div tt").alias("w"),
+    )
+    return (
+        feat.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("sum_w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("sum_w div n_tokens").alias("imp_micro"),
+        )
+    )

@@ -519,3 +519,40 @@ def test_tx13_bigram_surprisal_matches_python_recompute(spark, sf_dir):
         assert out[d]["n_bigrams"] == len(s)
         assert abs(out[d]["avg_bigram_surprisal"] - sum(s) / len(s)) < 2e-4, d
         assert 0.0 < out[d]["avg_bigram_surprisal"] < 64.0
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """tp16's linearized DSIR ranking claim on a planted corpus: docs
+    written in the target language's vocabulary score strictly above
+    docs written in the off-target vocabulary, and a mixed doc lands
+    between them."""
+    from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
+        dsir_scores,
+    )
+
+    tgt_vocab = "alpha beta gamma delta epsilon"
+    off_vocab = "zork blarg quux frobnitz grue"
+    rows = [
+        # exemplar set: target lang, target vocabulary (many copies so
+        # the smoothed ratio separates clearly)
+        *[(i, tgt_vocab, "en") for i in range(10)],
+        # off-target bulk
+        *[(100 + i, off_vocab, "zh") for i in range(10)],
+        # probes: unlabeled docs written in each vocabulary + a mix
+        (500, tgt_vocab, "de"),
+        (501, off_vocab, "de"),
+        (502, "alpha beta zork blarg", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.imp_micro for r in dsir_scores(docs).collect()}
+    assert got[500] > got[502] > got[501]
+    # the average-of-ratios form: a doc's score does not change when its
+    # text is duplicated (bag average, not sum)
+    docs2 = docs.union(
+        spark.createDataFrame(
+            [(503, f"{tgt_vocab} {tgt_vocab}", "de")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    got2 = {r.doc_id: r.imp_micro for r in dsir_scores(docs2).collect()}
+    assert got2[503] == got2[500]
