@@ -144,6 +144,10 @@ BENCH_R4 = [
     "gr07_lpa_communities",
     "ml06_threshold_sweep",
     "ab01_experiment_readout",
+    "gr08_bfs_hops",
+    "ts10_linear_trend",
+    "tp16_dsir_resample",
+    "gr09_link_prediction",
 ]
 
 

@@ -1258,3 +1258,91 @@ def gr08_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hops")
     )
+
+
+# --- gr09: link prediction by common neighbors --------------------------------
+
+LP_MAX_DEG = 64  # wedge-center degree cap: bounds candidate volume
+LP_TOP = 20
+
+
+@query(
+    "gr09_link_prediction",
+    oracle=_COPURCHASE_EDGE_CTE.rstrip()
+    + f"""
+    , e0 AS MATERIALIZED (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL SELECT part_b, part_a FROM copairs
+    ), deg AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src
+    ), nb AS MATERIALIZED (
+        SELECT e.src AS w, e.dst AS n
+        FROM e0 e JOIN deg d ON e.src = d.node
+        WHERE d.deg <= {LP_MAX_DEG}
+    ), cn AS (
+        SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM nb a JOIN nb b ON a.w = b.w AND a.n < b.n
+        GROUP BY a.n, b.n
+    )
+    SELECT cn.u, cn.v, cn.common_neighbors
+    FROM cn LEFT JOIN copairs e ON cn.u = e.part_a AND cn.v = e.part_b
+    WHERE e.part_a IS NULL
+    ORDER BY cn.common_neighbors DESC, cn.u, cn.v
+    LIMIT {LP_TOP}
+    """,
+)
+def gr09_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links: non-adjacent node pairs ranked by
+    common-neighbor count over the co-purchase graph.
+
+    The link-prediction leg of the graph family (Liben-Nowell &
+    Kleinberg's common-neighbors baseline): enumerate unordered
+    neighbor pairs around each wedge center, count per pair, ANTI-join
+    the existing edge set, rank. The score stays an exact integer (the
+    Adamic-Adar refinement divides by log deg — a libm call, not
+    differentially testable; common-neighbors preserves the candidate
+    ORDER for the overwhelmingly common case and is what the candidate
+    generator feeds a ranker with anyway).
+
+    Scale shape: wedge enumeration is the Σ deg(w)² cost family, so
+    centers above LP_MAX_DEG are excluded — the standard candidate-
+    generation cap (a hub shared by everyone predicts nothing; its
+    wedges are quadratic noise). The cap bounds per-center work at
+    LP_MAX_DEG²/2 pairs and makes total volume linear in nodes; the
+    anti-join runs on the canonical (u < v) pair key. All shuffles on
+    the node/pair key family.
+
+    Parity: beyond-reference (§2.11 graph-analytics extension; seed
+    cbddl/src/analytics/network_analyzer.py's co-ownership link views).
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=True
+    )
+    bidir = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nb = (
+        bidir.join(deg.filter(F.col("deg") <= LP_MAX_DEG).select("src"), "src")
+        .select(F.col("src").alias("w"), F.col("dst").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    cn = (
+        a.join(b, on=[F.col("a.w") == F.col("b.w"), F.col("a.n") < F.col("b.n")])
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        cn.join(
+            edges,
+            on=[cn["u"] == edges["part_a"], cn["v"] == edges["part_b"]],
+            how="left_anti",
+        )
+        .orderBy(F.desc("common_neighbors"), "u", "v")
+        .limit(LP_TOP)
+    )

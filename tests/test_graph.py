@@ -317,3 +317,58 @@ def test_bfs_seed_fallback_is_min_node(spark):
     edges = spark.createDataFrame([(7, 8), (8, 9)], "part_a long, part_b long")
     got = {r.node: r.dist for r in bfs_hops(edges, rounds=2).collect()}
     assert got == {7: 0, 8: 1, 9: 2}
+
+
+def test_link_prediction_hand_computed_and_hub_cap(spark):
+    """gr09's candidate logic on a planted shape: two nodes sharing two
+    wedge centers outrank a one-center pair; existing edges are never
+    predicted; an over-cap hub contributes no candidates."""
+    from chicago_business_owners_data_engineering_spark.operators.graph import (
+        LP_MAX_DEG,
+    )
+
+    # u=1, v=2 share centers 10 and 11 (no 1-2 edge) -> cn 2.
+    # 3 and 1 share only center 10 -> cn 1. 10-11 are themselves linked
+    # through common neighbors 1 and 2.
+    base = [(1, 10), (2, 10), (1, 11), (2, 11), (3, 10)]
+    # hub 99 with LP_MAX_DEG + 1 neighbors (ids 1000+i): over the cap,
+    # so none of those neighbor pairs may appear as candidates.
+    hub = [(99, 1000 + i) for i in range(LP_MAX_DEG + 1)]
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in base + hub],
+        "part_a long, part_b long",
+    )
+
+    # Exercise the same plan the registry query builds, against an
+    # in-memory edge relation (mirror of gr09's body).
+    from pyspark.sql import functions as F
+
+    bidir = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nb = bidir.join(
+        deg.filter(F.col("deg") <= LP_MAX_DEG).select("src"), "src"
+    ).select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    a, b = nb.alias("a"), nb.alias("b")
+    cn = (
+        a.join(b, on=[F.col("a.w") == F.col("b.w"), F.col("a.n") < F.col("b.n")])
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    pred = {
+        (r.u, r.v): r.common_neighbors
+        for r in cn.join(
+            edges,
+            on=[cn["u"] == edges["part_a"], cn["v"] == edges["part_b"]],
+            how="left_anti",
+        ).collect()
+    }
+    assert pred[(1, 2)] == 2
+    assert pred[(2, 3)] == 1
+    assert pred[(10, 11)] == 2
+    assert (1, 10) not in pred  # existing edge, anti-joined away
+    # no hub-spoke pair appears
+    assert not any(u >= 1000 for (u, v) in pred)

@@ -113,6 +113,10 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dq10_mad_outliers",  # grid-bounded robust stats — linear check
     "ts09_seasonal_naive_backtest",  # hourly-grain self-join — linear check
     "gr07_lpa_communities",  # bounded label rounds on node-keyed shuffles — linear check
+    "gr08_bfs_hops",  # bounded BFS relaxations, same exchange layout — linear check
+    "ts10_linear_trend",  # sufficient-stats aggregate — linear check
+    "tp16_dsir_resample",  # explode + broadcast bucket table + doc agg — linear check
+    "gr09_link_prediction",  # capped wedge enumeration — candidate-volume check
 )
 
 # One stride per key family — shared by every table that references the
