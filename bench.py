@@ -148,6 +148,8 @@ BENCH_R4 = [
     "ts10_linear_trend",
     "tp16_dsir_resample",
     "gr09_link_prediction",
+    "tx16_collocations",
+    "dq12_key_discovery",
 ]
 
 

@@ -1271,3 +1271,111 @@ def dq11_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 > BENFORD_CHI2_CRIT).alias("reject"),
     )
+
+
+# --- dq12: candidate-key discovery -------------------------------------------
+
+# Columns profiled for key-ness, plus one composite candidate (the pair
+# a modeler would try once every single column fails).
+DQ12_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+DQ12_COMPOSITE = ("o_custkey", "o_orderdate")
+
+
+def _dq12_oracle() -> str:
+    composite = " || '|' || ".join(
+        f"CAST({c} AS VARCHAR)" for c in DQ12_COMPOSITE
+    )
+    per_col = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls
+    FROM orders"""
+        for c in DQ12_COLUMNS
+    )
+    return f"""
+    WITH profile AS ({per_col}
+    UNION ALL
+    SELECT '{"+".join(DQ12_COMPOSITE)}',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT {composite}) AS BIGINT),
+           CAST(COUNT(*) - COUNT({composite}) AS BIGINT)
+    FROM orders)
+    SELECT column_name, n_rows, n_distinct, n_nulls,
+           (n_distinct * 1000000) // n_rows AS distinct_micro,
+           n_distinct = n_rows AND n_nulls = 0 AS is_key
+    FROM profile
+    ORDER BY column_name
+    """
+
+
+@query("dq12_key_discovery", oracle=_dq12_oracle())
+def dq12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: per-column (and one composite)
+    cardinality profile with an is_key verdict.
+
+    The data-profiling primitive behind schema inference and warehouse
+    onboarding (dq01 checks the KNOWN key; this DISCOVERS keys):
+    ONE aggregate computes row count, exact distinct count, and null
+    count for every candidate, then the long-format unpivot (stack)
+    makes the result a relation a quality dashboard consumes directly.
+    The composite candidate concatenates through a '|' separator
+    identically on both engines (multi-column COUNT DISTINCT has
+    engine-specific null semantics; the string form does not).
+
+    Scale shape: Spark evaluates multi-column exact distincts via one
+    EXPAND pass (k× map-side row fan-out, one shuffle on the grouping
+    spine) — exact by contract here because the ORACLE must match bit
+    for bit. The 100 TB recipe, documented: pre-screen every column
+    with approx_count_distinct (one cheap pass, no expand), then run
+    the exact pass only on columns whose estimate is within error range
+    of n_rows — the plan shape is this query minus the hopeless
+    columns.
+
+    Parity: beyond-reference (profiling extension of dq01/dq02's
+    validation layer, cbddl/src/etl/pipeline.py:205-267).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    composite = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in DQ12_COMPOSITE]
+    )
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_rows")]
+    for c in DQ12_COLUMNS:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
+        aggs.append((n - F.count(F.col(c))).alias(f"z_{c}"))
+    comp_name = "+".join(DQ12_COMPOSITE)
+    aggs.append(F.countDistinct(composite).alias("d_comp"))
+    aggs.append((n - F.count(composite)).alias("z_comp"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', d_{c}, z_{c}" for c in DQ12_COLUMNS
+    ) + f", '{comp_name}', d_comp, z_comp"
+    n_cands = len(DQ12_COLUMNS) + 1
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({n_cands}, {stack_args}) AS (column_name, n_distinct, n_nulls)"
+            ),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            "n_nulls",
+            F.expr("(n_distinct * 1000000) div n_rows").alias("distinct_micro"),
+            ((F.col("n_distinct") == F.col("n_rows")) & (F.col("n_nulls") == 0)).alias(
+                "is_key"
+            ),
+        )
+        .orderBy("column_name")
+    )

@@ -661,3 +661,92 @@ def bpe_tokenize_counts(
         )
         .orderBy("doc_id")
     )
+
+
+# --- tx16: collocation extraction (PMI-ranked bigrams) -----------------------
+
+COLLOC_MIN_COUNT = 5  # rare-pair floor: PMI is unstable below this
+COLLOC_TOP = 30
+
+
+@query(
+    "tx16_collocations",
+    oracle=f"""
+    WITH w AS (SELECT STRING_SPLIT(LOWER(text), ' ') AS l FROM documents),
+    uni AS (SELECT UNNEST(l) AS tok FROM w),
+    ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+    bg AS (
+        SELECT UNNEST([l[i] || ' ' || l[i + 1] FOR i IN GENERATE_SERIES(1, LEN(l) - 1)])
+            AS bigram
+        FROM w
+    ),
+    bcnt AS (
+        SELECT STRING_SPLIT(bigram, ' ')[1] AS lw,
+               STRING_SPLIT(bigram, ' ')[2] AS rw,
+               CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM bg
+        GROUP BY bigram
+        HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+    )
+    SELECT b.lw || ' ' || b.rw AS bigram, b.c_xy,
+           (b.c_xy * 1000000) // ul.c * (SELECT n FROM tot) // ur.c
+               AS lift_micro
+    FROM bcnt b
+    JOIN ucnt ul ON b.lw = ul.tok
+    JOIN ucnt ur ON b.rw = ur.tok
+    ORDER BY lift_micro DESC, bigram ASC
+    LIMIT {COLLOC_TOP}
+    """,
+)
+def tx16_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations: bigrams ranked by integer-exact PMI lift.
+
+    Church & Hanks' association-ratio recipe with the log dropped: PMI
+    orders pairs by c_xy·N / (c_x·c_y), and log is monotone, so ranking
+    by the RATIO ranks by PMI — and the ratio is computable in exact
+    int64 micro-units (log itself is a libm call, not differentially
+    testable). The division order ((c_xy·10^6) div c_x · N) div c_y
+    keeps every intermediate below 2^63 because c_xy ≤ c_x (tp16's
+    bound argument). The COLLOC_MIN_COUNT floor is the standard PMI
+    stabilizer: a pair seen once between two hapaxes maxes the ratio
+    with zero evidence.
+
+    Scale shape: unigram and bigram counts shuffle on VOCABULARY
+    cardinality, not corpus size (map-side partial aggregation); the
+    token-keyed joins attach unigram counts to the (already ≥ floor)
+    bigram relation, and the corpus total is one broadcast row. The
+    final global top-30 runs on the filtered vocab-sized relation.
+
+    Parity: beyond-reference (§2.11 text-analysis extension; seed
+    cbddl/src/analytics/demographics_analyzer.py:173-182 word
+    extraction).
+    """
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.col("text")), " ")
+    uni = documents.select(F.explode(words).alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    sz = F.size(words)
+    pairs = F.arrays_zip(F.slice(words, 1, sz - 1), F.slice(words, 2, sz - 1))
+    bcnt = (
+        documents.select(F.explode(pairs).alias("s"))
+        .select(F.col("s")["0"].alias("lw"), F.col("s")["1"].alias("rw"))
+        .groupBy("lw", "rw")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+    )
+    ul = ucnt.select(F.col("tok").alias("lw"), F.col("c").alias("c_lw"))
+    ur = ucnt.select(F.col("tok").alias("rw"), F.col("c").alias("c_rw"))
+    return (
+        bcnt.join(ul, "lw")
+        .join(ur, "rw")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", F.col("lw"), F.col("rw")).alias("bigram"),
+            "c_xy",
+            F.expr("(c_xy * 1000000) div c_lw * n div c_rw").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("bigram"))
+        .limit(COLLOC_TOP)
+    )

@@ -518,3 +518,64 @@ def test_ab_readout_hand_computed(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     r2 = QUERIES["ab01_experiment_readout"](spark, str(tmp_path)).collect()[0]
     assert r2.conv_a == 0 and r2.conv_b == 0 and r2.z_score is None
+
+
+def test_collocations_hand_computed(spark, tmp_path):
+    """tx16 against a by-hand PMI table: a pair that always co-occurs
+    ranks above a pair diluted by independent occurrences of its words,
+    and pairs under the count floor never appear."""
+    # "strong glue" appears 5x and its words appear ONLY together
+    # (c_xy=5, c_x=c_y=5). "weak tie" appears 5x but "weak" and "tie"
+    # each appear 5 more times alone. "rare pair" appears once (< floor).
+    doc = " ".join(
+        ["strong glue"] * 5 + ["weak tie"] * 5 + ["weak", "tie"] * 5 + ["rare pair"]
+    )
+    spark.createDataFrame(
+        [(1, doc, "en", "src", len(doc))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["tx16_collocations"](spark, str(tmp_path)).collect()
+    got = {r.bigram: (r.c_xy, r.lift_micro) for r in rows}
+    assert "rare pair" not in got  # under COLLOC_MIN_COUNT
+    n = len(doc.split(" "))
+    # exact integer replays of the lift arithmetic
+    assert got["strong glue"] == (5, 5 * 1_000_000 // 5 * n // 5)
+    assert got["weak tie"][0] >= 5
+    assert got["strong glue"][1] > got["weak tie"][1]
+
+
+def test_key_discovery_hand_computed(spark, tmp_path):
+    """dq12 on a planted table: the true key flags is_key, a column
+    with a null never does even at full cardinality, and the composite
+    rescues a non-unique pair of singles."""
+    rows = [
+        (1, 10, "A", 5.0, "2024-01-01 00:00:00", "P1"),
+        (2, 10, "B", 6.0, "2024-01-02 00:00:00", "P2"),
+        (3, 11, None, 7.0, "2024-01-01 00:00:00", "P3"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {r.column_name: r for r in QUERIES["dq12_key_discovery"](spark, str(tmp_path)).collect()}
+    assert got["o_orderkey"].is_key
+    assert got["o_orderpriority"].is_key  # 3 distinct, no nulls
+    # o_orderstatus: 2 distinct non-null values + 1 null -> not a key
+    assert got["o_orderstatus"].n_distinct == 2
+    assert got["o_orderstatus"].n_nulls == 1
+    assert not got["o_orderstatus"].is_key
+    # o_custkey alone repeats; o_orderdate alone repeats; the composite
+    # (custkey, orderdate) is unique
+    assert not got["o_custkey"].is_key
+    assert not got["o_orderdate"].is_key
+    assert got["o_custkey+o_orderdate"].is_key
+    assert got["o_custkey"].distinct_micro == 2 * 1_000_000 // 3

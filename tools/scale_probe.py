@@ -117,6 +117,8 @@ PROBE_QUERIES: tuple[str, ...] = (
     "ts10_linear_trend",  # sufficient-stats aggregate — linear check
     "tp16_dsir_resample",  # explode + broadcast bucket table + doc agg — linear check
     "gr09_link_prediction",  # capped wedge enumeration — candidate-volume check
+    "tx16_collocations",  # vocab-keyed count shuffles — linear check
+    "dq12_key_discovery",  # single EXPAND-pass multi-distinct — linear check
 )
 
 # One stride per key family — shared by every table that references the
