@@ -150,6 +150,8 @@ BENCH_R4 = [
     "gr09_link_prediction",
     "tx16_collocations",
     "dq12_key_discovery",
+    "dq13_l_diversity",
+    "ts11_cusum_changepoint",
 ]
 
 

@@ -1379,3 +1379,62 @@ def dq12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --- dq13: l-diversity audit --------------------------------------------------
+
+L_DIVERSITY = 8
+# Coarser QI than dq06 (no balance bucket): the balance IS the
+# sensitive attribute here, at $500 granularity (~21 possible values,
+# so l = 8 is a "most of the domain must appear" entropy proxy that
+# still fails real classes at test SFs).
+_DQ13_QI = ("c_mktsegment", "c_nationkey")
+
+
+@query(
+    "dq13_l_diversity",
+    oracle=f"""
+    SELECT {", ".join(_DQ13_QI)},
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 500) AS BIGINT)) AS BIGINT)
+               AS n_sensitive
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT CAST(FLOOR(c_acctbal / 500) AS BIGINT)) < {L_DIVERSITY}
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def dq13_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: quasi-identifier classes whose SENSITIVE
+    attribute takes fewer than l distinct values.
+
+    The attack k-anonymity doesn't stop (Machanavajjhala et al.): a
+    class can hold k ≥ 5 rows and still leak — if all of them share
+    one sensitive value, membership alone discloses it (homogeneity
+    attack). dq06 audits class SIZE; this audits class ENTROPY's
+    cheap proxy, the distinct-sensitive-value count (here the coarse
+    balance bucket against the segment × nation QI). Together they are
+    the publishable-table gate.
+
+    Scale shape: one groupBy on the QI tuple with an exact distinct on
+    the sensitive column — Spark plans the single-distinct aggregate as
+    two-phase partial aggregation (no EXPAND needed for one distinct),
+    shuffling the (QI, sensitive) pair spine first, so the exchange is
+    bounded by class-count × distinct-values, tiny at any SF.
+
+    Parity: beyond-reference privacy audit (SURVEY.md §2.11 extras),
+    completing dq06/dq07's ladder; seed
+    cbddl/src/analytics/demographics_analyzer.py's post-redaction
+    exposure.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    sensitive = F.floor(F.col("c_acctbal") / 500)
+    return (
+        customer.groupBy(*_DQ13_QI)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < L_DIVERSITY)
+        .orderBy(*_DQ13_QI)
+    )

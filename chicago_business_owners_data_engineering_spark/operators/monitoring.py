@@ -726,3 +726,90 @@ def ts10_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nullif(cast(n_days * sxx - sx * sx as double), 0), 6)"
         ).alias("slope_cents_per_day"),
     ).orderBy("n_name")
+
+
+# --- ts11: CUSUM changepoint detection ---------------------------------------
+
+
+@query(
+    "ts11_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+        FROM daily
+    ), walk AS (
+        SELECT d.day,
+               SUM(t.n * d.y - t.s) OVER (ORDER BY d.day) AS cusum
+        FROM daily d CROSS JOIN tot t
+    )
+    SELECT STRFTIME(w.day, '%Y-%m-%d') AS cp_day,
+           (SELECT n FROM tot) AS n_days,
+           CAST(ABS(w.cusum) AS BIGINT) AS max_abs_cusum,
+           w.cusum < 0 AS shift_up
+    FROM walk w
+    ORDER BY ABS(w.cusum) DESC, w.day ASC
+    LIMIT 1
+    """,
+)
+def ts11_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most likely changepoint of the daily-revenue series by the CUSUM
+    statistic, in exact integer arithmetic.
+
+    Page's cumulative-sum recipe scaled to stay in int64: the usual
+    walk Σ(y_i − ȳ) needs the float mean, so both sides carry it
+    multiplied through by n —
+
+        C_k = Σ_{i ≤ k} (n·y_i − S),   S = Σy
+
+    which is the same argmax (positive scaling) with every term an
+    exact BIGINT (y in cents). The argmax day splits the series at its
+    largest level shift; ``shift_up`` reads the sign (a negative
+    trough means the left segment sat below the mean, i.e. the series
+    stepped UP after cp_day). Total tie order (|C| DESC, day ASC)
+    keeps the answer unique on flat stretches.
+
+    Scale shape: the data-sized work is one (day)-keyed partial-
+    aggregated rollup; the CUSUM window runs on the BOUNDED daily
+    relation (≤ 366 rows per audited year — the documented
+    post-aggregation global-window posture), with the 1-row (n, S)
+    aggregate broadcast into it. At 100 TB nothing changes: days stay
+    days.
+
+    Parity: beyond-reference (monitoring-family extension — the step-
+    change detector behind the reference's threshold alerts,
+    cbddl/src/monitoring/pipeline_monitor.py:60-90).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    walk = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.sum(F.col("n") * F.col("y") - F.col("s"))
+        .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cusum"),
+    )
+    return (
+        walk.select(
+            F.date_format(F.col("day"), "yyyy-MM-dd").alias("cp_day"),
+            F.col("n").alias("n_days"),
+            F.abs(F.col("cusum")).alias("max_abs_cusum"),
+            (F.col("cusum") < 0).alias("shift_up"),
+        )
+        .orderBy(F.desc("max_abs_cusum"), F.asc("cp_day"))
+        .limit(1)
+    )

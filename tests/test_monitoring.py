@@ -235,3 +235,34 @@ def test_ts10_slope_matches_numpy_ols(spark, sf_dir):
         rational = row.slope_num / row.slope_den
         assert abs(rational - expected) <= 1e-6 * max(1.0, abs(expected))
         assert row.slope_cents_per_day == round(rational, 6)
+
+
+def test_cusum_changepoint_hand_computed(spark, tmp_path):
+    """ts11 against a by-hand CUSUM walk: a clean level step lands the
+    argmax on the last day of the left segment, with the sign read out
+    as an upward shift."""
+    # 4 days at 10.00, then 4 days at 30.00 (one event per day)
+    rows = []
+    for i, v in enumerate([10.0] * 4 + [30.0] * 4):
+        rows.append((i, f"2024-02-{i+1:02d} 12:00:00", 1, "purchase", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    [r] = QUERIES["ts11_cusum_changepoint"](spark, str(tmp_path)).collect()
+    # n=8, S=16000 cents; left days: 8*1000-16000 = -8000 each;
+    # walk: -8000,-16000,-24000,-32000 then +8000 steps back to 0.
+    assert r.cp_day == "2024-02-04"
+    assert r.n_days == 8
+    assert r.max_abs_cusum == 32000
+    assert bool(r.shift_up) is True

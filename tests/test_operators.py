@@ -579,3 +579,28 @@ def test_key_discovery_hand_computed(spark, tmp_path):
     assert not got["o_orderdate"].is_key
     assert got["o_custkey+o_orderdate"].is_key
     assert got["o_custkey"].distinct_micro == 2 * 1_000_000 // 3
+
+
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """dq13 on a planted table: a big-but-homogeneous class fails (the
+    homogeneity attack k-anonymity misses) while a small diverse class
+    passes."""
+    from chicago_business_owners_data_engineering_spark.operators.curation import (
+        L_DIVERSITY,
+    )
+
+    rows = []
+    # class A: 10 rows, ALL in the same $500 balance bucket -> n_sensitive 1
+    for i in range(10):
+        rows.append((i, f"c{i}", 1, 100.0 + i, "AUTOMOBILE"))
+    # class B: L_DIVERSITY distinct buckets -> passes
+    for i in range(L_DIVERSITY):
+        rows.append((100 + i, f"d{i}", 2, 500.0 * i + 1.0, "AUTOMOBILE"))
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        (r.c_mktsegment, r.c_nationkey): (r.n_rows, r.n_sensitive)
+        for r in QUERIES["dq13_l_diversity"](spark, str(tmp_path)).collect()
+    }
+    assert got == {("AUTOMOBILE", 1): (10, 1)}

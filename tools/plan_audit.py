@@ -68,6 +68,7 @@ EXPECTED_CARTESIAN = {
     "tx09_unigram_surprisal",    # 1-row corpus-total broadcast into the scoring join
     "sim08_hybrid_search",       # 1-row query vector broadcast onto the doc⋈vector scan
     "tp10_curriculum_order",     # 1-row corpus-total broadcast (shares tx09's scoring shape)
+    "ml06_threshold_sweep",      # 5-row threshold spine broadcast onto the scored relation
     # spine construction: event-type dim × bounded hour sequence —
     # dim-sized by construction (hours × types), never data-sized
     "ts07_gap_fill",

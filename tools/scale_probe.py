@@ -119,6 +119,8 @@ PROBE_QUERIES: tuple[str, ...] = (
     "gr09_link_prediction",  # capped wedge enumeration — candidate-volume check
     "tx16_collocations",  # vocab-keyed count shuffles — linear check
     "dq12_key_discovery",  # single EXPAND-pass multi-distinct — linear check
+    "dq13_l_diversity",  # (QI, sensitive)-spine distinct agg — linear check
+    "ts11_cusum_changepoint",  # day-keyed rollup + bounded window — linear check
 )
 
 # One stride per key family — shared by every table that references the
