@@ -152,6 +152,7 @@ BENCH_R4 = [
     "dq12_key_discovery",
     "dq13_l_diversity",
     "ts11_cusum_changepoint",
+    "er04_golden_record",
 ]
 
 

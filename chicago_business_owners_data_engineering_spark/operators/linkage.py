@@ -25,7 +25,7 @@ the component step (same proven pattern as dd06/dd07).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -261,4 +261,120 @@ def er03_entity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_listings") > 1)
         .orderBy(F.desc("revenue_cc"), "entity_id")
         .limit(20)
+    )
+
+
+# --- er04: field-level survivorship (golden record) ---------------------------
+
+
+@query(
+    "er04_golden_record",
+    oracle=_ER_COMPONENT_CTE
+    + """
+    , members AS (
+        SELECT c.entity_id, p.p_partkey, p.p_brand, p.p_type, p.p_size,
+               CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM comp c JOIN part p ON c.p_partkey = p.p_partkey
+    ), brand_mode AS (
+        SELECT entity_id, p_brand FROM (
+            SELECT entity_id, p_brand,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                                      ORDER BY COUNT(*) DESC, p_brand ASC) AS rn
+            FROM members GROUP BY entity_id, p_brand
+        ) WHERE rn = 1
+    ), type_mode AS (
+        SELECT entity_id, p_type FROM (
+            SELECT entity_id, p_type,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                                      ORDER BY COUNT(*) DESC, p_type ASC) AS rn
+            FROM members GROUP BY entity_id, p_type
+        ) WHERE rn = 1
+    ), spans AS (
+        SELECT entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(p_size) AS BIGINT) AS size_min,
+               CAST(MAX(p_size) AS BIGINT) AS size_max,
+               MIN(price_cents) AS price_cents_min
+        FROM members GROUP BY entity_id
+    )
+    SELECT s.entity_id, s.n_members, b.p_brand AS brand, t.p_type AS type,
+           s.size_min, s.size_max, s.price_cents_min
+    FROM spans s
+    JOIN brand_mode b ON s.entity_id = b.entity_id
+    JOIN type_mode t ON s.entity_id = t.entity_id
+    WHERE s.n_members > 1
+    ORDER BY s.entity_id
+    """,
+)
+def er04_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship: one golden record per matched entity,
+    each field resolved by its own rule.
+
+    The MDM step after er02's whole-record pick: real master-data
+    pipelines resolve CONFLICTS per field — categorical fields take the
+    most frequent value (ties → lexicographic min, so the answer is a
+    total function of the cluster), numeric ranges keep min/max spans,
+    price takes the integer-cents minimum. Each mode is one
+    (entity, value) count plus a per-entity argmax window — the
+    exchange stays on the entity-key family and the windows run on
+    cluster-cardinality-sized relations. Single-member entities are
+    excluded: a golden record of one listing is the listing.
+
+    Scale shape: components come from the blocked er01 match graph
+    (never all-pairs); everything after is entity-keyed aggregates over
+    the dim-sized part relation. At 100 TB the match graph is the
+    stored output of the linkage run and this reads it.
+
+    Parity: the reference's dedup/survivorship seed is
+    cbddl/src/etl/pipeline.py:296,329 (drop_duplicates keeps the first
+    row — whole-record); field-level resolution is the beyond-reference
+    extension.
+    """
+    from .dedup import components_from_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = _blocked_pairs(part).select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+    )
+    comp = components_from_pairs(pairs).select(
+        F.col("doc_id").alias("p_partkey"), F.col("component").alias("entity_id")
+    )
+    members = comp.join(part, "p_partkey").select(
+        "entity_id",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    def mode_of(col: str) -> DataFrame:
+        w = Window.partitionBy("entity_id").orderBy(F.desc("c"), F.asc(col))
+        return (
+            members.groupBy("entity_id", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("entity_id", col)
+        )
+
+    spans = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("p_size").cast("long").alias("size_min"),
+        F.max("p_size").cast("long").alias("size_max"),
+        F.min("price_cents").alias("price_cents_min"),
+    )
+    return (
+        spans.join(mode_of("p_brand").withColumnRenamed("p_brand", "brand"), "entity_id")
+        .join(mode_of("p_type").withColumnRenamed("p_type", "type"), "entity_id")
+        .filter(F.col("n_members") > 1)
+        .select(
+            "entity_id",
+            "n_members",
+            "brand",
+            "type",
+            "size_min",
+            "size_max",
+            "price_cents_min",
+        )
+        .orderBy("entity_id")
     )

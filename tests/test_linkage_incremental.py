@@ -473,3 +473,48 @@ def test_ml04_dbscan_invariants(spark, sf_dir):
     for c, members in by_cluster.items():
         keepers = [i for i in members if out[i]["keep"]]
         assert keepers == [min(members)], (c, keepers)
+
+
+def test_er04_field_rules_on_real_clusters(spark, sf_dir):
+    """er04's survivorship invariants on the real match graph: every
+    golden field value actually occurs inside its entity, the mode is
+    genuinely most-frequent (with lexicographic min on ties), and spans
+    bound every member."""
+    from collections import Counter
+
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        components_from_pairs,
+    )
+    from chicago_business_owners_data_engineering_spark.operators.linkage import (
+        _blocked_pairs,
+        er04_golden_record,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = _blocked_pairs(part).select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+    )
+    comp = {
+        r.doc_id: r.component for r in components_from_pairs(pairs).collect()
+    }
+    members: dict[int, list] = {}
+    for p in part.collect():
+        if p.p_partkey in comp:
+            members.setdefault(comp[p.p_partkey], []).append(p)
+
+    got = er04_golden_record(spark, sf_dir).collect()
+    assert got, "no multi-member entities at this SF"
+    for r in got:
+        ms = members[r.entity_id]
+        assert r.n_members == len(ms) > 1
+        brands = Counter(m.p_brand for m in ms)
+        best = max(brands.values())
+        assert brands[r.brand] == best
+        assert r.brand == min(b for b, c in brands.items() if c == best)
+        types = Counter(m.p_type for m in ms)
+        bestt = max(types.values())
+        assert types[r.type] == bestt
+        assert r.type == min(t for t, c in types.items() if c == bestt)
+        assert r.size_min == min(m.p_size for m in ms)
+        assert r.size_max == max(m.p_size for m in ms)
+        assert r.price_cents_min == min(round(m.p_retailprice * 100) for m in ms)
