@@ -153,6 +153,7 @@ BENCH_R4 = [
     "dq13_l_diversity",
     "ts11_cusum_changepoint",
     "er04_golden_record",
+    "inc03_incremental_distinct",
 ]
 
 

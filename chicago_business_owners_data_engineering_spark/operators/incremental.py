@@ -297,3 +297,72 @@ def inc02_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- inc03: incremental DISTINCT maintenance ----------------------------------
+
+# Arrival-order split: event_id is ingest order, so "% 5 == 0" models a
+# late-arriving batch whose EVENT TIMES are spread across historic days
+# — the case where per-day distinct counts cannot be maintained from
+# partial counts. (A ts-based cutoff would make the anti-join vacuous:
+# with day-grain state, a day can never span a midnight cutoff.)
+INC3_DELTA_MOD = 5
+
+
+@query(
+    "inc03_incremental_distinct",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def inc03_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of per-day DISTINCT user counts.
+
+    The non-algebraic sibling of inc01: a distinct count cannot be
+    merged from partial counts (two increments may share users), so
+    the stored state must be the distinct KEY SET itself — here the
+    deduplicated (day, user) relation, the "exactly-once visitor"
+    table every analytics warehouse keeps precisely because count
+    partials don't merge. The executed plan maintains it
+    incrementally: the base key set (arrived before the delta batch)
+    stands in for stored state; the delta is a LATE-ARRIVING batch
+    whose event times are spread across historic days, so its
+    deduplicated candidate keys are ANTI-JOINED against the state and
+    only never-seen (day, user) pairs append; counts then aggregate
+    state + appended increments. The oracle recomputes
+    COUNT(DISTINCT) from full history; equality is the maintenance
+    invariant (same proof shape as inc01/inc02), and it holds ONLY
+    because of the anti-join — a user active in both the history and
+    the late batch on the same day would otherwise double-count.
+
+    Scale shape: the anti-join keys on (day, user) — state is
+    day-partitioned in production, so a delta touching d days prunes
+    the probe to d partitions (DPP), cost O(|delta| + |state ∩ delta
+    days|), never O(|history|). The sketch alternative
+    (approx_count_distinct / HLL-union, a02/a29) merges in O(1) state
+    but answers approximately; this is the exact path.
+
+    Parity: beyond-reference (incremental-maintenance extension; the
+    reference recomputes its daily aggregates per batch,
+    cbddl/src/etl/pipeline.py:479-565).
+    """
+    events = load_table(spark, sf_dir, "events")
+    is_delta = F.col("event_id") % INC3_DELTA_MOD == 0
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    base_state = events.filter(~is_delta).select(day, "user_id").distinct()
+    delta_new = (
+        events.filter(is_delta)
+        .select(day, "user_id")
+        .distinct()
+        .join(base_state, ["day", "user_id"], "left_anti")
+    )
+    return (
+        base_state.unionByName(delta_new)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("day")
+    )

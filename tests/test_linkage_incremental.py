@@ -518,3 +518,37 @@ def test_er04_field_rules_on_real_clusters(spark, sf_dir):
         assert r.size_min == min(m.p_size for m in ms)
         assert r.size_max == max(m.p_size for m in ms)
         assert r.price_cents_min == min(round(m.p_retailprice * 100) for m in ms)
+
+
+def test_inc03_distinct_state_never_double_counts(spark, tmp_path):
+    """inc03's defining hazard: a user active in BOTH the stored state
+    and the late-arriving delta on the same day must count once.
+    event_id 0 and 5 form the delta (id %% 5 == 0); id 0 repeats a
+    (day, user) pair the state already holds."""
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    rows = [
+        # 2024-05-31 (base day): users 1, 2
+        (0, "2024-05-31 10:00:00", 1),
+        (1, "2024-05-31 11:00:00", 2),
+        (2, "2024-05-31 12:00:00", 1),  # dup inside base
+        # 2024-06-02 (delta day): user 1 twice, user 3 once
+        (3, "2024-06-02 10:00:00", 1),
+        (4, "2024-06-02 11:00:00", 1),
+        (5, "2024-06-02 12:00:00", 3),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.day: r.n_users
+        for r in QUERIES["inc03_incremental_distinct"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"2024-05-31": 2, "2024-06-02": 2}

@@ -122,6 +122,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dq13_l_diversity",  # (QI, sensitive)-spine distinct agg — linear check
     "ts11_cusum_changepoint",  # day-keyed rollup + bounded window — linear check
     "er04_golden_record",  # blocked match graph + entity-keyed modes — linear check
+    "inc03_incremental_distinct",  # dedup + (day,user)-keyed anti-join — linear check
 )
 
 # One stride per key family — shared by every table that references the
