@@ -154,6 +154,7 @@ BENCH_R4 = [
     "ts11_cusum_changepoint",
     "er04_golden_record",
     "inc03_incremental_distinct",
+    "gr10_degree_assortativity",
 ]
 
 

@@ -1346,3 +1346,101 @@ def gr09_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "u", "v")
         .limit(LP_TOP)
     )
+
+
+# --- gr10: degree assortativity ------------------------------------------------
+
+
+@query(
+    "gr10_degree_assortativity",
+    oracle=_COPURCHASE_EDGE_CTE.rstrip()
+    + """
+    , e0 AS MATERIALIZED (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL SELECT part_b, part_a FROM copairs
+    ), deg AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src
+    ), endp AS (
+        SELECT ds.deg AS x, dd.deg AS y
+        FROM e0 e
+        JOIN deg ds ON e.src = ds.node
+        JOIN deg dd ON e.dst = dd.node
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM endp
+    )
+    SELECT m, m * sxy - sx * sy AS cov_num,
+           m * sxx - sx * sx AS var_x,
+           m * syy - sy * sy AS var_y,
+           round(cast(m * sxy - sx * sy as double)
+                 / nullif(sqrt(cast(m * sxx - sx * sx as double))
+                          * sqrt(cast(m * syy - sy * sy as double)), 0), 6)
+               AS assortativity
+    FROM stats
+    """,
+)
+def gr10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: do hubs link to
+    hubs (r > 0) or to leaves (r < 0)?
+
+    Newman's assortativity coefficient (2002) is the Pearson
+    correlation of endpoint degrees over the DIRECTED edge list (each
+    undirected edge contributes both orientations, making the measure
+    symmetric) — and Pearson, like ts10's OLS, reduces to ONE pass of
+    integer sufficient statistics: m, Σx, Σy, Σx², Σy², Σxy over
+    (deg(src), deg(dst)) pairs. The three moments the output carries
+    (covariance and both variance numerators) are exact BIGINTs;
+    only the final r divides through sqrt — computed from the SAME
+    integers with the identical expression tree on both engines
+    (ab01's parse-tree trick), NULLIF-guarded for the regular-graph
+    degenerate case (zero variance ⇒ r undefined ⇒ NULL).
+
+    Scale shape: two node-keyed joins attach endpoint degrees (same
+    exchange family as every gr* op) and one 1-row aggregate; nothing
+    else moves. Structural context for the rest of the family:
+    disassortative graphs (hub-leaf) are where gr09's LP_MAX_DEG cap
+    and skew-salting matter most.
+
+    Parity: beyond-reference (§2.11 graph-analytics extension; seed
+    cbddl/src/analytics/network_analyzer.py).
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    bidir = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    endp = (
+        bidir.join(deg.select(F.col("src").alias("s"), F.col("deg").alias("x")),
+                   bidir["src"] == F.col("s"))
+        .join(deg.select(F.col("src").alias("d"), F.col("deg").alias("y")),
+              bidir["dst"] == F.col("d"))
+        .select("x", "y")
+    )
+    stats = endp.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return stats.select(
+        "m",
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num"),
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_x"),
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).alias("var_y"),
+        F.expr(
+            "round(cast(m * sxy - sx * sy as double)"
+            " / nullif(sqrt(cast(m * sxx - sx * sx as double))"
+            "          * sqrt(cast(m * syy - sy * sy as double)), 0), 6)"
+        ).alias("assortativity"),
+    )

@@ -372,3 +372,39 @@ def test_link_prediction_hand_computed_and_hub_cap(spark):
     assert (1, 10) not in pred  # existing edge, anti-joined away
     # no hub-spoke pair appears
     assert not any(u >= 1000 for (u, v) in pred)
+
+
+def test_assortativity_star_is_minus_one_and_cycle_is_null(spark, tmp_path):
+    """gr10's statistic on canonical shapes: a star is perfectly
+    disassortative (r = -1); a regular cycle has zero degree variance
+    (r = NULL via the NULLIF guard)."""
+    import datetime
+
+    def run(edges):
+        # materialize a tiny lineitem so the registry query builds the
+        # SAME edge relation (order = edge, two parts per order, 1995)
+        rows = []
+        ts = datetime.datetime(1995, 6, 1)
+        for i, (a, b) in enumerate(edges):
+            for pk in (a, b):
+                rows.append((i, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+        [r] = QUERIES["gr10_degree_assortativity"](spark, str(tmp_path)).collect()
+        return r
+
+    # star: hub 1 with leaves 2..5
+    r = run([(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert r.m == 8
+    assert r.assortativity == -1.0
+    # 4-cycle: every node degree 2 -> zero variance -> NULL
+    r = run([(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert r.var_x == 0 and r.var_y == 0
+    assert r.assortativity is None

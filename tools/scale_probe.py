@@ -123,6 +123,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "ts11_cusum_changepoint",  # day-keyed rollup + bounded window — linear check
     "er04_golden_record",  # blocked match graph + entity-keyed modes — linear check
     "inc03_incremental_distinct",  # dedup + (day,user)-keyed anti-join — linear check
+    "gr10_degree_assortativity",  # degree joins + 1-row sufficient stats — linear check
 )
 
 # One stride per key family — shared by every table that references the
