@@ -155,6 +155,8 @@ BENCH_R4 = [
     "er04_golden_record",
     "inc03_incremental_distinct",
     "gr10_degree_assortativity",
+    "tp17_decontaminate_train",
+    "ts12_weekday_seasonality",
 ]
 
 

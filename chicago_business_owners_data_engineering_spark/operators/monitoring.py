@@ -813,3 +813,86 @@ def ts11_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_abs_cusum"), F.asc("cp_day"))
         .limit(1)
     )
+
+
+# --- ts12: weekday seasonality profile ----------------------------------------
+
+
+@query(
+    "ts12_weekday_seasonality",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(ISODOW(ts) - 1 AS BIGINT) AS weekday,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), wd AS (
+        SELECT event_type, weekday,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM base GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_tot,
+               CAST(SUM(cents) AS BIGINT) AS sum_tot
+        FROM base GROUP BY 1
+    )
+    SELECT w.event_type, w.weekday, w.n_events, w.sum_cents,
+           ((w.sum_cents * 1000000) // w.n_events * 1000)
+               // ((t.sum_tot * 1000000) // t.n_tot) AS index_milli
+    FROM wd w JOIN tot t ON w.event_type = t.event_type
+    ORDER BY w.event_type, w.weekday
+    """,
+)
+def ts12_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index per event type: each weekday's mean
+    value relative to the type's overall mean, in exact integer millis
+    (1000 = a perfectly flat week).
+
+    The seasonal-profile leg between ts09's seasonal-naive forecast
+    (which ASSUMES the cycle) and ts11's changepoint (which looks for
+    breaks): this MEASURES the cycle. Means are carried as nested
+    integer divisions — (sum·10^6) div n at micro precision, then the
+    ratio at milli precision — deterministic and replayable on both
+    engines (everything nonnegative, so div/​// agree; a single
+    cross-multiplied ratio would overflow int64 at large SF, the
+    nested form never exceeds sum·10^6). Weekday numbering is pinned
+    to ISO-Monday=0 explicitly: Spark's ``weekday()`` and DuckDB's
+    ``ISODOW − 1`` — the dayofweek() functions disagree across engines
+    (1=Sunday vs 0=Sunday, the documented cross-engine trap).
+
+    Scale shape: two map-side-combined aggregates over the same scan
+    (Spark reuses the exchange for the coarser one) and a join on the
+    event-type key — at most |types| × 7 rows move after the partials.
+
+    Parity: beyond-reference (monitoring/ts-family extension; seed
+    cbddl/src/monitoring/pipeline_monitor.py's gauge trends).
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.weekday("ts").cast("long").alias("weekday"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wd = base.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum("cents").alias("sum_tot"),
+    )
+    return (
+        wd.join(tot, "event_type")
+        .select(
+            "event_type",
+            "weekday",
+            "n_events",
+            "sum_cents",
+            F.expr(
+                "(sum_cents * 1000000) div n_events * 1000"
+                " div ((sum_tot * 1000000) div n_tot)"
+            ).alias("index_milli"),
+        )
+        .orderBy("event_type", "weekday")
+    )

@@ -1123,3 +1123,96 @@ def dsir_scores(documents: DataFrame) -> DataFrame:
             F.expr("sum_w div n_tokens").alias("imp_micro"),
         )
     )
+
+
+# --- tp17: train-side decontamination APPLY -----------------------------------
+
+
+@query(
+    "tp17_decontaminate_train",
+    oracle="""
+    WITH labeled AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS b,
+               STRING_SPLIT(LOWER(text), ' ') AS l
+        FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, b, sh
+        FROM (
+            SELECT doc_id, b,
+                   UNNEST([l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                           FOR i IN GENERATE_SERIES(1, LEN(l) - 2)]) AS sh
+            FROM labeled
+        )
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM shingled WHERE b >= 90),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM shingled s JOIN eval_sh e ON s.sh = e.sh
+        WHERE s.b < 80
+    ),
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM shingled WHERE b < 80 GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(c.n_shingles, 0) AS n_shingles
+    FROM labeled t
+    LEFT JOIN counts c ON t.doc_id = c.doc_id
+    LEFT JOIN contaminated x ON t.doc_id = x.doc_id
+    WHERE t.b < 80 AND x.doc_id IS NULL
+    ORDER BY t.doc_id
+    """,
+)
+def tp17_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated TRAIN split: drop every train doc sharing a word
+    3-gram with the held-out split (the GPT-3-style direction — tp07
+    reports contamination per EVAL doc; production decontamination
+    removes from TRAIN, because the eval set is the fixed yardstick).
+
+    The check→apply symmetry the dd09/dd10 span pair established, for
+    splits: same md5 buckets, same slice-zip shingles, deduplicated per
+    doc; the eval shingle SET joins against train shingles
+    (shingle-keyed shuffle), contaminated train ids deduplicate, and
+    the train corpus ANTI-joins them. Shingle-less train docs (< 3
+    words) cannot overlap by construction and survive with
+    n_shingles = 0 — which is why survivors come from the full train
+    relation, not from the shingled one.
+
+    Scale shape: identical to tp07 up to the direction of the join —
+    linear shingle explode, one shingle-keyed exchange, doc-keyed
+    anti-join; at 100 TB join on xxhash64(shingle) longs and
+    bloom-prune the train probe with the (much smaller) eval build
+    side.
+
+    Parity: beyond-reference (§2.11 mandate; governance seed
+    cbddl/src/etl/pipeline.py:296,329 dedup keys).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"))
+    words = F.split(F.lower(F.col("text")), " ")
+    sz = F.size(words)
+    zipped = F.arrays_zip(
+        F.slice(words, 1, sz - 2), F.slice(words, 2, sz - 2), F.slice(words, 3, sz - 2)
+    )
+    shingles = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+    shingled = documents.select(
+        "doc_id",
+        bucket.alias("b"),
+        F.explode(F.array_distinct(shingles)).alias("sh"),
+    )
+    eval_sh = shingled.filter(F.col("b") >= 90).select("sh").distinct()
+    train_sh = shingled.filter(F.col("b") < 80)
+    contaminated = train_sh.join(eval_sh, "sh").select("doc_id").distinct()
+    counts = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    train = documents.filter(bucket < 80).select("doc_id")
+    return (
+        train.join(contaminated, "doc_id", "left_anti")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0).cast("long")).alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

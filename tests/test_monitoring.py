@@ -266,3 +266,40 @@ def test_cusum_changepoint_hand_computed(spark, tmp_path):
     assert r.n_days == 8
     assert r.max_abs_cusum == 32000
     assert bool(r.shift_up) is True
+
+
+def test_weekday_seasonality_hand_computed(spark, tmp_path):
+    """ts12 against a by-hand profile: Mondays at 2x the weekly mean
+    index ~2000 milli, numbering pinned to ISO Monday=0 (2024-02-05 is
+    a Monday), and the nested-div replay matches exactly."""
+    rows = [
+        # two Mondays at 30.00, two Tuesdays at 10.00
+        (0, "2024-02-05 09:00:00", 1, "purchase", 30.0, "{}"),
+        (1, "2024-02-12 09:00:00", 1, "purchase", 30.0, "{}"),
+        (2, "2024-02-06 09:00:00", 1, "purchase", 10.0, "{}"),
+        (3, "2024-02-13 09:00:00", 1, "purchase", 10.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    got = {
+        r.weekday: r
+        for r in QUERIES["ts12_weekday_seasonality"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}  # Monday=0, Tuesday=1
+    # overall mean 2000 cents; Monday mean 3000 -> 1500 milli;
+    # Tuesday mean 1000 -> 500 milli (exact nested-div integers)
+    # exact nested-div replay: (6000c*1e6 div 2)*1000 div (8000c*1e6 div 4)
+    assert got[0].index_milli == (6000 * 1_000_000 // 2) * 1000 // (
+        8000 * 1_000_000 // 4
+    )
+    assert got[0].index_milli == 1500
+    assert got[1].index_milli == 500
+    assert got[0].n_events == 2 and got[0].sum_cents == 6000

@@ -556,3 +556,38 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     )
     got2 = {r.doc_id: r.imp_micro for r in dsir_scores(docs2).collect()}
     assert got2[503] == got2[500]
+
+
+def test_decontaminate_train_drops_overlap_keeps_short_docs(spark, tmp_path):
+    """tp17 on a planted corpus: a train doc sharing a 3-gram with an
+    eval doc is dropped; an independent train doc and a shingle-less
+    (2-word) train doc survive."""
+    from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
+        _md5_bucket,
+    )
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    # find doc_ids landing in train (<80) and eval (>=90) buckets
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    ).select("doc_id", _md5_bucket(F.col("doc_id")).alias("b")).collect()
+    train_ids = [r.doc_id for r in probe if r.b < 80]
+    eval_ids = [r.doc_id for r in probe if r.b >= 90]
+    t_dirty, t_clean, t_short = train_ids[:3]
+    e0 = eval_ids[0]
+    rows = [
+        (t_dirty, "the quick brown fox jumps", "en", "s", 25),
+        (t_clean, "completely different training text here", "en", "s", 39),
+        (t_short, "two words", "en", "s", 9),
+        (e0, "we saw the quick brown fox yesterday", "en", "s", 37),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.n_shingles
+        for r in QUERIES["tp17_decontaminate_train"](spark, str(tmp_path)).collect()
+    }
+    assert t_dirty not in got  # shares "the quick brown" / "quick brown fox"
+    assert got[t_clean] == 3  # 5 words -> 3 shingles
+    assert got[t_short] == 0  # shingle-less, survives

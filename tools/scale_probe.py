@@ -124,6 +124,8 @@ PROBE_QUERIES: tuple[str, ...] = (
     "er04_golden_record",  # blocked match graph + entity-keyed modes — linear check
     "inc03_incremental_distinct",  # dedup + (day,user)-keyed anti-join — linear check
     "gr10_degree_assortativity",  # degree joins + 1-row sufficient stats — linear check
+    "tp17_decontaminate_train",  # shingle-keyed join + doc anti-join — linear check
+    "ts12_weekday_seasonality",  # two partial-agg rollups over one scan — linear check
 )
 
 # One stride per key family — shared by every table that references the
