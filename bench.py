@@ -157,6 +157,7 @@ BENCH_R4 = [
     "gr10_degree_assortativity",
     "tp17_decontaminate_train",
     "ts12_weekday_seasonality",
+    "dd14_ngram_novelty",
 ]
 
 

@@ -1373,3 +1373,89 @@ def dd13_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
     return containment_join_prefix(docs, t_num=7, t_den=10)
+
+
+# --- dd14: n-gram novelty profile ----------------------------------------------
+
+
+@query(
+    "dd14_ngram_novelty",
+    oracle="""
+    WITH labeled AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS l FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (
+            SELECT doc_id,
+                   UNNEST([l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                           FOR i IN GENERATE_SERIES(1, LEN(l) - 2)]) AS sh
+            FROM labeled
+        )
+    ),
+    first_seen AS (
+        SELECT sh, MIN(doc_id) AS first_doc FROM shingled GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(100.0 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS novelty_pct
+    FROM shingled s JOIN first_seen f ON s.sh = f.sh
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def dd14_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's word
+    3-grams never seen in any earlier document (doc_id = ingest order).
+
+    The corpus-redundancy curve behind the dedup family's WHY (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    span dedup (dd09) and near-dup clustering (dd06) act on the
+    duplicates this measures. First-seen attribution is a MIN over the
+    shingle key — order-free and exact, unlike a running "seen so far"
+    scan — so the whole profile is one shingle-keyed aggregate joined
+    back to the per-doc shingle relation (the join reuses the same
+    shingle-key exchange). Shingle-less docs (< 3 words) have no
+    novelty to measure and are absent by construction on BOTH sides.
+
+    Scale shape: linear explode, two shuffles on one key family, and
+    the percentage is the only float (same ROUND on both engines). At
+    100 TB the first_seen relation is the stored shingle index the
+    span-dedup pass already builds — this query is a free byproduct.
+
+    Parity: beyond-reference (§2.11 dedup-analytics extension; seed
+    cbddl/src/etl/pipeline.py:296 dedup keys).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    sz = F.size(words)
+    zipped = F.arrays_zip(
+        F.slice(words, 1, sz - 2), F.slice(words, 2, sz - 2), F.slice(words, 3, sz - 2)
+    )
+    shingles = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+    shingled = documents.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    )
+    first_seen = shingled.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        shingled.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                100.0 * F.col("n_novel") / F.col("n_shingles"), 4
+            ).alias("novelty_pct"),
+        )
+        .orderBy("doc_id")
+    )

@@ -604,3 +604,26 @@ def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
         for r in QUERIES["dq13_l_diversity"](spark, str(tmp_path)).collect()
     }
     assert got == {("AUTOMOBILE", 1): (10, 1)}
+
+
+def test_ngram_novelty_hand_computed(spark, tmp_path):
+    """dd14 on a planted corpus: the first doc is 100% novel, an exact
+    copy later is 0% novel, a half-overlapping doc scores its exact
+    fraction, and a 2-word doc is absent."""
+    rows = [
+        (1, "a b c d", "en", "s", 7),     # shingles: "a b c", "b c d" -> both novel
+        (2, "a b c d", "en", "s", 7),     # exact copy -> 0 novel
+        (3, "b c d e", "en", "s", 7),     # "b c d" seen (doc 1), "c d e" novel
+        (4, "x y", "en", "s", 3),         # shingle-less -> absent
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty_pct)
+        for r in QUERIES["dd14_ngram_novelty"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 2, 100.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 1, 50.0)
+    assert 4 not in got

@@ -126,6 +126,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "gr10_degree_assortativity",  # degree joins + 1-row sufficient stats — linear check
     "tp17_decontaminate_train",  # shingle-keyed join + doc anti-join — linear check
     "ts12_weekday_seasonality",  # two partial-agg rollups over one scan — linear check
+    "dd14_ngram_novelty",  # shingle-keyed min + same-exchange join — linear check
 )
 
 # One stride per key family — shared by every table that references the
