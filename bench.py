@@ -158,6 +158,7 @@ BENCH_R4 = [
     "tp17_decontaminate_train",
     "ts12_weekday_seasonality",
     "dd14_ngram_novelty",
+    "dq14_referential_orphans",
 ]
 
 

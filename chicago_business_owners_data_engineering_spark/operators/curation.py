@@ -1438,3 +1438,71 @@ def dq13_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_sensitive") < L_DIVERSITY)
         .orderBy(*_DQ13_QI)
     )
+
+
+# --- dq14: referential-integrity orphan profile --------------------------------
+
+# (child table, FK column, parent table, PK column) — the full FK web
+# of the TPC-H-ish schema.
+DQ14_FKS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _dq14_oracle() -> str:
+    legs = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{child}.{fk}' AS fk_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (p.{pk} IS NULL) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk in DQ14_FKS
+    )
+    return f"""
+    SELECT fk_name, n_rows, n_orphans,
+           n_orphans = 0 AS intact
+    FROM ({legs})
+    ORDER BY fk_name
+    """
+
+
+@query("dq14_referential_orphans", oracle=_dq14_oracle())
+def dq14_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile: orphan counts for every FK edge
+    of the schema in one long-format relation.
+
+    dq02 spot-checks two constraints; this walks the WHOLE foreign-key
+    web (the onboarding audit that decides whether joins can be
+    declared lossless and whether an anti-join quarantine stage is
+    needed). Each leg is a LEFT join probed for misses and collapsed
+    map-side to a single (n_rows, n_orphans) row — at scale the
+    orphan probe is exactly the shape AQE turns into a broadcast for
+    the dim-sized parents, and the fact-sized legs share one shuffle
+    per FK family. An anti-join would count orphans equally well but
+    loses n_rows; the LEFT-join form gets both from one pass.
+
+    Parity: reference seed is the hand-rolled existence checks in
+    cbddl/src/etl/pipeline.py:205-267; the full-web long-format audit
+    is the beyond-reference extension.
+    """
+    out = None
+    for child, fk, parent, pk in DQ14_FKS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"), F.lit(1).alias("hit"))
+            .distinct()
+        )
+        leg = c.join(p, "k", "left").agg(
+            F.lit(f"{child}.{fk}").alias("fk_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("hit").isNull(), 1)).alias("n_orphans"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.select(
+        "fk_name", "n_rows", "n_orphans", (F.col("n_orphans") == 0).alias("intact")
+    ).orderBy("fk_name")

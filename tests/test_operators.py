@@ -627,3 +627,36 @@ def test_ngram_novelty_hand_computed(spark, tmp_path):
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (2, 1, 50.0)
     assert 4 not in got
+
+
+def test_referential_orphans_planted(spark, tmp_path):
+    """dq14 on a planted web: one orphaned customer FK is counted, the
+    intact nation edge reports zero."""
+    spark.createDataFrame(
+        [(1, "c1", 10, 0.0, "B"), (2, "c2", 99, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, "GERMANY", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    # empty-but-typed remaining tables so every leg runs
+    spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([], "o_orderkey long, o_custkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame([], "p_partkey long").write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame([], "s_suppkey long").write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    got = {
+        r.fk_name: (r.n_rows, r.n_orphans, r.intact)
+        for r in QUERIES["dq14_referential_orphans"](spark, str(tmp_path)).collect()
+    }
+    assert got["customer.c_nationkey"] == (2, 1, False)
+    assert got["lineitem.l_orderkey"] == (0, 0, True)
+    assert len(got) == 5

@@ -127,6 +127,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "tp17_decontaminate_train",  # shingle-keyed join + doc anti-join — linear check
     "ts12_weekday_seasonality",  # two partial-agg rollups over one scan — linear check
     "dd14_ngram_novelty",  # shingle-keyed min + same-exchange join — linear check
+    "dq14_referential_orphans",  # five broadcast-probed FK legs — linear check
 )
 
 # One stride per key family — shared by every table that references the
