@@ -159,6 +159,7 @@ BENCH_R4 = [
     "ts12_weekday_seasonality",
     "dd14_ngram_novelty",
     "dq14_referential_orphans",
+    "ml08_reliability_bins",
 ]
 
 

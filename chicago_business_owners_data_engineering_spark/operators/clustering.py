@@ -926,3 +926,85 @@ def ml06_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(cast(tp as double) / nullif(tp + fp, 0), 6)").alias("precision"),
         F.expr("round(cast(tp as double) / nullif(tp + fn, 0), 6)").alias("recall"),
     ).orderBy("threshold")
+
+
+# --- ml08: score calibration (reliability) bins --------------------------------
+
+ML08_BIN_MICRO = 10_000_000  # decile width on the micro-unit score axis
+
+
+@query(
+    "ml08_reliability_bins",
+    oracle=f"""
+    WITH wt AS (
+        SELECT range AS bucket,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(range AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 101 AS w
+        FROM RANGE({FT_BUCKETS})
+    ), feat AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 8)) AS BIGINT)
+                   % {FT_BUCKETS} AS bucket
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+              FROM documents)
+    ), scored AS (
+        SELECT f.doc_id,
+               CAST((1000000 * SUM(w.w)) // COUNT(*) AS BIGINT) AS score_micro
+        FROM feat f JOIN wt w ON f.bucket = w.bucket
+        GROUP BY f.doc_id
+    )
+    SELECT s.score_micro // {ML08_BIN_MICRO} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars >= {ML06_LABEL_MIN_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CASE WHEN d.n_chars >= {ML06_LABEL_MIN_CHARS}
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS observed_rate
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def ml08_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for ml05's quality scorer: documents bucketed
+    by score decile, each bin reporting its observed positive rate
+    against the same weak label ml06 sweeps.
+
+    The third leg of the classifier-eval triad — ml05 infers, ml06
+    picks the operating point, this checks CALIBRATION: does a higher
+    score bin actually contain a higher fraction of positives? (A
+    monotone reliability curve is what makes a threshold sweep
+    meaningful at all.) Bins are integer floor-divisions of the exact
+    micro-unit score, counts are exact integers, and the one float
+    (observed rate) is produced by the identical ROUND/CAST expression
+    on both engines.
+
+    Scale shape: ml05's scoring plan (explode → broadcast parameter
+    table → doc-keyed aggregate) plus one doc-keyed label join and a
+    ≤ ~10-row bin rollup. Nothing new moves at 100 TB.
+
+    Parity: beyond-reference (§2.11 model-eval extension; quality seed
+    cbddl/src/data_ingestion/ingestion_pipeline.py:54-74).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    scored = fasttext_scores(documents).select("doc_id", "score_micro")
+    labeled = scored.join(documents.select("doc_id", "n_chars"), "doc_id")
+    pos = F.when(F.col("n_chars") >= ML06_LABEL_MIN_CHARS, 1).otherwise(0)
+    return (
+        labeled.groupBy(
+            F.expr(f"score_micro div {ML08_BIN_MICRO}").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pos).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr(
+                "round(cast(n_pos as double) / n_docs, 6)"
+            ).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -660,3 +660,23 @@ def test_referential_orphans_planted(spark, tmp_path):
     assert got["customer.c_nationkey"] == (2, 1, False)
     assert got["lineitem.l_orderkey"] == (0, 0, True)
     assert len(got) == 5
+
+
+def test_reliability_bins_partition_and_consistency(spark, sf_dir):
+    """ml08's bins partition the scored corpus exactly (Σ n_docs equals
+    ml05's row count), every bin's rate is n_pos/n_docs, and bin ids
+    are the floor-decile of scores ml05 actually produced."""
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        ML08_BIN_MICRO,
+        ml05_fasttext_quality,
+        ml08_reliability_bins,
+    )
+
+    bins = ml08_reliability_bins(spark, sf_dir).collect()
+    scored = ml05_fasttext_quality(spark, sf_dir).collect()
+    assert sum(b.n_docs for b in bins) == len(scored)
+    expected_bins = {s.score_micro // ML08_BIN_MICRO for s in scored}
+    assert {b.bin for b in bins} == expected_bins
+    for b in bins:
+        assert 0 <= b.n_pos <= b.n_docs
+        assert b.observed_rate == round(b.n_pos / b.n_docs, 6)
