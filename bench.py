@@ -160,6 +160,7 @@ BENCH_R4 = [
     "dd14_ngram_novelty",
     "dq14_referential_orphans",
     "ml08_reliability_bins",
+    "st02_last_touch_attribution",
 ]
 
 

@@ -1216,3 +1216,76 @@ def tp17_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- st02: last-touch attribution ----------------------------------------------
+
+
+@query(
+    "st02_last_touch_attribution",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+        FROM events
+    )
+    SELECT COALESCE(last_touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+)
+def st02_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the most
+    recent preceding non-purchase event type in the same user journey
+    ('direct' when nothing precedes).
+
+    The attribution leg of the journey family (st01 cuts sessions,
+    ts03 funnels, ts08 builds the transition matrix — this assigns the
+    MONEY): one IGNORE-NULLS last_value window over the user journey,
+    frame capped at 1 PRECEDING so a purchase never credits itself,
+    ties inside a timestamp broken by event_id so the credit is a
+    total function of the data. Revenue stays in integer cents (the
+    er03 rule); both engines evaluate the identical window frame.
+
+    Scale shape: one shuffle on user_id (journeys are user-local —
+    the st01 argument), map-side partials on the tiny channel rollup
+    after. No self-join: the AS-OF-style "latest preceding" is the
+    window frame itself.
+
+    Parity: beyond-reference (§2.11 journey-analytics extension; seed
+    cbddl/src/api/main.py's event summaries).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = events.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

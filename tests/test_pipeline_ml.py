@@ -591,3 +591,35 @@ def test_decontaminate_train_drops_overlap_keeps_short_docs(spark, tmp_path):
     assert t_dirty not in got  # shares "the quick brown" / "quick brown fox"
     assert got[t_clean] == 3  # 5 words -> 3 shingles
     assert got[t_short] == 0  # shingle-less, survives
+
+
+def test_last_touch_attribution_hand_computed(spark, tmp_path):
+    """st02 on a planted journey: the purchase credits the most recent
+    prior non-purchase touch, a first-event purchase goes to 'direct',
+    and a purchase never credits an earlier purchase."""
+    rows = [
+        # user 1: view -> click -> purchase(10) -> purchase(5)
+        (0, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (1, "2024-01-01 11:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 12:00:00", 1, "purchase", 10.0, "{}"),
+        (3, "2024-01-01 13:00:00", 1, "purchase", 5.0, "{}"),
+        # user 2: purchase with no prior touch -> direct
+        (4, "2024-01-01 09:00:00", 2, "purchase", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    got = {
+        r.channel: (r.n_purchases, r.revenue_cents)
+        for r in QUERIES["st02_last_touch_attribution"](spark, str(tmp_path)).collect()
+    }
+    # both of user 1's purchases credit 'click' (the second skips the
+    # intervening purchase thanks to the CASE+IGNORE NULLS)
+    assert got == {"click": (2, 1500), "direct": (1, 700)}

@@ -129,6 +129,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dd14_ngram_novelty",  # shingle-keyed min + same-exchange join — linear check
     "dq14_referential_orphans",  # five broadcast-probed FK legs — linear check
     "ml08_reliability_bins",  # ml05 scoring shape + bounded bin rollup — linear check
+    "st02_last_touch_attribution",  # one user-keyed journey window — linear check
 )
 
 # One stride per key family — shared by every table that references the
