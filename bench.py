@@ -161,6 +161,7 @@ BENCH_R4 = [
     "dq14_referential_orphans",
     "ml08_reliability_bins",
     "st02_last_touch_attribution",
+    "u06_arrow_udf_bucket",
 ]
 
 

@@ -195,3 +195,62 @@ def u05_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __u05_documents d, LATERAL long_tokens_udtf(d.text) s
         """
     )
+
+
+# --- u06: Arrow-optimized scalar Python UDF -------------------------------------
+
+
+@query(
+    "u06_arrow_udf_bucket",
+    oracle="""
+    SELECT CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def u06_arrow_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 `useArrow=True`),
+    oracle-checked against the pure-SQL twin.
+
+    Completes the UDF matrix (u01 pandas_udf, u02 grouped-agg UDAF,
+    u03 applyInPandas, u04 SQL-registered, u05 UDTF) with the Spark
+    3.5+/4.x arrow-batched SCALAR form: row-at-a-time Python
+    semantics, Arrow columnar transfer — ~2-3× over pickled scalar
+    UDFs without rewriting the function in pandas. The UDF body
+    recomputes tp01's md5 bucket in pure Python (hashlib), so this
+    query has a FULL differential oracle — unlike most UDF demos,
+    correctness here isn't rows-only: the Python path must agree with
+    the SQL md5/conv path bit for bit, which also certifies the
+    portable-hash contract both engines rely on.
+
+    The repo-wide rule stands: UDFs are the slow path (every hot-path
+    operator uses built-ins — see PLANS.md's python-eval column);
+    this family exists to cover the API surface and pin the
+    performance-tier choices with tests.
+
+    Parity: reference runs row-wise pandas .apply throughout its ETL
+    (cbddl/src/etl/pipeline.py); this is the Spark-4 idiom for the
+    same shape.
+    """
+    import hashlib
+
+    from ..catalog import load_table
+
+    @F.udf("long", useArrow=True)
+    def md5_bucket_py(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.select(md5_bucket_py("doc_id").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )

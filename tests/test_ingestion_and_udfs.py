@@ -140,3 +140,18 @@ def test_hyperplane_lsh_recall(spark, sf_dir):
     assert lsh <= exact  # no false positives (exact verify pass)
     if exact:
         assert len(lsh) / len(exact) > 0.15  # probabilistic recall floor
+
+
+def test_arrow_udf_matches_native_bucket(spark):
+    """u06's Python md5 bucket is bit-identical to the JVM md5/conv
+    path AND to pipeline_ml's _md5_bucket used by every splitter."""
+    from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
+        _md5_bucket,
+    )
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    native = {r.doc_id: r.b for r in df.select("doc_id", _md5_bucket(F.col("doc_id")).alias("b")).collect()}
+    for i in range(500):
+        py = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        assert native[i] == py
