@@ -162,6 +162,7 @@ BENCH_R4 = [
     "ml08_reliability_bins",
     "st02_last_touch_attribution",
     "u06_arrow_udf_bucket",
+    "sim15_ivf_recall_eval",
 ]
 
 

@@ -1149,3 +1149,178 @@ def pq_knn_join(
         )
         .orderBy("vec_id")
     )
+
+
+# --- sim15: IVF recall evaluation ------------------------------------------------
+
+RECALL_QUERY_MOD = 101  # query panel: vec_id % 101 == 0 ...
+RECALL_QUERY_MAX = 5000  # ... within a FIXED id window (panel doesn't grow)
+RECALL_NPROBE = 3
+
+
+@query(
+    "sim15_ivf_recall_eval",
+    oracle=f"""
+    WITH qs AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings
+        WHERE vec_id % {RECALL_QUERY_MOD} = 0 AND vec_id <= {RECALL_QUERY_MAX}
+    ),
+    pos AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, GENERATE_SERIES(1, 64) AS g(i)
+    ),
+    cent AS (
+        SELECT label, LIST(mean_val ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(val) AS mean_val FROM pos GROUP BY label, pos)
+        GROUP BY label
+    ),
+    probed AS (
+        SELECT qid, label FROM (
+            SELECT q.qid, c.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY LIST_DOT_PRODUCT(c.centroid, q.qv) /
+                                (SQRT(LIST_DOT_PRODUCT(c.centroid, c.centroid)) *
+                                 SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) DESC,
+                                c.label ASC) AS rn
+            FROM cent c, qs q
+        ) WHERE rn <= {RECALL_NPROBE}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                     (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))) *
+                      SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS c
+        FROM embeddings e, qs q
+        WHERE e.vec_id <> q.qid
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC)
+                       AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    ),
+    ivf AS (
+        SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.qid
+                                      ORDER BY s.c DESC, s.vec_id ASC) AS rn
+            FROM scored s JOIN probed p ON s.qid = p.qid AND s.label = p.label
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           ROUND(100.0 * COUNT(i.vec_id) / COUNT(*), 4) AS recall_pct
+    FROM exact e LEFT JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
+    GROUP BY e.qid
+    ORDER BY e.qid
+    """,
+)
+def sim15_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (sim03's probe rule) against exact
+    brute-force top-k, over a FIXED panel of query vectors.
+
+    The eval every ANN deployment owes its users: approximate search
+    is only as good as its measured recall, and the measurement is a
+    JOIN — exact top-k per query LEFT-joined with the IVF top-k, hit
+    fraction per query. Both rankings order by the ROUNDED cosine with
+    vec_id tie-break (the sim01/sim03 discipline) so the comparison is
+    a total function of the data on both engines.
+
+    Scale honesty: the query PANEL is a fixed id window (% mod inside
+    an id cap), so eval cost is |panel| × corpus — linear in corpus —
+    instead of the quadratic a %-only panel would give; at 100 TB you
+    evaluate on a sampled panel against a sampled corpus stratum, and
+    the plan is unchanged. The centroid build is shared with sim03
+    (same posexplode partial-agg shape); the exact leg is the
+    deliberate cost of the eval, not a hot-path operator.
+
+    Parity: beyond-reference (§2.11 similarity-eval extension,
+    completing sim03/sim09/sim10's quality pytests with a registry-
+    visible, oracle-checked recall report).
+    """
+    from pyspark.sql import Window
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    qs = embeddings.filter(
+        (F.col("vec_id") % RECALL_QUERY_MOD == 0)
+        & (F.col("vec_id") <= RECALL_QUERY_MAX)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    pos = embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s.mean_val,
+            ).alias("centroid")
+        )
+    )
+    wq = Window.partitionBy("qid")
+    probed = (
+        cent.crossJoin(F.broadcast(qs))
+        .select(
+            "qid", "label", cosine(F.col("centroid"), F.col("qv")).alias("cs")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("cs"), F.asc("label"))),
+        )
+        .filter(F.col("rn") <= RECALL_NPROBE)
+        .select("qid", "label")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+            ).alias("c"),
+        )
+    )
+    rank = F.row_number().over(wq.orderBy(F.desc("c"), F.asc("vec_id")))
+    exact = scored.withColumn("rn", rank).filter(F.col("rn") <= TOP_K).select(
+        "qid", "vec_id"
+    )
+    ivf = (
+        scored.join(F.broadcast(probed), ["qid", "label"])
+        .withColumn("rn", rank)
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("ivf_vec"))
+    )
+    return (
+        exact.join(
+            ivf,
+            on=[exact["qid"] == ivf["qid"], exact["vec_id"] == ivf["ivf_vec"]],
+            how="left",
+        )
+        .groupBy(exact["qid"].alias("qid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("ivf_vec").alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hits",
+            F.round(100.0 * F.col("n_hits") / F.col("n_exact"), 4).alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("qid")
+    )

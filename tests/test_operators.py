@@ -680,3 +680,47 @@ def test_reliability_bins_partition_and_consistency(spark, sf_dir):
     for b in bins:
         assert 0 <= b.n_pos <= b.n_docs
         assert b.observed_rate == round(b.n_pos / b.n_docs, 6)
+
+
+def test_ivf_recall_eval_internal_consistency(spark, sf_dir):
+    """sim15's report reconciles against independently recomputed exact
+    and IVF top-k sets for every panel query."""
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        RECALL_NPROBE,
+        RECALL_QUERY_MAX,
+        RECALL_QUERY_MOD,
+        TOP_K,
+        sim15_ivf_recall_eval,
+    )
+    import numpy as np
+
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=float), r.label) for r in rows}
+    qids = [v for v in vecs if v % RECALL_QUERY_MOD == 0 and v <= RECALL_QUERY_MAX]
+    labels = sorted({l for _, l in vecs.values()})
+    cents = {
+        l: np.mean([v for v, lab in vecs.values() if lab == l], axis=0)
+        for l in labels
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    got = {r.qid: r for r in sim15_ivf_recall_eval(spark, sf_dir).collect()}
+    assert set(got) == set(qids)
+    for qid in qids:
+        qv = vecs[qid][0]
+        probe = sorted(labels, key=lambda l: (-cos(cents[l], qv), l))[:RECALL_NPROBE]
+        ranked = sorted(
+            ((round(cos(v, qv), 6), vid, lab) for vid, (v, lab) in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact = {vid for _, vid, _ in ranked[:TOP_K]}
+        ivf = [t for t in ranked if t[2] in probe][:TOP_K]
+        hits = exact & {vid for _, vid, _ in ivf}
+        r = got[qid]
+        assert r.n_exact == len(exact)
+        assert r.n_hits == len(hits)
+        assert r.recall_pct == round(100.0 * len(hits) / len(exact), 4)

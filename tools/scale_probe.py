@@ -130,6 +130,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dq14_referential_orphans",  # five broadcast-probed FK legs — linear check
     "ml08_reliability_bins",  # ml05 scoring shape + bounded bin rollup — linear check
     "st02_last_touch_attribution",  # one user-keyed journey window — linear check
+    "sim15_ivf_recall_eval",  # fixed panel × corpus exact leg — linear check
 )
 
 # One stride per key family — shared by every table that references the
