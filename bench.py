@@ -163,6 +163,8 @@ BENCH_R4 = [
     "st02_last_touch_attribution",
     "u06_arrow_udf_bucket",
     "sim15_ivf_recall_eval",
+    "a30_grouped_string_agg",
+    "j12_null_safe_join",
 ]
 
 

@@ -507,3 +507,53 @@ def map_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("status_counts")
     )
+
+
+# --- a30: ordered grouped string aggregation ------------------------------------
+
+
+@query(
+    "a30_grouped_string_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           STRING_AGG(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                      ORDER BY CAST(c_nationkey AS VARCHAR)) AS nation_list
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def a30_grouped_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, de-duplicated string aggregation per group — the
+    LISTAGG/STRING_AGG reporting primitive.
+
+    The one aggregate where determinism is usually lost by default:
+    bare collect_list order is partition-arrival order (run-to-run
+    nondeterministic), so the repo form is collect_set → array_sort →
+    array_join — exactly the DISTINCT ... ORDER BY contract of ANSI
+    LISTAGG, reproducible on any partitioning. Sorting the STRING
+    forms on both engines sidesteps the numeric-vs-lexicographic
+    collation question entirely.
+
+    Scale trap, documented: a group's concatenation is unbounded — at
+    100 TB you cap the set (slice(array_sort(...), 1, K) with the
+    count column telling the reader what was dropped); the fixture's
+    25-nation domain needs no cap.
+
+    Parity: reference seed is the comma-joined owner-name lists in
+    cbddl/src/analytics/demographics_analyzer.py; this is the engine
+    form.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))),
+                ",",
+            ).alias("nation_list"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -463,3 +463,63 @@ def j11_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("segment", "order_year")
     )
+
+
+# --- j12: null-safe join semantics ------------------------------------------
+
+
+@query(
+    "j12_null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, NULLIF(c_nationkey, 0) AS nk FROM customer
+    ), s AS (
+        SELECT s_suppkey, NULLIF(s_nationkey, 0) AS nk FROM supplier
+    )
+    SELECT COALESCE(CAST(c.nk AS VARCHAR), 'NULL') AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY 1
+    ORDER BY nation_key
+    """,
+)
+def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): customer ×
+    supplier pairs per nation key where nation 0 has been NULLed out —
+    the NULLs MATCH each other instead of silently dropping.
+
+    The semantics gap plain equi-joins hide: `NULL = NULL` is NULL, so
+    rows with a NULL key vanish from an inner join — the classic
+    silent-data-loss bug when a dimension key is optional. Spark's
+    `eqNullSafe` compiles to the same hash-join as `=` (the NULL bucket
+    is just another key), so this costs nothing over j01; DuckDB spells
+    it IS NOT DISTINCT FROM. NULLIF plants the NULL population
+    deterministically from real data, and the output groups pair counts
+    per key with NULL shown explicitly — the row that proves the NULL
+    bucket joined.
+
+    Scale note: a real optional-key join at 100 TB puts ALL null-keyed
+    rows in ONE hash bucket — the worst skew key by construction — so
+    the production form either pre-splits the NULL population (union of
+    a null-only cross-count and a non-null equi-join, exactly this
+    query's GROUP BY shape) or salts that bucket (skew02's recipe).
+
+    Parity: §2.3 join-semantics completion (the reference's pandas
+    merges drop NaN keys silently, cbddl/src/etl/pipeline.py).
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("c_nk")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("s_nk")
+    )
+    return (
+        customer.join(supplier, customer["c_nk"].eqNullSafe(supplier["s_nk"]))
+        .groupBy(
+            F.coalesce(F.col("c_nk").cast("string"), F.lit("NULL")).alias(
+                "nation_key"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("nation_key")
+    )

@@ -724,3 +724,43 @@ def test_ivf_recall_eval_internal_consistency(spark, sf_dir):
         assert r.n_exact == len(exact)
         assert r.n_hits == len(hits)
         assert r.recall_pct == round(100.0 * len(hits) / len(exact), 4)
+
+
+def test_string_agg_deterministic_and_sorted(spark, sf_dir):
+    """a30's list is the sorted-distinct contract regardless of
+    partitioning: repartitioned input yields the identical strings."""
+    from chicago_business_owners_data_engineering_spark.operators.aggregates import (
+        a30_grouped_string_agg,
+    )
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+
+    got = {r.c_mktsegment: r.nation_list for r in a30_grouped_string_agg(spark, sf_dir).collect()}
+    cust = load_table(spark, sf_dir, "customer").repartition(13, "c_custkey")
+    re = {
+        r.c_mktsegment: r.nation_list
+        for r in cust.groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
+            ).alias("nation_list")
+        )
+        .collect()
+    }
+    assert got == re
+    for seg, lst in got.items():
+        parts = lst.split(",")
+        assert parts == sorted(set(parts))
+
+
+def test_null_safe_join_matches_null_bucket(spark, sf_dir):
+    """j12's NULL row equals |customers in nation 0| × |suppliers in
+    nation 0| — the pairs a plain equi-join silently drops."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+
+    nc = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0).count()
+    ns = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 0).count()
+    rows = {r.nation_key: r.n_pairs for r in QUERIES["j12_null_safe_join"](spark, sf_dir).collect()}
+    if nc and ns:
+        assert rows["NULL"] == nc * ns
+    else:
+        assert "NULL" not in rows
