@@ -32,6 +32,7 @@ EXPECTED_PYTHON = {
     # documented vectorized-Python path (a 64×64 rotation as codegen
     # literals would be a 4096-node expression tree)
     "sim10_opq_topk",
+    "u06_arrow_udf_bucket",  # the Arrow scalar-UDF demo IS the Python path
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o04_pagination",
@@ -69,6 +70,7 @@ EXPECTED_CARTESIAN = {
     "sim08_hybrid_search",       # 1-row query vector broadcast onto the doc⋈vector scan
     "tp10_curriculum_order",     # 1-row corpus-total broadcast (shares tx09's scoring shape)
     "ml06_threshold_sweep",      # 5-row threshold spine broadcast onto the scored relation
+    "sim15_ivf_recall_eval",     # bounded (≤50-row) query-panel broadcast, twice — the eval's exact leg
     # spine construction: event-type dim × bounded hour sequence —
     # dim-sized by construction (hours × types), never data-sized
     "ts07_gap_fill",
