@@ -165,6 +165,7 @@ BENCH_R4 = [
     "sim15_ivf_recall_eval",
     "a30_grouped_string_agg",
     "j12_null_safe_join",
+    "dd15_simhash_hamming_pairs",
 ]
 
 

@@ -1459,3 +1459,115 @@ def dd14_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- dd15: SimHash hamming pairs via pigeonhole banding -------------------------
+
+HAMMING_MAX = 3  # Manku et al.'s k: 4 bands ⇒ any pair ≤ 3 bits apart collides
+
+_DD15_ORACLE = _DD05_ORACLE.replace(
+    "    SELECT doc_id, simhash,",
+    "    , fp AS (SELECT doc_id, simhash,",
+).replace(
+    f"""           {', '.join(f"(simhash >> {_SIMHASH_BAND * i}) & {(1 << _SIMHASH_BAND) - 1} AS band15_{i}" for i in range(4))}
+    FROM packed
+""",
+    f"""           {', '.join(f"(simhash >> {_SIMHASH_BAND * i}) & {(1 << _SIMHASH_BAND) - 1} AS band15_{i}" for i in range(4))}
+    FROM packed)
+    , bands AS (
+        SELECT doc_id, simhash, i AS band_idx,
+               (simhash >> ({_SIMHASH_BAND} * i)) & {(1 << _SIMHASH_BAND) - 1}
+                   AS band_val
+        FROM fp, GENERATE_SERIES(0, 3) AS g(i)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(BIT_COUNT(XOR(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+""",
+)
+
+
+@query("dd15_simhash_hamming_pairs", oracle=_DD15_ORACLE)
+def dd15_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within HAMMING_MAX bits on the 60-bit SimHash
+    — dd05's fingerprint turned into PAIRS without an all-pairs scan.
+
+    Manku, Jain & Das Sarma's crawl-dedup recipe (WWW'07), exact by
+    the pigeonhole principle: split the fingerprint into
+    HAMMING_MAX + 1 bands — two fingerprints ≤ 3 bits apart cannot
+    differ in all 4 bands, so they MUST share at least one band value
+    verbatim. Candidates = band-equality join (never n²); verification
+    = one codegen expression, bit_count(a ^ b) ≤ 3. ZERO recall loss,
+    unlike probabilistic MinHash banding (dd04) — the trade is that
+    hamming-on-simhash is itself the approximation of similarity.
+
+    Scale shape: the join keys on (band_idx, band_val) — 4×|corpus|
+    rows against 2^15 values per band; near-identical fingerprint
+    populations (exact dups) concentrate in one bucket, which is real
+    duplicate mass, not hash skew (AQE skew-split handles the
+    pathological all-same-page crawl). Verification and the distinct
+    both stay on the canonical (doc_a < doc_b) pair key.
+
+    Parity: beyond-reference (§2.11 dedup extension; the SimHash leg's
+    pair-production step, completing dd05 the way dd04→dd06 completes
+    MinHash). Reference seed: cbddl/src/etl/pipeline.py:296 dedup keys.
+    """
+    # Materialize the fingerprints ONCE: the 60-fold vote projection is
+    # a huge expression tree, and the band self-join would otherwise
+    # inline it on BOTH sides (8 copies after the band explode) — the
+    # unrolled-plan trap every iterative op here guards against.
+    fp = (
+        dd05_simhash(spark, sf_dir)
+        .select("doc_id", "simhash")
+        .localCheckpoint(eager=True)
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"(simhash >> {_SIMHASH_BAND * i})"
+                            f" & {(1 << _SIMHASH_BAND) - 1}"
+                        ).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return (
+        cand.filter(hamming <= HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

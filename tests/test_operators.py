@@ -764,3 +764,29 @@ def test_null_safe_join_matches_null_bucket(spark, sf_dir):
         assert rows["NULL"] == nc * ns
     else:
         assert "NULL" not in rows
+
+
+def test_simhash_hamming_pairs_pigeonhole_exact(spark, sf_dir):
+    """dd15's banding loses NOTHING: the pair set equals a brute-force
+    hamming sweep over dd05's fingerprints, and every reported distance
+    is the true popcount."""
+    from chicago_business_owners_data_engineering_spark.operators.dedup import (
+        HAMMING_MAX,
+        dd05_simhash,
+        dd15_simhash_hamming_pairs,
+    )
+
+    fps = {r.doc_id: r.simhash for r in dd05_simhash(spark, sf_dir).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= HAMMING_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd15_simhash_hamming_pairs(spark, sf_dir).collect()
+    }
+    assert got == brute
+    assert got, "corpus has planted duplicates; pair set must be non-empty"

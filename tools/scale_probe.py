@@ -131,6 +131,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "ml08_reliability_bins",  # ml05 scoring shape + bounded bin rollup — linear check
     "st02_last_touch_attribution",  # one user-keyed journey window — linear check
     "sim15_ivf_recall_eval",  # fixed panel × corpus exact leg — linear check
+    "dd15_simhash_hamming_pairs",  # band-equality join — candidate-volume check
 )
 
 # One stride per key family — shared by every table that references the
