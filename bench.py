@@ -166,6 +166,7 @@ BENCH_R4 = [
     "a30_grouped_string_agg",
     "j12_null_safe_join",
     "dd15_simhash_hamming_pairs",
+    "gr11_clustering_coefficient",
 ]
 
 

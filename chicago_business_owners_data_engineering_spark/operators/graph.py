@@ -1444,3 +1444,95 @@ def gr10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "          * sqrt(cast(m * syy - sy * sy as double)), 0), 6)"
         ).alias("assortativity"),
     )
+
+
+# --- gr11: local clustering coefficient -----------------------------------------
+
+CC_TOP = 25
+CC_MIN_DEG = 2  # coefficient undefined below 2 neighbors
+
+
+@query(
+    "gr11_clustering_coefficient",
+    oracle=_COPURCHASE_EDGE_CTE
+    + f"""
+    , tri AS (
+        SELECT p1.part_a AS a, p1.part_b AS b, p2.part_b AS c
+        FROM copairs p1
+        JOIN copairs p2 ON p1.part_b = p2.part_a
+        JOIN copairs p3 ON p3.part_a = p1.part_a AND p3.part_b = p2.part_b
+    ), member AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ), tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM member GROUP BY node
+    ), e0 AS (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL SELECT part_b, part_a FROM copairs
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src
+    )
+    SELECT d.node, d.deg,
+           COALESCE(t.n_tri, 0) AS n_tri,
+           d.deg * (d.deg - 1) // 2 AS n_wedges,
+           ROUND(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coefficient
+    FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+    WHERE d.deg >= {CC_MIN_DEG}
+    ORDER BY coefficient DESC, d.deg DESC, d.node ASC
+    LIMIT {CC_TOP}
+    """,
+)
+def gr11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 nodes by local clustering coefficient: what fraction of a
+    node's neighbor pairs are themselves connected.
+
+    Watts & Strogatz's cohesion metric, assembled entirely from
+    relations the graph family already produces: triangle counts
+    (gr02's degree-oriented enumeration — O(E^1.5), never the naive
+    3-way product the ORACLE deliberately uses) joined with degrees;
+    coefficient = n_tri / C(deg, 2). Both inputs are exact BIGINTs
+    (n_wedges carried in the output as the denominator witness), the
+    ratio is the single float with an identical parse tree on both
+    engines, and the tie order (coefficient DESC, deg DESC, node ASC)
+    is total — the coefficient is a ratio of integers, so equal ratios
+    are EXACTLY equal, not approximately.
+
+    Scale shape: triangle counting dominates (the documented E^1.5
+    wedge bound); everything after is node-keyed joins over node-sized
+    relations.
+
+    Parity: beyond-reference (§2.11 graph-analytics extension; seed
+    cbddl/src/analytics/network_analyzer.py's cohesion views).
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=True
+    )
+    tcnt = triangle_counts(edges)
+    bidir = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = bidir.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("deg") >= CC_MIN_DEG)
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+            (F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+            F.expr(
+                "round(cast(2 * coalesce(n_tri, 0) as double)"
+                " / cast(deg * (deg - 1) as double), 6)"
+            ).alias("coefficient"),
+        )
+        .orderBy(F.desc("coefficient"), F.desc("deg"), F.asc("node"))
+        .limit(CC_TOP)
+    )

@@ -408,3 +408,36 @@ def test_assortativity_star_is_minus_one_and_cycle_is_null(spark, tmp_path):
     r = run([(1, 2), (2, 3), (3, 4), (1, 4)])
     assert r.var_x == 0 and r.var_y == 0
     assert r.assortativity is None
+
+
+def test_clustering_coefficient_canonical_shapes(spark, tmp_path):
+    """gr11's metric on canonical shapes: a triangle's nodes score 1.0,
+    a star hub scores 0.0, and a pendant (deg 1) is excluded."""
+    import datetime
+
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5), (4, 6)]
+    rows = []
+    ts = datetime.datetime(1995, 6, 1)
+    for i, (a, b) in enumerate(edges):
+        for pk in (a, b):
+            rows.append((i, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    got = {
+        r.node: (r.deg, r.n_tri, r.n_wedges, r.coefficient)
+        for r in QUERIES["gr11_clustering_coefficient"](spark, str(tmp_path)).collect()
+    }
+    assert got[2] == (2, 1, 1, 1.0)  # triangle corner
+    assert got[3] == (2, 1, 1, 1.0)
+    # node 1: neighbors {2,3,4}, only 2-3 connected -> 1/3
+    assert got[1] == (3, 1, 3, round(1 / 3, 6))
+    # node 4: neighbors {1,5,6}, none connected -> 0.0
+    assert got[4] == (3, 0, 3, 0.0)
+    assert 5 not in got and 6 not in got  # deg 1 excluded
