@@ -1068,3 +1068,75 @@ def foreach_batch_neardup_dedup(
             fault("post_commit")
 
     return sink
+
+
+def foreach_batch_quality_gate(
+    lake_path: str,
+    keep_micro: int | None = None,
+):
+    """Streaming model-based quality admission: ml05's fastText-shaped
+    scorer as a micro-batch gate. Admitted documents land in
+    ``data/epoch=<id>``; rejected ones in ``rejects/epoch=<id>`` with
+    their scores, so the drop stream is auditable (dq05's quarantine
+    discipline applied to the model gate).
+
+    Exactly-once by the epoch-partition + ledger recipe (the SIMPLE
+    protocol, not the generational one: admission is a pure per-row
+    function with no cross-batch state, so a replay rewrites the same
+    epoch dirs byte-for-byte — overwrite heals torn files — and the
+    ledger marker is the commit point; no read-modify-write, no
+    generation chain). Scoring reuses the BATCH operator
+    (clustering.fasttext_scores), which is the point: batch/streaming
+    parity of the gate is a code-sharing fact, not a re-implementation
+    hoping to agree.
+    """
+    import os
+
+    from ..operators.clustering import FT_KEEP_MICRO, fasttext_scores
+
+    threshold = FT_KEEP_MICRO if keep_micro is None else keep_micro
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(lake_path, "_ledger", f"epoch={epoch_id}")
+        if os.path.isdir(marker):
+            return  # committed replay: skip
+        scored = batch_df.join(
+            fasttext_scores(batch_df.select("doc_id", "text")),
+            "doc_id",
+        )
+        admitted = scored.filter(F.col("score_micro") >= threshold)
+        rejected = scored.filter(F.col("score_micro") < threshold).select(
+            "doc_id", "score_micro", "n_tokens"
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(lake_path, "data", f"epoch={epoch_id}")
+        )
+        rejected.write.mode("overwrite").parquet(
+            os.path.join(lake_path, "rejects", f"epoch={epoch_id}")
+        )
+        os.makedirs(marker, exist_ok=True)
+
+    return sink
+
+
+def read_quality_gate(
+    spark: SparkSession, lake_path: str, rejects: bool = False
+) -> DataFrame | None:
+    """Committed-epochs view of the quality gate's output (or rejects).
+
+    Readers resolve through the ledger so an in-flight epoch's
+    half-written partition is never observed — the same read contract
+    as read_versioned, minus the generation chain.
+    """
+    import os
+
+    committed = _versioned_committed(lake_path)
+    sub = "rejects" if rejects else "data"
+    dirs = [
+        os.path.join(lake_path, sub, f"epoch={e}")
+        for e in committed
+        if os.path.isdir(os.path.join(lake_path, sub, f"epoch={e}"))
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)

@@ -254,3 +254,60 @@ def test_pq_append_replay_after_lost_marker(spark, tmp_path):
     shutil.rmtree(os.path.join(out, "_append_ledger"))
     sink(batch, 0)
     assert spark.read.parquet(os.path.join(out, "pq_index")).count() == base + 1
+
+
+def test_quality_gate_batch_parity_and_replay(spark, tmp_path):
+    """The streaming quality gate admits exactly the docs ml05 labels
+    'keep', partitions data/rejects cleanly, survives a crash between
+    the data write and the ledger marker (replay rewrites the same
+    epoch), and skips fully-committed replays."""
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        FT_KEEP_MICRO,
+        fasttext_scores,
+    )
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        foreach_batch_quality_gate,
+        read_quality_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words here number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    lake = str(tmp_path / "gate")
+    sink = foreach_batch_quality_gate(lake)
+
+    # epoch 0: clean run
+    sink(docs.filter(F.col("doc_id") < 20), 0)
+    # epoch 1: crash AFTER the data write, BEFORE the marker — simulate
+    # by running the sink, then deleting the marker (state as-if the
+    # crash hit between steps), then replaying.
+    sink(docs.filter(F.col("doc_id") >= 20), 1)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "gate" / "_ledger" / "epoch=1"))
+    sink(docs.filter(F.col("doc_id") >= 20), 1)  # replay heals
+    # committed replay of epoch 0 must be a no-op (no duplicate rows)
+    sink(docs.filter(F.col("doc_id") < 20), 0)
+
+    admitted = read_quality_gate(spark, lake)
+    rejected = read_quality_gate(spark, lake, rejects=True)
+    n_adm = admitted.count() if admitted is not None else 0
+    n_rej = rejected.count() if rejected is not None else 0
+    assert n_adm + n_rej == 40
+    if admitted is not None:
+        ids = [r.doc_id for r in admitted.select("doc_id").collect()]
+        assert len(ids) == len(set(ids))  # no replay duplicates
+    # parity with the batch scorer
+    expect_keep = {
+        r.doc_id
+        for r in fasttext_scores(docs).filter(
+            F.col("score_micro") >= FT_KEEP_MICRO
+        ).collect()
+    }
+    got_keep = (
+        {r.doc_id for r in admitted.select("doc_id").collect()}
+        if admitted is not None
+        else set()
+    )
+    assert got_keep == expect_keep
