@@ -167,6 +167,7 @@ BENCH_R4 = [
     "j12_null_safe_join",
     "dd15_simhash_hamming_pairs",
     "gr11_clustering_coefficient",
+    "wh04_scd2_merge",
 ]
 
 

@@ -530,3 +530,108 @@ def incremental_daily_agg(existing_agg: DataFrame, new_lines: DataFrame, new_ord
         F.sum("num_lines").alias("num_lines"),
         F.round(F.sum("revenue"), 4).alias("revenue"),
     )
+
+
+# --- wh04: SCD2 merge-apply ------------------------------------------------
+
+SCD2_T0 = "2024-01-01"
+SCD2_T1 = "2024-06-01"
+
+
+@query(
+    "wh04_scd2_merge",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ), changes AS (
+        SELECT c_custkey, bal_cents + 10000 AS bal_cents
+        FROM base WHERE c_custkey % 7 = 0
+    )
+    SELECT b.c_custkey AS custkey, b.bal_cents,
+           '{SCD2_T0}' AS valid_from,
+           CASE WHEN c.c_custkey IS NULL THEN NULL ELSE '{SCD2_T1}' END AS valid_to,
+           c.c_custkey IS NULL AS is_current
+    FROM base b LEFT JOIN changes c ON b.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT c_custkey, bal_cents, '{SCD2_T1}', NULL, TRUE FROM changes
+    ORDER BY custkey, valid_from
+    """,
+)
+def wh04_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge-APPLY: fold a change batch into a type-2 dimension —
+    close the changed keys' current intervals at T1, open new current
+    rows, pass unchanged keys through.
+
+    The WRITE side of the SCD2 story (j11 reads point-in-time, w09
+    derives validity intervals, ups01 is the type-1 latest-wins twin):
+    one LEFT join of the current state against the change batch
+    decides close-vs-passthrough per key, and the change batch itself
+    becomes the newly-opened rows — two data-sized relations, one
+    join, one union, no window needed because the incoming batch
+    carries exactly one change per key (the multi-change-per-batch
+    form adds ups01's version window in front). Money stays integer
+    cents; interval bounds are date STRINGS on both engines (the
+    dtype-trap rule).
+
+    Idempotence note (the production contract, pytest-pinned): applying
+    the same batch to the already-merged state must not close the new
+    rows again — the merge matches on (key AND bal differs), so a
+    replayed identical change is a no-op passthrough.
+
+    Parity: the reference rebuilds dimensions wholesale per batch
+    (cbddl/src/etl/pipeline.py:479-565); interval-preserving history is
+    the beyond-reference warehouse extension.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    state0 = base.select(
+        F.col("c_custkey").alias("custkey"),
+        "bal_cents",
+        F.lit(SCD2_T0).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = base.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        (F.col("bal_cents") + 10000).alias("bal_cents"),
+    )
+    return scd2_merge(state0, changes, SCD2_T1).orderBy("custkey", "valid_from")
+
+
+def scd2_merge(state: DataFrame, changes: DataFrame, t1: str) -> DataFrame:
+    """Fold a one-row-per-key change batch into an SCD2 state relation.
+
+    ``state``: (custkey, bal_cents, valid_from, valid_to, is_current);
+    ``changes``: (custkey, bal_cents). Close-and-open happens ONLY when
+    the incoming value actually differs — a replayed identical batch is
+    a passthrough, which is the idempotence contract a crash-replaying
+    loader relies on (pytest-pinned). History rows pass through
+    untouched; all relations stay key-partitioned.
+    """
+    cur = state.filter(F.col("is_current"))
+    hist = state.filter(~F.col("is_current"))
+    ch = changes.select(
+        F.col("custkey").alias("k"), F.col("bal_cents").alias("new_bal")
+    )
+    j = cur.join(ch, cur["custkey"] == ch["k"], "left")
+    is_changed = F.col("k").isNotNull() & (F.col("bal_cents") != F.col("new_bal"))
+    passthrough = j.filter(~is_changed).select(*state.columns)
+    closed = j.filter(is_changed).select(
+        "custkey",
+        "bal_cents",
+        "valid_from",
+        F.lit(t1).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.filter(is_changed).select(
+        "custkey",
+        F.col("new_bal").alias("bal_cents"),
+        F.lit(t1).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.unionByName(passthrough).unionByName(closed).unionByName(opened)

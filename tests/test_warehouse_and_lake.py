@@ -1085,3 +1085,42 @@ def test_storage_format_matrix_roundtrip(spark, sf_dir, tmp_path):
     )
     for got in (got_p, got_o, got_j, got_c):
         assert {tuple(r) for r in got.collect()} == expected
+
+
+def test_scd2_merge_idempotent_and_interval_correct(spark):
+    """wh04's merge contract: a change closes-and-opens once; replaying
+    the SAME batch is a passthrough (idempotence); a second real change
+    extends history to three intervals with exactly one current row."""
+    from chicago_business_owners_data_engineering_spark.plans.warehouse import (
+        scd2_merge,
+    )
+
+    state0 = spark.createDataFrame(
+        [(1, 100, "2024-01-01", None, True), (2, 200, "2024-01-01", None, True)],
+        "custkey long, bal_cents long, valid_from string, valid_to string,"
+        " is_current boolean",
+    )
+    batch = spark.createDataFrame([(1, 150)], "custkey long, bal_cents long")
+
+    s1 = scd2_merge(state0, batch, "2024-06-01")
+    rows1 = {(r.custkey, r.bal_cents, r.valid_from, r.valid_to, r.is_current) for r in s1.collect()}
+    assert rows1 == {
+        (1, 100, "2024-01-01", "2024-06-01", False),
+        (1, 150, "2024-06-01", None, True),
+        (2, 200, "2024-01-01", None, True),
+    }
+    # replaying the identical batch: no-op
+    s2 = scd2_merge(s1, batch, "2024-06-02")
+    assert {tuple(r) for r in s2.collect()} == rows1
+    # a second REAL change: three intervals for key 1, one current
+    s3 = scd2_merge(s2, spark.createDataFrame([(1, 175)], "custkey long, bal_cents long"), "2024-09-01")
+    k1 = sorted(
+        (r.valid_from, r.valid_to, r.bal_cents, r.is_current)
+        for r in s3.filter(F.col("custkey") == 1).collect()
+    )
+    assert k1 == [
+        ("2024-01-01", "2024-06-01", 100, False),
+        ("2024-06-01", "2024-09-01", 150, False),
+        ("2024-09-01", None, 175, True),
+    ]
+    assert s3.filter(F.col("is_current") & (F.col("custkey") == 1)).count() == 1
