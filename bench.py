@@ -168,6 +168,7 @@ BENCH_R4 = [
     "dd15_simhash_hamming_pairs",
     "gr11_clustering_coefficient",
     "wh04_scd2_merge",
+    "f25_id_gap_islands",
 ]
 
 

@@ -362,3 +362,67 @@ def f23_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 1000.0},
     )
+
+
+# --- f25: sequence-gap detection (gaps and islands) -----------------------------
+
+
+@query(
+    "f25_id_gap_islands",
+    oracle="""
+    WITH ks AS (
+        SELECT o_orderkey AS k,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - k - 1 AS gap_len
+    FROM ks
+    WHERE nxt > k + 1
+    ORDER BY gap_len DESC, gap_start
+    LIMIT 50
+    """,
+)
+def f25_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50 widest missing-id ranges in the FINALIZED-order key
+    sequence — the gaps half of gaps-and-islands (st01's
+    sessionization is the islands half over time; this is the id-space
+    audit that catches dropped loads and CDC holes; the status filter
+    makes it the "which key ranges contain no finalized orders" audit,
+    non-trivial on any corpus where the full key space is dense).
+
+    One LEAD over the ordered key: a gap exists exactly where the next
+    key skips ahead, and (k+1, next−1) delimits it — no self-join, no
+    generate_series materialization of the id space (the naive form
+    materializes max(id) rows to anti-join; this form's output is
+    proportional to the number of GAPS). All integers.
+
+    Scale shape: the global ORDER BY window is the documented
+    trade-off — at 100 TB the same LEAD runs per id-shard (orders are
+    ingested in key ranges, so gaps cannot span shards except at
+    boundaries, which a 1-row-per-shard min/max pass closes); the
+    fixture's single window is the post-aggregation posture (key
+    relation, not fact payload).
+
+    Parity: beyond-reference (audit extension of dq02's existence
+    checks; seed cbddl/src/etl/pipeline.py:205-267).
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    w = Window.orderBy("k")
+    ks = orders.select(F.col("o_orderkey").alias("k")).withColumn(
+        "nxt", F.lead("k").over(w)
+    )
+    return (
+        ks.filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), "gap_start")
+        .limit(50)
+    )

@@ -790,3 +790,24 @@ def test_simhash_hamming_pairs_pigeonhole_exact(spark, sf_dir):
     }
     assert got == brute
     assert got, "corpus has planted duplicates; pair set must be non-empty"
+
+
+def test_id_gap_islands_hand_computed(spark, tmp_path):
+    """f25 on a planted sequence: keys {1,2,5,6,10} yield gaps (3,4)
+    and (7,9), widest first."""
+    rows = [(k, 1, "F", 1.0, "2024-01-01 00:00:00", "P") for k in (1, 2, 5, 6, 10)]
+    rows.append((3, 1, "O", 1.0, "2024-01-01 00:00:00", "P"))  # non-F: invisible
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in QUERIES["f25_id_gap_islands"](spark, str(tmp_path)).collect()
+    ]
+    assert got == [(7, 9, 3), (3, 4, 2)]
