@@ -55,6 +55,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "dq08_ks_drift",
     # cumulative rank window over the same ≤ KS_BINS-row bin relation
     "dq09_mann_whitney",
+    # LEAD over the filtered KEY relation (not fact payload); the
+    # docstring documents the per-shard form at scale
+    "f25_id_gap_islands",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
