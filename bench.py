@@ -169,6 +169,7 @@ BENCH_R4 = [
     "gr11_clustering_coefficient",
     "wh04_scd2_merge",
     "f25_id_gap_islands",
+    "ts13_seasonal_anomaly",
 ]
 
 

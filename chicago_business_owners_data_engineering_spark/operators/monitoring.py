@@ -896,3 +896,164 @@ def ts12_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "weekday")
     )
+
+
+# --- ts13: seasonally-adjusted anomaly days ----------------------------------
+
+TS13_FENCE = 3  # flag days beyond fence × MAD from the adjusted median
+
+
+@query(
+    "ts13_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(ISODOW(ts) - 1 AS BIGINT) AS weekday,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY 1, 2
+    ), wd_med AS (
+        SELECT weekday, cents AS wdm FROM (
+            SELECT weekday, cents,
+                   ROW_NUMBER() OVER (PARTITION BY weekday ORDER BY cents) AS rn,
+                   COUNT(*) OVER (PARTITION BY weekday) AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ), all_med AS (
+        SELECT cents AS am FROM (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ), wd AS (
+        SELECT weekday,
+               wdm * 1000 // (SELECT am FROM all_med) AS index_milli
+        FROM wd_med
+    ), adjusted AS (
+        SELECT d.day, d.cents,
+               CAST(d.cents * 1000 // NULLIF(w.index_milli, 0) AS BIGINT)
+                   AS adj
+        FROM daily d JOIN wd w ON d.weekday = w.weekday
+    ), med AS (
+        SELECT adj AS m FROM (
+            SELECT adj, ROW_NUMBER() OVER (ORDER BY adj) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM adjusted
+        ) WHERE rn = (n + 1) // 2
+    ), mad AS (
+        SELECT dev AS md FROM (
+            SELECT ABS(a.adj - (SELECT m FROM med)) AS dev,
+                   ROW_NUMBER() OVER (ORDER BY ABS(a.adj - (SELECT m FROM med)))
+                       AS rn,
+                   COUNT(*) OVER () AS n
+            FROM adjusted a
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT STRFTIME(a.day, '%Y-%m-%d') AS day, a.cents, a.adj,
+           CAST(ABS(a.adj - (SELECT m FROM med)) AS BIGINT) AS deviation
+    FROM adjusted a
+    WHERE ABS(a.adj - (SELECT m FROM med))
+          > {TS13_FENCE} * GREATEST((SELECT md FROM mad), 1)
+    ORDER BY day
+    """,
+)
+def ts13_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous revenue days AFTER removing the weekly cycle: flag
+    days whose seasonally-adjusted total sits beyond 3 robust
+    deviations from the adjusted median.
+
+    The composition the ts/dq families were built for: a weekday
+    index de-seasonalizes (a quiet Sunday is NOT an anomaly; the same
+    total on a peak Friday is), and dq10's robust location/scale
+    replaces mean/stddev. ROBUSTNESS IS APPLIED TWICE, deliberately:
+    the index itself is built from per-weekday LOWER MEDIANS, not
+    means — a mean-based index lets one broken Monday inflate
+    Monday's seasonal level 3×, over-deflating every normal Monday
+    into a false positive (the pytest plants exactly this); and the
+    MAD fence carries a GREATEST(·,1) floor so a noise-free corpus
+    (MAD = 0) doesn't flag every day with any deviation. Everything
+    stays integer — all medians are lower-median order statistics
+    picked by row_number over the ≤ 366-row daily relation — and
+    NULLIF guards a zero index.
+
+    Scale shape: one data-sized (day, weekday) rollup; every window
+    after runs on the bounded daily relation (the documented
+    post-aggregation posture); the median/MAD scalars broadcast back
+    as 1-row subqueries.
+
+    Parity: beyond-reference (monitoring composition; the reference's
+    fixed-threshold alerts are the seed,
+    cbddl/src/monitoring/pipeline_monitor.py:60-90).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.col("ts").cast("date").alias("day"),
+            F.weekday("ts").cast("long").alias("weekday"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day", "weekday")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w_wd = Window.partitionBy("weekday").orderBy("cents")
+    wd_med = (
+        daily.select(
+            "weekday",
+            "cents",
+            F.row_number().over(w_wd).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("weekday")).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("weekday", F.col("cents").alias("wdm"))
+    )
+    all_med = (
+        daily.select(
+            "cents",
+            F.row_number().over(Window.orderBy("cents")).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("cents").alias("am"))
+    )
+    wd = wd_med.crossJoin(F.broadcast(all_med)).select(
+        "weekday", F.expr("wdm * 1000 div am").alias("index_milli")
+    )
+    adjusted = daily.join(F.broadcast(wd), "weekday").select(
+        "day",
+        "cents",
+        F.expr(f"cents * 1000 div nullif(index_milli, 0)").alias("adj"),
+    )
+    w = Window.orderBy("adj")
+    med = (
+        adjusted.select(
+            "adj",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("adj").alias("m"))
+    )
+    dev = adjusted.crossJoin(F.broadcast(med)).select(
+        "day", "cents", "adj", F.abs(F.col("adj") - F.col("m")).alias("deviation")
+    )
+    wd2 = Window.orderBy("deviation")
+    mad = (
+        dev.select(
+            "deviation",
+            F.row_number().over(wd2).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("deviation").alias("md"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("deviation") > TS13_FENCE * F.greatest(F.col("md"), F.lit(1)))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "adj",
+            "deviation",
+        )
+        .orderBy("day")
+    )

@@ -303,3 +303,35 @@ def test_weekday_seasonality_hand_computed(spark, tmp_path):
     assert got[0].index_milli == 1500
     assert got[1].index_milli == 500
     assert got[0].n_events == 2 and got[0].sum_cents == 6000
+
+
+def test_seasonal_anomaly_deseasonalizes_before_flagging(spark, tmp_path):
+    """ts13's point: a high-but-normal peak weekday is NOT an anomaly
+    once adjusted, while a genuinely broken day on the same weekday
+    IS. Four weeks of a 2-level weekly pattern + one planted spike."""
+    rows, i = [], 0
+    # Mondays at 40.00, other days at 10.00, 4 weeks (2024-02-05 = Mon)
+    import datetime
+
+    d0 = datetime.date(2024, 2, 5)
+    for off in range(28):
+        day = d0 + datetime.timedelta(days=off)
+        base = 40.0 if day.weekday() == 0 else 10.0
+        if off == 21:  # a Monday gone wrong: 10x its seasonal level
+            base = 400.0
+        rows.append((i, f"{day} 12:00:00", 1, "purchase", base, "{}"))
+        i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+    got = [r.day for r in QUERIES["ts13_seasonal_anomaly"](spark, str(tmp_path)).collect()]
+    assert "2024-02-26" in got  # the broken Monday
+    # ordinary peak Mondays adjusted away
+    assert "2024-02-05" not in got and "2024-02-12" not in got

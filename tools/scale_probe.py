@@ -134,6 +134,7 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dd15_simhash_hamming_pairs",  # band-equality join — candidate-volume check
     "gr11_clustering_coefficient",  # oriented wedge join + node-keyed joins — E^1.5 check
     "wh04_scd2_merge",  # key-partitioned close-and-open join — linear check
+    "ts13_seasonal_anomaly",  # day rollup + bounded median windows — linear check
 )
 
 # One stride per key family — shared by every table that references the
