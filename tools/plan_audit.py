@@ -58,6 +58,8 @@ EXPECTED_GLOBAL_WINDOW = {
     # LEAD over the filtered KEY relation (not fact payload); the
     # docstring documents the per-shard form at scale
     "f25_id_gap_islands",
+    # lower-median order statistics over the ≤ 366-row daily relation
+    "ts13_seasonal_anomaly",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
@@ -77,6 +79,10 @@ EXPECTED_CARTESIAN = {
     # spine construction: event-type dim × bounded hour sequence —
     # dim-sized by construction (hours × types), never data-sized
     "ts07_gap_fill",
+    # 1-row median/MAD relations broadcast back onto the daily grain
+    # (filtered-window scalars — the keyless-aggregate heuristic can't
+    # see them)
+    "ts13_seasonal_anomaly",
 }
 
 
