@@ -1329,7 +1329,11 @@ def dq12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the result a relation a quality dashboard consumes directly.
     The composite candidate concatenates through a '|' separator
     identically on both engines (multi-column COUNT DISTINCT has
-    engine-specific null semantics; the string form does not).
+    engine-specific null semantics; the string form does not). Both
+    sides use null-PROPAGATING concatenation — ``F.concat`` here,
+    ``||`` in the oracle — so a NULL in any composite column makes the
+    whole candidate NULL and lands in the null count, not the distinct
+    count.
 
     Scale shape: Spark evaluates multi-column exact distincts via one
     EXPAND pass (k× map-side row fan-out, one shuffle on the grouping
@@ -1344,9 +1348,15 @@ def dq12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation layer, cbddl/src/etl/pipeline.py:205-267).
     """
     orders = load_table(spark, sf_dir, "orders")
-    composite = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in DQ12_COMPOSITE]
-    )
+    # Null-PROPAGATING concat (not concat_ws, which skips nulls): the
+    # oracle's `CAST(a) || '|' || CAST(b)` yields NULL when any part is
+    # NULL, and the composite candidate must count nulls the same way.
+    composite_parts: list = []
+    for i, c in enumerate(DQ12_COMPOSITE):
+        if i:
+            composite_parts.append(F.lit("|"))
+        composite_parts.append(F.col(c).cast("string"))
+    composite = F.concat(*composite_parts)
     n = F.count(F.lit(1))
     aggs = [n.alias("n_rows")]
     for c in DQ12_COLUMNS:

@@ -1432,8 +1432,13 @@ def dd14_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), " ")
     sz = F.size(words)
+    # Clamp the slice length at 0 so <3-word docs yield zero shingles
+    # instead of a negative-length slice error (Spark rejects length<0).
+    n_grams = F.greatest(sz - F.lit(2), F.lit(0))
     zipped = F.arrays_zip(
-        F.slice(words, 1, sz - 2), F.slice(words, 2, sz - 2), F.slice(words, 3, sz - 2)
+        F.slice(words, 1, n_grams),
+        F.slice(words, 2, n_grams),
+        F.slice(words, 3, n_grams),
     )
     shingles = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
     shingled = documents.select(

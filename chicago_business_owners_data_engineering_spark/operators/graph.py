@@ -1527,7 +1527,7 @@ def gr11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             "deg",
             F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
-            (F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+            F.expr("deg * (deg - 1) div 2").alias("n_wedges"),
             F.expr(
                 "round(cast(2 * coalesce(n_tri, 0) as double)"
                 " / cast(deg * (deg - 1) as double), 6)"

@@ -1297,19 +1297,29 @@ def sim15_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = scored.withColumn("rn", rank).filter(F.col("rn") <= TOP_K).select(
         "qid", "vec_id"
     )
+    # Rename BOTH join keys on the ivf side (qid -> ivf_qid, vec_id ->
+    # ivf_vec): exact and ivf share lineage through `scored`, and a
+    # common-lineage join on exact['qid'] == ivf['qid'] leans on Spark's
+    # ambiguous-self-join disambiguation — textually distinct names make
+    # every key binding unambiguous regardless of plan changes.
     ivf = (
         scored.join(F.broadcast(probed), ["qid", "label"])
         .withColumn("rn", rank)
         .filter(F.col("rn") <= TOP_K)
-        .select("qid", F.col("vec_id").alias("ivf_vec"))
+        .select(
+            F.col("qid").alias("ivf_qid"), F.col("vec_id").alias("ivf_vec")
+        )
     )
     return (
         exact.join(
             ivf,
-            on=[exact["qid"] == ivf["qid"], exact["vec_id"] == ivf["ivf_vec"]],
+            on=[
+                F.col("qid") == F.col("ivf_qid"),
+                F.col("vec_id") == F.col("ivf_vec"),
+            ],
             how="left",
         )
-        .groupBy(exact["qid"].alias("qid"))
+        .groupBy("qid")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("ivf_vec").alias("n_hits"),

@@ -581,6 +581,39 @@ def test_key_discovery_hand_computed(spark, tmp_path):
     assert got["o_custkey"].distinct_micro == 2 * 1_000_000 // 3
 
 
+def test_key_discovery_composite_null_propagates(spark, tmp_path):
+    """dq12's composite candidate must null-PROPAGATE like the oracle's
+    `CAST(a)||'|'||CAST(b)`: a NULL in either composite column makes the
+    whole candidate NULL (counted in n_nulls, excluded from n_distinct),
+    not a shorter concat_ws string."""
+    rows = [
+        (1, 10, "A", 5.0, "2024-01-01 00:00:00", "P1"),
+        (2, None, "B", 6.0, "2024-01-02 00:00:00", "P2"),  # null custkey
+        (3, 11, "C", 7.0, None, "P3"),  # null orderdate
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.column_name: r
+        for r in QUERIES["dq12_key_discovery"](spark, str(tmp_path)).collect()
+    }
+    comp = got["o_custkey+o_orderdate"]
+    assert comp.n_nulls == 2  # rows 2 and 3 both null-propagate
+    assert comp.n_distinct == 1  # only row 1 yields a non-null composite
+    assert not comp.is_key
+
+
 def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
     """dq13 on a planted table: a big-but-homogeneous class fails (the
     homogeneity attack k-anonymity misses) while a small diverse class
@@ -609,12 +642,15 @@ def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
 def test_ngram_novelty_hand_computed(spark, tmp_path):
     """dd14 on a planted corpus: the first doc is 100% novel, an exact
     copy later is 0% novel, a half-overlapping doc scores its exact
-    fraction, and a 2-word doc is absent."""
+    fraction, and 2-word / 1-word / empty docs are absent (the 1-word
+    case would throw a negative-length slice without the clamp)."""
     rows = [
         (1, "a b c d", "en", "s", 7),     # shingles: "a b c", "b c d" -> both novel
         (2, "a b c d", "en", "s", 7),     # exact copy -> 0 novel
         (3, "b c d e", "en", "s", 7),     # "b c d" seen (doc 1), "c d e" novel
         (4, "x y", "en", "s", 3),         # shingle-less -> absent
+        (5, "solo", "en", "s", 4),        # 1 word: slice len would be -1 unclamped
+        (6, "", "en", "s", 0),            # empty text
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -627,6 +663,8 @@ def test_ngram_novelty_hand_computed(spark, tmp_path):
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (2, 1, 50.0)
     assert 4 not in got
+    assert 5 not in got
+    assert 6 not in got
 
 
 def test_referential_orphans_planted(spark, tmp_path):

@@ -573,12 +573,14 @@ def test_decontaminate_train_drops_overlap_keeps_short_docs(spark, tmp_path):
     ).select("doc_id", _md5_bucket(F.col("doc_id")).alias("b")).collect()
     train_ids = [r.doc_id for r in probe if r.b < 80]
     eval_ids = [r.doc_id for r in probe if r.b >= 90]
-    t_dirty, t_clean, t_short = train_ids[:3]
+    t_dirty, t_clean, t_short, t_one = train_ids[:4]
     e0 = eval_ids[0]
     rows = [
         (t_dirty, "the quick brown fox jumps", "en", "s", 25),
         (t_clean, "completely different training text here", "en", "s", 39),
         (t_short, "two words", "en", "s", 9),
+        # 1-word doc: slice length would be -1 without the clamp
+        (t_one, "solo", "en", "s", 4),
         (e0, "we saw the quick brown fox yesterday", "en", "s", 37),
     ]
     spark.createDataFrame(
@@ -591,6 +593,7 @@ def test_decontaminate_train_drops_overlap_keeps_short_docs(spark, tmp_path):
     assert t_dirty not in got  # shares "the quick brown" / "quick brown fox"
     assert got[t_clean] == 3  # 5 words -> 3 shingles
     assert got[t_short] == 0  # shingle-less, survives
+    assert got[t_one] == 0  # 1-word doc survives too (no crash, no shingles)
 
 
 def test_last_touch_attribution_hand_computed(spark, tmp_path):
