@@ -388,44 +388,81 @@ def tp10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a31_freq_items", oracle=None)  # single-pass sketch: superset guarantee only
-def a31_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate frequent items (Karp-Papadimitriou-Shenker sketch).
+FREQ_ITEMS_COLS = ("o_orderpriority", "o_orderstatus")
+
+
+def a31_sketch_items(spark: SparkSession, sf_dir: str) -> dict[str, set]:
+    """The raw KPS freq-items sets, per column.
 
     ``df.stat.freqItems`` finds all items with frequency above the
     support threshold in ONE pass with bounded memory — no shuffle of
     the full value distribution, unlike the exact a08/a09 count-by.
-    The guarantee is one-sided (a SUPERSET: every truly-frequent item
-    is present, false positives possible), which is why this is
-    rows-only: the companion pytest asserts the superset property
-    against the exact counts. The a28 count-min sketch is the
-    frequency-ESTIMATE sibling; this one answers membership.
-
-    ``freqItems`` returns ONE row of array columns; downstream
-    comparators (and most sinks) want scalar rows, so the arrays are
-    unpivoted to (column, item) pairs in the same single pass — one
-    explode over a concat of struct-tagged transforms, no second
-    sketch evaluation.
+    Returns one row of ≤1/support-element arrays; collecting it is a
+    bounded driver read like any scalar aggregate.
     """
     orders = load_table(spark, sf_dir, "orders")
-    freq = orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
-    tagged = F.concat(
-        F.transform(
-            "o_orderpriority_freqItems",
-            lambda x: F.struct(
-                F.lit("o_orderpriority").alias("column"), x.alias("item")
-            ),
-        ),
-        F.transform(
-            "o_orderstatus_freqItems",
-            lambda x: F.struct(F.lit("o_orderstatus").alias("column"), x.alias("item")),
-        ),
-    )
-    return (
-        freq.select(F.explode(tagged).alias("pair"))
-        .select("pair.column", "pair.item")
-        .orderBy("column", "item")
-    )
+    row = orders.stat.freqItems(list(FREQ_ITEMS_COLS), support=0.2).collect()[0]
+    return {c: set(row[f"{c}_freqItems"]) for c in FREQ_ITEMS_COLS}
+
+
+@query(
+    "a31_freq_items",
+    oracle="""
+    WITH total AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT 'o_orderpriority' AS col_name, o_orderpriority AS item,
+           COUNT(*) AS exact_count, TRUE AS captured
+    FROM orders GROUP BY o_orderpriority
+    HAVING COUNT(*) * 5 > (SELECT n FROM total)
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus, COUNT(*), TRUE
+    FROM orders GROUP BY o_orderstatus
+    HAVING COUNT(*) * 5 > (SELECT n FROM total)
+    """,
+)
+def a31_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (Karp-Papadimitriou-Shenker sketch).
+
+    The KPS guarantee is one-sided — a SUPERSET: every item with
+    frequency strictly above the support (0.2) is present; false
+    positives are allowed. That superset IS SQL-expressible, so instead
+    of rows-only the query emits the EXACT heavy hitters (grouped
+    counts filtered by the integer-exact ``5·count > n``, identical in
+    DuckDB) with a ``captured`` boolean asserting each one appears in
+    the sketch output — the oracle pins ``captured`` to TRUE, so a
+    sketch that misses a truly-frequent item fails the hash gate. The
+    false-positive side stays unchecked by design (it is engine-
+    specific); a28 is the frequency-ESTIMATE sibling, this one answers
+    membership.
+    """
+    captured = a31_sketch_items(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy()
+    parts = []
+    for c in FREQ_ITEMS_COLS:
+        grouped = orders.groupBy(F.col(c).alias("item")).agg(
+            F.count("*").alias("exact_count")
+        )
+        # total row count = sum of the grouped counts (c is non-null);
+        # an unpartitioned window over the ≤5-row grouped relation, so
+        # no second scan and no crossJoin.
+        heavy = grouped.withColumn("n", F.sum("exact_count").over(w)).filter(
+            F.col("exact_count") * 5 > F.col("n")
+        )
+        in_sketch = (
+            F.col("item").isin(*sorted(captured[c])) if captured[c] else F.lit(False)
+        )
+        parts.append(
+            heavy.select(
+                F.lit(c).alias("col_name"),
+                "item",
+                "exact_count",
+                in_sketch.alias("captured"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name", "item")
 
 
 BLOCKLISTED_SOURCES = ("src2", "src7", "src11")

@@ -20,41 +20,64 @@ from ..registry import query
 # which imports extended before similarity finishes).
 
 
-@query("a02_approx_distinct", oracle=None)  # HLL estimate is engine-specific → rows-only
-def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the 100 TB form of A2.
+def a02_raw_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimates next to the exact distincts, one aggregate.
 
-    Exact distinct shuffles every key; the HLL sketch aggregates
-    map-side into a fixed-size buffer. Estimates are engine-specific so
-    this is a rows-only check; the test suite bounds the relative error
-    against the exact count.
+    Exposed separately so tests can inspect the raw (engine-specific)
+    estimates; the registry query folds them into engine-portable
+    bound checks.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
 
 
-@query("a29_hll_sketch_union", oracle=None)  # sketch bytes/estimates are engine-specific
-def a29_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches: per-partition build, central union.
+@query(
+    "a02_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound
+    FROM lineitem
+    """,
+)
+def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB form of A2.
 
-    The pattern that makes distinct counts tractable at 100 TB: each
-    partition (here: order month, standing in for a date-partitioned
-    gold table) aggregates its keys into a fixed-size Datasketches HLL
-    buffer (``hll_sketch_agg``); a later query unions the per-partition
-    sketches (``hll_union_agg``) instead of re-scanning raw data. The
-    sketches are additive, so incremental maintenance is append-only —
-    the roadmap's "theta-sketch-style distinct-union".
+    Exact distinct shuffles every key; the HLL sketch aggregates
+    map-side into a fixed-size buffer. The raw estimate is
+    engine-specific, so the CHECKED contract is the error bound: the
+    query emits the exact distincts plus booleans asserting
+    ``|est - exact| <= 5·rsd·exact`` (rsd=0.02 → 10%, a ≥5σ envelope
+    for HLL++'s target relative standard deviation), and the DuckDB
+    oracle replays the exact counts with TRUE literals for the bounds.
+    A sketch drifting past its advertised error now FAILS the
+    differential gate instead of hiding behind rows-only. The exact
+    legs exist to certify the estimate — at 100 TB the production form
+    is the sketch alone (see a29 for the mergeable-partition variant).
+    """
+    raw = a02_raw_estimates(spark, sf_dir)
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) <= 0.10 * F.col(exact)
+    )
+    return raw.select(
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_bound"),
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
+    )
 
-    Self-verifying output: the merged estimate sits beside a direct
-    single-pass sketch over the same rows and the exact distinct.
-    Merged and direct differ by well under 1% (the union's HLL_8
-    register target vs the single sketch's packed HLL_4 rounds
-    differently), both within the lgK=12 error bound of exact.
-    Rows-only for the driver (sketch internals are engine-specific);
-    tests/test_ingestion_and_udfs.py bounds both estimates.
+
+def a29_raw_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged + direct HLL estimates beside the exact distinct.
+
+    Raw (engine-specific) estimates for tests; the registry query
+    reduces them to engine-portable bound checks.
     """
     orders = load_table(spark, sf_dir, "orders")
     per_month = orders.groupBy(F.date_format("o_orderdate", "yyyyMM").alias("month")).agg(
@@ -70,6 +93,55 @@ def a29_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.crossJoin(direct).select(
         "num_partition_sketches", "merged_estimate", "direct_estimate", "exact_distinct"
+    )
+
+
+@query(
+    "a29_hll_sketch_union",
+    oracle="""
+    SELECT COUNT(DISTINCT STRFTIME(o_orderdate, '%Y%m')) AS num_partition_sketches,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS merged_within_bound,
+           TRUE AS direct_within_bound,
+           TRUE AS merged_direct_close
+    FROM orders
+    """,
+)
+def a29_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: per-partition build, central union.
+
+    The pattern that makes distinct counts tractable at 100 TB: each
+    partition (here: order month, standing in for a date-partitioned
+    gold table) aggregates its keys into a fixed-size Datasketches HLL
+    buffer (``hll_sketch_agg``); a later query unions the per-partition
+    sketches (``hll_union_agg``) instead of re-scanning raw data. The
+    sketches are additive, so incremental maintenance is append-only —
+    the roadmap's "theta-sketch-style distinct-union".
+
+    Checked contract (full oracle, not rows-only): raw estimates are
+    engine-specific, so the query emits the sketch-count and exact
+    distinct (both SQL-exact, cross-checked against DuckDB) plus three
+    booleans the oracle pins to TRUE — merged and direct estimates each
+    within 5% of exact (lgK=12 ⇒ rse ≈ 1.6%, so 5% ≈ 3σ) and within
+    max(1, 1%·exact) of EACH OTHER (the union's HLL_8 target vs the
+    packed single-sketch HLL_4 rounds differently). A drifting sketch
+    or a broken union now fails the hash gate.
+    """
+    raw = a29_raw_estimates(spark, sf_dir)
+    exact = F.col("exact_distinct")
+    return raw.select(
+        "num_partition_sketches",
+        "exact_distinct",
+        (F.abs(F.col("merged_estimate") - exact) <= 0.05 * exact).alias(
+            "merged_within_bound"
+        ),
+        (F.abs(F.col("direct_estimate") - exact) <= 0.05 * exact).alias(
+            "direct_within_bound"
+        ),
+        (
+            F.abs(F.col("merged_estimate") - F.col("direct_estimate"))
+            <= F.greatest(F.lit(1.0), 0.01 * exact)
+        ).alias("merged_direct_close"),
     )
 
 
@@ -334,35 +406,70 @@ def dq01_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a28_countmin_heavy_hitters", oracle=None)  # sketch estimates are engine-specific
-def a28_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch frequency estimates for the heavy-hitter keys.
+def a28_raw_estimates(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
+    """(key, cms_estimate, exact_count) triples from one sketch probe.
 
-    The fixed-memory frequency path for 100 TB streams: a
-    ``count_min_sketch`` aggregate (one 8 KB-ish buffer per partition,
-    merged once) estimates per-key counts without a per-key shuffle.
-    Here the sketch is built over order priorities and queried for each
-    distinct priority; estimates over-count by at most ε·N with
-    probability 1-δ (ε=0.1%, δ=1%) — the test suite asserts the bound
-    against exact counts. The executors stream the column into
-    per-partition sketches merged once (the ``count_min_sketch`` SQL
-    aggregate); probing the merged KB-sized sketch for a handful of
-    keys is driver-side by nature, like reading any aggregate result.
-    PySpark 4 dropped the ``df.stat.countMinSketch`` wrapper, so the
-    probe goes through the JVM sketch class directly.
+    The executors stream the column into per-partition sketches merged
+    once (the ``count_min_sketch`` SQL aggregate); probing the merged
+    KB-sized sketch for the handful of distinct keys is driver-side by
+    nature, like reading any aggregate result. PySpark 4 dropped the
+    ``df.stat.countMinSketch`` wrapper, so the probe goes through the
+    JVM sketch class directly. The grouped exact counts (one row per
+    priority — a 5-value domain, bounded by construction) ride the same
+    scan pattern and certify the estimates.
     """
     orders = load_table(spark, sf_dir, "orders")
-    # ONE job computes the sketch AND the probe-key set (collect_set in
-    # the same aggregate) — no second scan for distinct keys.
     agg = orders.agg(
         F.expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").alias("cms"),
-        F.collect_set("o_orderpriority").alias("keys"),
     ).collect()[0]
     sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(agg["cms"])
     )
-    rows = [(k, sketch.estimateCount(k)) for k in sorted(agg["keys"])]
-    return spark.createDataFrame(rows, "o_orderpriority string, est_count long")
+    exact = {
+        r["o_orderpriority"]: r["exact_count"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("exact_count"))
+        .collect()
+    }
+    return [(k, sketch.estimateCount(k), exact[k]) for k in sorted(exact)]
+
+
+@query(
+    "a28_countmin_heavy_hitters",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS exact_count,
+           TRUE AS no_undercount,
+           TRUE AS within_eps_bound
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a28_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates, checked against their bound.
+
+    The fixed-memory frequency path for 100 TB streams: a
+    ``count_min_sketch`` aggregate (one 8 KB-ish buffer per partition,
+    merged once) estimates per-key counts without a per-key shuffle.
+    Raw estimates are engine-specific, so the CHECKED contract is the
+    sketch's published guarantee, emitted as booleans the DuckDB oracle
+    pins to TRUE: ``est >= exact`` (CMS never under-counts —
+    deterministic) and ``est <= exact + ε·N`` (over-count bound,
+    ε=0.001, holds with prob ≥ 1-δ per key at δ=0.01). Exact per-key
+    counts ride along and are cross-checked against the oracle's
+    GROUP BY, so a broken sketch OR a broken exact aggregate fails the
+    hash gate.
+    """
+    triples = a28_raw_estimates(spark, sf_dir)
+    n = sum(exact for _, _, exact in triples)
+    rows = [
+        (k, exact, est >= exact, est <= exact + 0.001 * n)
+        for k, est, exact in triples
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, exact_count long, "
+        "no_undercount boolean, within_eps_bound boolean",
+    )
 
 
 @query(

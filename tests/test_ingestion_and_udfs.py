@@ -99,24 +99,44 @@ def test_apply_in_pandas_matches_native_window(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    approx = QUERIES["a02_approx_distinct"](spark, sf_dir).collect()[0]
+    """Raw HLL++ estimate lands within 5% of exact, and the registry
+    query's checked bound booleans (the oracle contract) are all TRUE."""
+    from chicago_business_owners_data_engineering_spark.operators.extended import (
+        a02_raw_estimates,
+    )
+
+    raw = a02_raw_estimates(spark, sf_dir).collect()[0]
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact_orders = lineitem.select("l_orderkey").distinct().count()
-    assert abs(approx["approx_orders"] - exact_orders) / exact_orders < 0.05
+    assert raw["exact_orders"] == exact_orders
+    assert abs(raw["approx_orders"] - exact_orders) / exact_orders < 0.05
+    checked = QUERIES["a02_approx_distinct"](spark, sf_dir).collect()[0]
+    assert checked["orders_within_bound"] and checked["parts_within_bound"]
+    assert checked["exact_orders"] == exact_orders
 
 
 def test_hll_union_matches_direct_sketch(spark, sf_dir):
     """Merging per-partition sketches must agree with one global sketch
     (sub-1% register-encoding drift) and land inside the lgK=12 error
     bound of the exact distinct — the property that makes the gold-layer
-    sketch table trustworthy."""
-    row = QUERIES["a29_hll_sketch_union"](spark, sf_dir).collect()[0]
+    sketch table trustworthy. The registry query reduces exactly these
+    assertions to oracle-pinned booleans; check both layers."""
+    from chicago_business_owners_data_engineering_spark.operators.extended import (
+        a29_raw_estimates,
+    )
+
+    row = a29_raw_estimates(spark, sf_dir).collect()[0]
     assert row["num_partition_sketches"] > 1
     assert abs(row["merged_estimate"] - row["direct_estimate"]) <= max(
         1, 0.01 * row["exact_distinct"]
     )
     for est in (row["merged_estimate"], row["direct_estimate"]):
         assert abs(est - row["exact_distinct"]) / row["exact_distinct"] < 0.05
+    checked = QUERIES["a29_hll_sketch_union"](spark, sf_dir).collect()[0]
+    assert checked["merged_within_bound"]
+    assert checked["direct_within_bound"]
+    assert checked["merged_direct_close"]
+    assert checked["exact_distinct"] == row["exact_distinct"]
 
 
 def test_percentile_approx_close_to_exact(spark, sf_dir):

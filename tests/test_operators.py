@@ -125,10 +125,11 @@ def test_countmin_estimates_within_bound(spark, sf_dir):
 
     from chicago_business_owners_data_engineering_spark import registry
 
-    est = {
-        r["o_orderpriority"]: r["est_count"]
-        for r in registry.QUERIES["a28_countmin_heavy_hitters"](spark, sf_dir).collect()
-    }
+    from chicago_business_owners_data_engineering_spark.operators.extended import (
+        a28_raw_estimates,
+    )
+
+    est = {k: e for k, e, _ in a28_raw_estimates(spark, sf_dir)}
     exact = dict(
         duckdb.sql(
             f"SELECT o_orderpriority, COUNT(*) FROM '{sf_dir}/orders.parquet' GROUP BY 1"
@@ -138,6 +139,10 @@ def test_countmin_estimates_within_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert exact[k] <= e <= exact[k] + 0.001 * n + 1
+    # the registry query's oracle-pinned booleans encode the same bound
+    checked = registry.QUERIES["a28_countmin_heavy_hitters"](spark, sf_dir).collect()
+    assert {r["o_orderpriority"]: r["exact_count"] for r in checked} == exact
+    assert all(r["no_undercount"] and r["within_eps_bound"] for r in checked)
 
 
 def test_map_value_counts_is_real_map(spark, sf_dir):
