@@ -156,6 +156,7 @@ def foreach_batch_index_append(
     out_dir: str,
     codebook: list[list[list[float]]],
     threshold_sq: float = 0.15,
+    fault=None,
 ):
     """Streaming stage 5: online index maintenance with SDC dedup.
 
@@ -200,6 +201,8 @@ def foreach_batch_index_append(
         marker = os.path.join(out_dir, "_append_ledger", f"epoch={epoch_id}")
         if os.path.exists(marker):
             return
+        if fault:
+            fault("pre_publish")
         spark = batch_df.sparkSession
         new = batch_df.select(
             "vec_id",
@@ -250,6 +253,10 @@ def foreach_batch_index_append(
         novel.withColumn("cluster", F.lit(-1)).write.mode("append").partitionBy(
             "cluster"
         ).parquet(index_path)
+        if fault:
+            fault("post_append_write")
         os.makedirs(marker, exist_ok=True)
+        if fault:
+            fault("post_commit")
 
     return sink

@@ -228,14 +228,31 @@ def validate(facts: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
 
 
 def run_warehouse_pipeline(
-    spark: SparkSession, sf_dir: str, out_dir: str, batch_id: str = "batch_0"
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    batch_id: str = "batch_0",
+    stage_timings: dict[str, float] | None = None,
 ) -> DataFrame:
     """Execute all six stages, writing the medallion lake under out_dir.
 
     Returns the validation DataFrame (stage 6). Partitioned writes use
     dynamic partition overwrite so re-running a batch replaces exactly
-    its partitions (idempotent upsert semantics, A22).
+    its partitions (idempotent upsert semantics, A22). Pass a dict as
+    ``stage_timings`` to receive per-stage wall seconds (bronze /
+    quality / dims / facts / gold / validate) — the bench records them
+    so a pipeline_e2e regression is attributable to a stage, not just
+    a total.
     """
+    import time as _time
+
+    marks: list[float] = [_time.time()]
+
+    def _mark(stage: str) -> None:
+        marks.append(_time.time())
+        if stage_timings is not None:
+            stage_timings[stage] = round(marks[-1] - marks[-2], 3)
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # Repartition ON THE PARTITION KEY before partitionBy writes:
@@ -257,17 +274,21 @@ def run_warehouse_pipeline(
     staged.repartition("batch_id").write.mode("overwrite").partitionBy("batch_id").parquet(
         os.path.join(out_dir, "bronze", "orders_staged")
     )
+    _mark("bronze")
     quality = assess_quality(staged)
     quality.write.mode("overwrite").json(os.path.join(out_dir, "bronze", "quality_report"))
+    _mark("quality")
 
     dims = load_dimensions(spark, sf_dir)
     for name, df in dims.items():
         df.write.mode("overwrite").parquet(os.path.join(out_dir, "silver", name))
+    _mark("dims")
 
     facts = load_facts(spark, sf_dir, dims)
     facts.repartition("date_key").write.mode("overwrite").partitionBy("date_key").parquet(
         os.path.join(out_dir, "silver", "fact_order_lines")
     )
+    _mark("facts")
 
     # The read-back fact table feeds FOUR actions (two gold aggregates,
     # two validation anti-joins); persist it so the many-small-files
@@ -279,13 +300,16 @@ def run_warehouse_pipeline(
     try:
         for name, df in create_aggregations(facts_back).items():
             df.write.mode("overwrite").parquet(os.path.join(out_dir, "gold", name))
+        _mark("gold")
 
         dims_back = {
             name: spark.read.parquet(os.path.join(out_dir, "silver", name)) for name in dims
         }
         # validate() runs its anti-join counts eagerly, while facts are
         # still cached; the returned verdict rows are driver-local.
-        return validate(facts_back, dims_back)
+        verdict = validate(facts_back, dims_back)
+        _mark("validate")
+        return verdict
     finally:
         facts_back.unpersist()
 

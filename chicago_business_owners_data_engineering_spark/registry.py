@@ -145,36 +145,58 @@ def _import_operator_modules() -> None:
     from .functions import udfs  # noqa: F401
 
 
-def _rotate_front(front: tuple[str, ...]) -> None:
+def _rotate_front(front: tuple[str, ...], strict: bool = True) -> bool:
     """Rebuild QUERIES so ``front`` registers first (driver samples 50).
 
     Registration order within modules is import-order; this explicit
     rotation decouples the driver-sample window from module layout so
     each round can front exactly the families that still lack hard
     driver-verified correctness rows.
+
+    Returns True when the rotation was applied. ``strict=False`` exists
+    for the circular-import window: when an operator module (e.g.
+    plans.warehouse) is the FIRST thing imported, its ``..registry``
+    import runs this module body while that module is still partially
+    initialized, so its queries aren't registered yet — they land when
+    the outer import resumes, AFTER this body finishes. Raising here
+    would poison the whole package import; instead the body defers and
+    every accessor re-applies the rotation (strictly) once all 247
+    names exist.
     """
     missing = [n for n in front if n not in QUERIES]
     if missing:
-        raise ValueError(f"rotation names not registered: {missing}")
+        if strict:
+            raise ValueError(f"rotation names not registered: {missing}")
+        return False
     rest = [n for n in QUERIES if n not in set(front)]
     reordered = {n: QUERIES[n] for n in (*front, *rest)}
     QUERIES.clear()
     QUERIES.update(reordered)
+    return True
 
 
 _import_operator_modules()
-_rotate_front(_R05_FRONT)
+_ROTATED = _rotate_front(_R05_FRONT, strict=False)
+
+
+def _ensure_rotated() -> None:
+    global _ROTATED
+    if not _ROTATED:
+        _ROTATED = _rotate_front(_R05_FRONT, strict=True)
 
 
 def get_queries() -> dict[str, QueryFn]:
+    _ensure_rotated()
     return dict(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
+    _ensure_rotated()
     return dict(ORACLES)
 
 
 def describe() -> list[dict[str, Any]]:
+    _ensure_rotated()
     return [
         {"name": n, "has_oracle": n in ORACLES, "doc": (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else ""}
         for n, fn in sorted(QUERIES.items())

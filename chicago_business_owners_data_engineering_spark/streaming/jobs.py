@@ -1073,6 +1073,7 @@ def foreach_batch_neardup_dedup(
 def foreach_batch_quality_gate(
     lake_path: str,
     keep_micro: int | None = None,
+    fault=None,
 ):
     """Streaming model-based quality admission: ml05's fastText-shaped
     scorer as a micro-batch gate. Admitted documents land in
@@ -1100,6 +1101,8 @@ def foreach_batch_quality_gate(
         marker = os.path.join(lake_path, "_ledger", f"epoch={epoch_id}")
         if os.path.isdir(marker):
             return  # committed replay: skip
+        if fault:
+            fault("pre_publish")
         scored = batch_df.join(
             fasttext_scores(batch_df.select("doc_id", "text")),
             "doc_id",
@@ -1111,10 +1114,16 @@ def foreach_batch_quality_gate(
         admitted.write.mode("overwrite").parquet(
             os.path.join(lake_path, "data", f"epoch={epoch_id}")
         )
+        if fault:
+            fault("post_data_write")
         rejected.write.mode("overwrite").parquet(
             os.path.join(lake_path, "rejects", f"epoch={epoch_id}")
         )
+        if fault:
+            fault("post_rejects_write")
         os.makedirs(marker, exist_ok=True)
+        if fault:
+            fault("post_commit")
 
     return sink
 

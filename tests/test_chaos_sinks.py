@@ -256,6 +256,95 @@ def test_pq_append_replay_after_lost_marker(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out, "pq_index")).count() == base + 1
 
 
+QG_BOUNDARIES = ["pre_publish", "post_data_write", "post_rejects_write", "post_commit"]
+
+
+@pytest.mark.parametrize("boundary", QG_BOUNDARIES)
+def test_quality_gate_crash_at_every_boundary(spark, tmp_path, boundary):
+    """Kill the quality gate at EVERY write boundary; after replay the
+    admitted/rejected state must equal a clean run's, with no duplicate
+    doc rows (the same sweep discipline as the generational sinks)."""
+    from chicago_business_owners_data_engineering_spark.streaming.jobs import (
+        foreach_batch_quality_gate,
+        read_quality_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words here number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batches = [docs.filter(F.col("doc_id") < 20), docs.filter(F.col("doc_id") >= 20)]
+
+    clean = str(tmp_path / "qg_clean")
+    for e, b in enumerate(batches):
+        foreach_batch_quality_gate(clean)(b, e)
+
+    def state(lake):
+        adm = read_quality_gate(spark, lake)
+        rej = read_quality_gate(spark, lake, rejects=True)
+        return (
+            sorted(r.doc_id for r in adm.collect()) if adm is not None else [],
+            sorted(r.doc_id for r in rej.collect()) if rej is not None else [],
+        )
+
+    expected = state(clean)
+
+    chaos = str(tmp_path / "qg_chaos")
+    foreach_batch_quality_gate(chaos)(batches[0], 0)
+    with pytest.raises(Boom):
+        foreach_batch_quality_gate(chaos, fault=_fault_at(boundary))(batches[1], 1)
+    replay = foreach_batch_quality_gate(chaos)
+    replay(batches[1], 1)
+    replay(batches[0], 0)  # committed replay must be a no-op
+    got = state(chaos)
+    assert got == expected
+    assert len(got[0]) == len(set(got[0]))  # no duplicates either side
+    assert len(got[1]) == len(set(got[1]))
+
+
+PQ_BOUNDARIES = ["pre_publish", "post_append_write", "post_commit"]
+
+
+@pytest.mark.parametrize("boundary", PQ_BOUNDARIES)
+def test_pq_append_crash_at_every_boundary(spark, tmp_path, boundary):
+    """Kill the online PQ index append at every write boundary; the
+    replayed epoch must converge to exactly one appended row (the SDC
+    dedup drops the re-encoded duplicates when the crash landed after
+    the non-idempotent append)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from chicago_business_owners_data_engineering_spark.plans.vector_pipeline import (
+        build_vector_index,
+        foreach_batch_index_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "vec")
+    card = build_vector_index(spark, sf, out)
+    base = spark.read.parquet(os.path.join(out, "pq_index")).count()
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [900001],
+                "embedding": [np.full(64, 123.0, dtype=np.float32)],
+                "label": [99],
+            }
+        )
+    )
+    with pytest.raises(Boom):
+        foreach_batch_index_append(out, card["codebook"], fault=_fault_at(boundary))(
+            batch, 0
+        )
+    sink = foreach_batch_index_append(out, card["codebook"])
+    sink(batch, 0)  # replay of the killed epoch
+    sink(batch, 0)  # committed replay must be a no-op
+    assert spark.read.parquet(os.path.join(out, "pq_index")).count() == base + 1
+
+
 def test_quality_gate_batch_parity_and_replay(spark, tmp_path):
     """The streaming quality gate admits exactly the docs ml05 labels
     'keep', partitions data/rejects cleanly, survives a crash between

@@ -99,3 +99,33 @@ def test_array_cells_raise():
 def test_bool_not_conflated_with_int():
     assert canon_cell(True) != canon_cell(1)
     assert canon_cell(np.bool_(True)) == canon_cell(True)
+
+
+def test_registry_rotation_survives_operator_module_first_import():
+    """Circular-import window (round 5): importing an operator module
+    (plans.warehouse) BEFORE registry runs registry's module body while
+    warehouse is still partially initialized — its queries register only
+    after the body finishes. The strict rotation used to raise there and
+    poison the whole package import; the deferred rotation must instead
+    yield the full, correctly-fronted registry at first access. Needs a
+    fresh interpreter, hence the subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "import chicago_business_owners_data_engineering_spark.plans.warehouse as w\n"
+        "from chicago_business_owners_data_engineering_spark import registry\n"
+        "q = registry.get_queries()\n"
+        "assert len(q) >= 247, len(q)\n"
+        "assert list(q)[: len(registry._R05_FRONT)] == list(registry._R05_FRONT)\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok" in out.stdout

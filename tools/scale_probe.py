@@ -54,6 +54,18 @@ Usage:
         [--factor 10] [--timeout 600] [--keep-fixture DIR]
 Prints one JSON line per query and a final summary JSON line; the
 committed human-readable digest lives in SCALE_PROBE.md.
+
+100× protocol (VERDICT r4 #4): the brief targets ~100 TB, so the most
+expensive queries get a two-decade span on top of the full 10× sweep:
+
+    python tools/scale_probe.py --base /root/testdata/sf0.01 \
+        --factor 100 --queries "$(python -c 'from tools.scale_probe \
+        import PROBE100_QUERIES; print(",".join(PROBE100_QUERIES))')"
+
+Basing at sf0.01 keeps the END scale at ~sf1 (6M orders / 60M lines
+locally feasible) while the fitted exponent covers the full 100×
+span — a quadratic term invisible at 10× is 10× louder here. The
+shard construction generalizes unchanged (k ranges over 0..99).
 """
 
 from __future__ import annotations
@@ -135,6 +147,26 @@ PROBE_QUERIES: tuple[str, ...] = (
     "gr11_clustering_coefficient",  # oriented wedge join + node-keyed joins — E^1.5 check
     "wh04_scd2_merge",  # key-partitioned close-and-open join — linear check
     "ts13_seasonal_anomaly",  # day rollup + bounded median windows — linear check
+)
+
+# The 100× set: the top-10 most expensive registry queries by the
+# latest bench record (BENCH_r04 per-query seconds: er04 4.1, sim15
+# 2.2, dq12 2.2, dd14 2.0, dd15 1.5, dd04 1.2; plus the historically
+# heaviest families — calibrated semantic dedup, prefix-filter
+# Jaccard, entity clustering, PageRank) with the q01 scan-bound
+# control to calibrate the fixed-cost floor.
+PROBE100_QUERIES: tuple[str, ...] = (
+    "q01_pricing_summary",  # control: linear by design
+    "er04_golden_record",
+    "sim15_ivf_recall_eval",
+    "dq12_key_discovery",
+    "dd14_ngram_novelty",
+    "dd15_simhash_hamming_pairs",
+    "dd04_minhash_lsh_pairs",
+    "ml03_semdedup_cos0.9",  # production-θ calibration (registry θ sits in the random tail)
+    "dd12_prefix_filter_jaccard",
+    "er02_entity_clusters",
+    "gr01_pagerank",
 )
 
 # One stride per key family — shared by every table that references the
