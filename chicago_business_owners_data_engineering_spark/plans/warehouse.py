@@ -284,8 +284,24 @@ def run_warehouse_pipeline(
         df.write.mode("overwrite").parquet(os.path.join(out_dir, "silver", name))
     _mark("dims")
 
-    facts = load_facts(spark, sf_dir, dims)
-    facts.repartition("date_key").write.mode("overwrite").partitionBy("date_key").parquet(
+    # Silver facts partition on MONTH, not day: partition granularity
+    # must track bytes-per-partition (≥ ~100 MB each), and at bench SF
+    # the ~2,400 order dates hold ~15 KB of fact rows apiece — a
+    # 2,400-dir day layout spent ~60% of the whole pipeline on
+    # filesystem churn + the dynamic-overwrite commit walk (measured
+    # 55 s of 96 s at sf0.1; month layout ~80 dirs). Readers still
+    # prune: the partition column narrows to the month and the
+    # per-file date_key row-group stats (rows arrive date-sorted
+    # within each month file) prune inside it. At 100 TB a day holds
+    # GBs, so day granularity becomes correct — flip ``partitionBy``
+    # to date_key then; nothing downstream changes (date_key stays a
+    # data column either way).
+    facts = load_facts(spark, sf_dir, dims).withColumn(
+        "month_key", F.substring("date_key", 1, 6)
+    )
+    facts.repartition("month_key").sortWithinPartitions("date_key").write.mode(
+        "overwrite"
+    ).partitionBy("month_key").parquet(
         os.path.join(out_dir, "silver", "fact_order_lines")
     )
     _mark("facts")
