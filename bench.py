@@ -173,6 +173,14 @@ BENCH_R4 = [
 ]
 
 
+# Round-5 additions (same freezing rationale).
+BENCH_R5 = [
+    "mon02_slo_burn_rate",
+    "dq15_profile_drift",
+    "inc04_incremental_neardup_probe",
+]
+
+
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:
     """Time the full warehouse CLI (ingestion → warehouse → analytics).
 
@@ -291,6 +299,7 @@ def main() -> None:
     r3b, r3b_stats = run_set(BENCH_R3B)
     r3c, r3c_stats = run_set(BENCH_R3C)
     r4, r4_stats = run_set(BENCH_R4)
+    r5, r5_stats = run_set(BENCH_R5)
     e2e = run_pipeline_e2e(sf_dir)
     vec = run_vector_e2e(sf_dir)
 
@@ -317,6 +326,7 @@ def main() -> None:
     emit("round3_tail_queries_total_runtime", r3b, r3b_stats)
     emit("round3_session_queries_total_runtime", r3c, r3c_stats)
     emit("round4_queries_total_runtime", r4, r4_stats)
+    emit("round5_queries_total_runtime", r5, r5_stats)
     stage_detail = e2e.pop("warehouse_stages", {})
     validation_flag = e2e.pop("warehouse_validation", "passed")
     emit(

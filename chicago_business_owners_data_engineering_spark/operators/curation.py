@@ -1553,3 +1553,134 @@ def dq14_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "fk_name", "n_rows", "n_orphans", (F.col("n_orphans") == 0).alias("intact")
     ).orderBy("fk_name")
+
+
+# --- dq15: snapshot profile drift --------------------------------------------
+
+_DQ15_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "dq15_profile_drift",
+    oracle="""
+    WITH old AS (
+        SELECT o_custkey, o_orderstatus, o_totalprice,
+               CASE WHEN o_orderkey % 83 = 0 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ), new AS (
+        SELECT o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ), po AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(o_custkey) AS nn_o_custkey,
+               COUNT(DISTINCT o_custkey) AS nd_o_custkey,
+               COUNT(*) - COUNT(o_orderstatus) AS nn_o_orderstatus,
+               COUNT(DISTINCT o_orderstatus) AS nd_o_orderstatus,
+               COUNT(*) - COUNT(o_totalprice) AS nn_o_totalprice,
+               COUNT(DISTINCT o_totalprice) AS nd_o_totalprice,
+               COUNT(*) - COUNT(o_orderpriority) AS nn_o_orderpriority,
+               COUNT(DISTINCT o_orderpriority) AS nd_o_orderpriority
+        FROM old
+    ), pn AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(o_custkey) AS nn_o_custkey,
+               COUNT(DISTINCT o_custkey) AS nd_o_custkey,
+               COUNT(*) - COUNT(o_orderstatus) AS nn_o_orderstatus,
+               COUNT(DISTINCT o_orderstatus) AS nd_o_orderstatus,
+               COUNT(*) - COUNT(o_totalprice) AS nn_o_totalprice,
+               COUNT(DISTINCT o_totalprice) AS nd_o_totalprice,
+               COUNT(*) - COUNT(o_orderpriority) AS nn_o_orderpriority,
+               COUNT(DISTINCT o_orderpriority) AS nd_o_orderpriority
+        FROM new
+    ), legs AS (
+        SELECT 'o_custkey' AS col_name, po.nn_o_custkey AS old_nulls,
+               pn.nn_o_custkey AS new_nulls, po.nd_o_custkey AS old_distinct,
+               pn.nd_o_custkey AS new_distinct, po.n AS old_rows, pn.n AS new_rows
+        FROM po, pn
+        UNION ALL
+        SELECT 'o_orderstatus', po.nn_o_orderstatus, pn.nn_o_orderstatus,
+               po.nd_o_orderstatus, pn.nd_o_orderstatus, po.n, pn.n FROM po, pn
+        UNION ALL
+        SELECT 'o_totalprice', po.nn_o_totalprice, pn.nn_o_totalprice,
+               po.nd_o_totalprice, pn.nd_o_totalprice, po.n, pn.n FROM po, pn
+        UNION ALL
+        SELECT 'o_orderpriority', po.nn_o_orderpriority, pn.nn_o_orderpriority,
+               po.nd_o_orderpriority, pn.nd_o_orderpriority, po.n, pn.n FROM po, pn
+    )
+    SELECT col_name, old_nulls, new_nulls, old_distinct, new_distinct,
+           (old_nulls * new_rows <> new_nulls * old_rows) AS null_rate_changed,
+           (old_distinct <> new_distinct) AS distinct_changed
+    FROM legs ORDER BY col_name
+    """,
+)
+def dq15_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two table snapshots — the
+    schema-health monitor behind "did last night's load change the
+    shape of this table?": per-column null counts and distinct
+    cardinalities for both versions, with integer-exact change flags.
+
+    Snapshots derive deterministically from ``orders`` (wh03's CDC
+    discipline): the old version drops keys %89, the new drops %97,
+    and the old version carries planted NULL ``o_orderpriority`` rows
+    (%83) so a real null-rate drift exists to catch. The null-rate
+    comparison cross-multiplies (``old_nulls·new_rows ≠
+    new_nulls·old_rows``) — rates are never materialized as floats, so
+    both engines decide every flag identically.
+
+    Scale shape: ONE aggregate pass per snapshot (the multi-distinct
+    EXPAND plan dq12 documents — at 100 TB pre-screen with
+    approx_count_distinct and run the exact pass only on columns whose
+    sketch moved), a 1-row × 1-row join, and a literal unpivot. The
+    reference profiles completeness per load
+    (cbddl/src/etl/pipeline.py:205-267) but never ACROSS loads; this
+    is the cross-load form of that check.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = orders.filter(key % 89 != 0).select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(key % 83 == 0, F.lit(None)).otherwise(F.col("o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+    )
+    new = orders.filter(key % 97 != 0).select(*_DQ15_COLS)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count("*").alias(f"{tag}_n")]
+        for c in _DQ15_COLS:
+            aggs.append(
+                (F.count("*") - F.count(F.col(c))).alias(f"{tag}_nn_{c}")
+            )
+            aggs.append(F.countDistinct(F.col(c)).alias(f"{tag}_nd_{c}"))
+        return df.agg(*aggs)
+
+    joined = profile(old, "o").crossJoin(profile(new, "n"))
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"o_nn_{c}").alias("old_nulls"),
+                F.col(f"n_nn_{c}").alias("new_nulls"),
+                F.col(f"o_nd_{c}").alias("old_distinct"),
+                F.col(f"n_nd_{c}").alias("new_distinct"),
+                F.col("o_n").alias("old_rows"),
+                F.col("n_n").alias("new_rows"),
+            )
+            for c in _DQ15_COLS
+        ]
+    )
+    rows = joined.select(F.explode(legs).alias("p")).select("p.*")
+    return rows.select(
+        "col_name",
+        "old_nulls",
+        "new_nulls",
+        "old_distinct",
+        "new_distinct",
+        (F.col("old_nulls") * F.col("new_rows") != F.col("new_nulls") * F.col("old_rows")).alias(
+            "null_rate_changed"
+        ),
+        (F.col("old_distinct") != F.col("new_distinct")).alias("distinct_changed"),
+    ).orderBy("col_name")

@@ -366,3 +366,89 @@ def inc03_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("day")
     )
+
+
+# --- inc04: incremental near-dup index probe ----------------------------------
+
+from .shared_oracles import DD04_EXACT_PAIRS_SQL  # noqa: E402
+
+INC04_DELTA_MOD = 5  # doc_id % 5 == 0 arrives "today"
+
+
+@query(
+    "inc04_incremental_neardup_probe",
+    oracle=f"""
+    SELECT * FROM ({DD04_EXACT_PAIRS_SQL})
+    WHERE doc_a % {INC04_DELTA_MOD} = 0 OR doc_b % {INC04_DELTA_MOD} = 0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def inc04_incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH maintenance: probe a standing near-dup
+    index with a delta batch — every ≥0.5-Jaccard pair TOUCHING the
+    delta, without rescanning the old corpus text.
+
+    The daily operating mode of fuzzy dedup at 100 TB (dd04 is the
+    build, this is the run): yesterday's index is the two stored
+    relations minhash_index_rows defines — (doc, band_id, band_hash)
+    bucket keys and (doc, hset) hashed token sets; today's batch is
+    hashed by the SAME builders (byte-identical rows whether built
+    batch-by-batch or in one pass — the streaming admission sink's
+    invariant), its bands probe the union index for bucket collisions
+    (delta×old AND delta×delta), and only the colliding candidates get
+    exact-Jaccard verification against stored hsets. Probe cost is
+    O(|delta bands| + collisions) — the old corpus contributes only
+    index lookups, never text re-hashing. Orientation is normalized
+    with least/greatest so a pair is emitted once regardless of which
+    side is newer.
+
+    Executed self-contained: the corpus splits deterministically
+    (doc_id % INC04_DELTA_MOD == 0 = today's batch) and the "stored"
+    index is recomputed from old docs (at scale: a parquet read of the
+    index relations — see the online LSH admission sink,
+    streaming/jobs.py, which maintains exactly these rows). The oracle
+    is dd04's exact all-pairs SQL restricted to delta-touching pairs —
+    the same RECALL certificate: banded LSH provably misses no ≥0.5
+    pair on this corpus, and precision is exact by construction.
+
+    Parity: the reference dedups only within one load via pandas
+    drop_duplicates (cbddl/src/data_ingestion/ingestion_pipeline.py:95);
+    cross-load incremental near-dup is the beyond-reference form.
+    """
+    from ..catalog import spread_scan
+    from .dedup import _shingle_set, minhash_index_rows
+
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("shingles"))
+    is_delta = F.col("doc_id") % INC04_DELTA_MOD == 0
+    idx_bands, idx_hsets = minhash_index_rows(docs.filter(~is_delta), "doc_id", "shingles")
+    d_bands, d_hsets = minhash_index_rows(docs.filter(is_delta), "doc_id", "shingles")
+
+    probe_side = d_bands.alias("d")
+    index_side = idx_bands.unionByName(d_bands).alias("x")
+    candidates = (
+        probe_side.join(
+            index_side,
+            (F.col("d.band_id") == F.col("x.band_id"))
+            & (F.col("d.band_hash") == F.col("x.band_hash"))
+            & (F.col("d.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("x.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("x.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    hsets = idx_hsets.unionByName(d_hsets)
+    wa = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ws_a"))
+    wb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    jac = inter / union
+    return (
+        candidates.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

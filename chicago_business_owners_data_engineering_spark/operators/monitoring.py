@@ -1057,3 +1057,93 @@ def ts13_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- mon02: multi-window SLO burn-rate readout -------------------------------
+
+# Demo SLO for the events fixture (error events are ~20% of traffic by
+# construction): slow-burn ticket when the error ratio exceeds 25%
+# (4·err > tot), fast-burn page when it exceeds 30% (10·err > 3·tot) —
+# in BOTH the short (1h) and long (6h) trailing windows, the standard
+# multi-window rule that suppresses single-spike false pages.
+# Production tunes these to its SLO budget; the integer cross-multiplied
+# comparisons are the point (no float ratio ever computed).
+BURN_SHORT_H = 1
+BURN_LONG_H = 6
+
+
+@query(
+    "mon02_slo_burn_rate",
+    oracle=f"""
+    WITH h AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+                   + EXTRACT(HOUR FROM ts) AS hour_idx,
+               STRFTIME(MIN(ts), '%Y%m%d%H') AS hour_key,
+               COUNT(*) AS tot_1h,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS err_1h
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT hour_key, err_1h, tot_1h,
+               CAST(SUM(err_1h) OVER (ORDER BY hour_idx
+                   RANGE BETWEEN {BURN_LONG_H - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS err_6h,
+               CAST(SUM(tot_1h) OVER (ORDER BY hour_idx
+                   RANGE BETWEEN {BURN_LONG_H - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS tot_6h
+        FROM h
+    )
+    SELECT hour_key, err_1h, tot_1h, err_6h, tot_6h,
+           (10 * err_1h > 3 * tot_1h AND 10 * err_6h > 3 * tot_6h) AS fast_burn_page,
+           (4 * err_1h > tot_1h AND 4 * err_6h > tot_6h) AS slow_burn_ticket
+    FROM w ORDER BY hour_key
+    """,
+)
+def mon02_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate readout over the event stream — the
+    SRE alerting rule (fast page = high burn in BOTH a short and a long
+    trailing window; slow ticket at a lower threshold) as one query.
+
+    Extends the reference's fixed-threshold alert table
+    (cbddl/src/monitoring/pipeline_monitor.py:62-75, error-rate alert
+    at :152-207) with the budget-relative, spike-suppressing form.
+
+    Scale shape: events collapse to the HOURLY grain map-side (one
+    hash aggregate — the window input is ≤ 8,760 rows/year no matter
+    the event volume), then two trailing RANGE frames over hour_idx
+    (gap-correct: missing hours shrink the frame rather than stretching
+    it) and integer cross-multiplied threshold tests — no float ratio,
+    so both engines decide every flag identically. The unpartitioned
+    window runs post-aggregation, the documented W4/W5 posture; at
+    multi-year scale partition the window by metric/service key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        (F.unix_date(F.col("ts").cast("date")).cast("long") * 24 + F.hour("ts")).alias(
+            "hour_idx"
+        )
+    ).agg(
+        F.date_format(F.min("ts"), "yyyyMMddHH").alias("hour_key"),
+        F.count("*").alias("tot_1h"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("err_1h"),
+    )
+    w = Window.orderBy("hour_idx").rangeBetween(-(BURN_LONG_H - 1), 0)
+    burn = hourly.select(
+        "hour_key",
+        "err_1h",
+        "tot_1h",
+        F.sum("err_1h").over(w).alias("err_6h"),
+        F.sum("tot_1h").over(w).alias("tot_6h"),
+    )
+    fast = (10 * F.col("err_1h") > 3 * F.col("tot_1h")) & (
+        10 * F.col("err_6h") > 3 * F.col("tot_6h")
+    )
+    slow = (4 * F.col("err_1h") > F.col("tot_1h")) & (
+        4 * F.col("err_6h") > F.col("tot_6h")
+    )
+    return burn.select(
+        "hour_key",
+        "err_1h",
+        "tot_1h",
+        "err_6h",
+        "tot_6h",
+        fast.alias("fast_burn_page"),
+        slow.alias("slow_burn_ticket"),
+    ).orderBy("hour_key")

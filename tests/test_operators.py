@@ -854,3 +854,54 @@ def test_id_gap_islands_hand_computed(spark, tmp_path):
         for r in QUERIES["f25_id_gap_islands"](spark, str(tmp_path)).collect()
     ]
     assert got == [(7, 9, 3), (3, 4, 2)]
+
+
+def test_mon02_burn_rate_invariants(spark, sf_dir):
+    """Window sums dominate their 1h legs, errors never exceed totals,
+    and the fast-page threshold (30%) strictly nests inside the
+    slow-ticket one (25%) — every paged hour is also ticketed."""
+    rows = QUERIES["mon02_slo_burn_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["err_1h"] <= r["tot_1h"]
+        assert r["err_6h"] >= r["err_1h"] and r["tot_6h"] >= r["tot_1h"]
+        if r["fast_burn_page"]:
+            assert r["slow_burn_ticket"]
+        # flags replay the integer cross-multiplication exactly
+        assert r["slow_burn_ticket"] == (
+            4 * r["err_1h"] > r["tot_1h"] and 4 * r["err_6h"] > r["tot_6h"]
+        )
+
+
+def test_dq15_detects_planted_drift(spark, sf_dir):
+    """The old snapshot plants NULL o_orderpriority rows (%83) absent
+    from the new one — dq15 must flag exactly that null-rate drift and
+    no spurious one on the never-null columns."""
+    rows = {r["col_name"]: r for r in QUERIES["dq15_profile_drift"](spark, sf_dir).collect()}
+    assert set(rows) == {"o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"}
+    assert rows["o_orderpriority"]["old_nulls"] > 0
+    assert rows["o_orderpriority"]["new_nulls"] == 0
+    assert rows["o_orderpriority"]["null_rate_changed"]
+    for c in ("o_custkey", "o_orderstatus", "o_totalprice"):
+        assert rows[c]["old_nulls"] == 0 and rows[c]["new_nulls"] == 0
+        assert not rows[c]["null_rate_changed"]
+
+
+def test_inc04_probe_equals_full_rebuild_restricted(spark, sf_dir):
+    """Incremental-maintenance law: probing the standing index with the
+    delta emits exactly the delta-touching subset of a full dd04
+    rebuild — nothing missed, nothing extra, same Jaccard values."""
+    from chicago_business_owners_data_engineering_spark.operators.incremental import (
+        INC04_DELTA_MOD,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dd04_minhash_lsh_pairs"](spark, sf_dir).collect()
+        if r["doc_a"] % INC04_DELTA_MOD == 0 or r["doc_b"] % INC04_DELTA_MOD == 0
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["inc04_incremental_neardup_probe"](spark, sf_dir).collect()
+    }
+    assert inc == full
