@@ -60,6 +60,13 @@ EXPECTED_GLOBAL_WINDOW = {
     "f25_id_gap_islands",
     # lower-median order statistics over the ≤ 366-row daily relation
     "ts13_seasonal_anomaly",
+    # trailing 1h/6h RANGE frames over the HOURLY grain (≤ 8,760
+    # rows/year post-aggregation — the documented W4/W5 posture; at
+    # multi-year scale the window partitions by metric/service key)
+    "mon02_slo_burn_rate",
+    # total-row window over the ≤ 5-row grouped value-frequency
+    # relation (heavy-hitter threshold n from the same exchange)
+    "a31_freq_items",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design

@@ -278,6 +278,25 @@ def _ml03_calibrated(spark: SparkSession, sf_dir: str):
     return semantic_dedup_components(spark, sf_dir, cos_threshold=0.9)
 
 
+def _ml03_scaled_k(spark: SparkSession, sf_dir: str):
+    """ml03's engine at FULL production calibration: θ=0.9 AND
+    k ∝ corpus size (constant ~250-vector cell width). The 100× probe
+    measured θ-only calibration (_ml03_calibrated, fixed k=8) at
+    exponent 1.29: with k fixed, cells grow with the corpus and the
+    in-cell quadratic dominates — exactly the sim13/sim14 fixed-k
+    failure shape, fixed by the same knob (SemDeDup's cluster count
+    scales with n)."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        semantic_dedup_components,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return semantic_dedup_components(
+        spark, sf_dir, k=max(8, n // 250), cos_threshold=0.9
+    )
+
+
 def _sim13_scaled_k(spark: SparkSession, sf_dir: str):
     """sim13's engine with k ∝ corpus size (constant ~250-vector cell
     width) — the production configuration. The registry pin k=8 was
@@ -339,6 +358,7 @@ def _tx15_wide(spark: SparkSession, sf_dir: str):
 # (parameter calibrations of registry engines).
 EXTRA_PROBES = {
     "ml03_semdedup_cos0.9": _ml03_calibrated,
+    "ml03_semdedup_scaledk": _ml03_scaled_k,
     "sim13_knnjoin_scaledk": _sim13_scaled_k,
     "sim14_pqjoin_scaledk": _sim14_scaled_k,
     "ml04_density_scaledk": _ml04_scaled,
