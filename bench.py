@@ -178,6 +178,8 @@ BENCH_R5 = [
     "mon02_slo_burn_rate",
     "dq15_profile_drift",
     "inc04_incremental_neardup_probe",
+    "st03_funnel_conversion",
+    "ab02_srm_check",
 ]
 
 

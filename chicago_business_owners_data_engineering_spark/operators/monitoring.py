@@ -1147,3 +1147,66 @@ def mon02_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fast.alias("fast_burn_page"),
         slow.alias("slow_burn_ticket"),
     ).orderBy("hour_key")
+
+
+# --- ab02: sample-ratio mismatch check ----------------------------------------
+
+
+@query(
+    "ab02_srm_check",
+    oracle="""
+    WITH per_user AS (
+        SELECT DISTINCT user_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS v
+        FROM events
+    )
+    SELECT CAST(COUNT(*) FILTER (v = 0) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (v = 1) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (v = 0) - COUNT(*) FILTER (v = 1) AS BIGINT) AS delta,
+           ((COUNT(*) FILTER (v = 0) - COUNT(*) FILTER (v = 1))
+            * (COUNT(*) FILTER (v = 0) - COUNT(*) FILTER (v = 1)) > 16 * COUNT(*))
+               AS srm_suspect
+    FROM per_user
+    """,
+)
+def ab02_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch guard for ab01's experiment: are the two
+    variants' exposure counts consistent with the intended 50/50
+    assignment? A biased split silently invalidates any readout, so
+    SRM runs BEFORE the z-test is believed.
+
+    Under H0 (fair split) n_a − n_b has standard deviation √n, so the
+    4σ alarm is the integer-exact test ``delta² > 16·n`` — no float
+    probability, both engines decide identically (the repo's
+    cross-multiplication discipline applied to a normal bound). The
+    assignment replays ab01's md5 user hash, one distinct-user pass +
+    one conditional-count row. The md5 splitter is provably fair here
+    (pytest pins not-suspect on this corpus); flipping the threshold
+    to 0 demonstrates detection.
+
+    Parity: beyond-reference (experimentation hygiene on the ab01
+    extension; the reference has no experiment layer).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.select("user_id").distinct().select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("v")
+    )
+    agg = per_user.agg(
+        F.count(F.when(F.col("v") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("v") == 1, 1)).alias("n_b"),
+        F.count("*").alias("n"),
+    )
+    delta = F.col("n_a") - F.col("n_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n",
+        delta.alias("delta"),
+        (delta * delta > 16 * F.col("n")).alias("srm_suspect"),
+    )

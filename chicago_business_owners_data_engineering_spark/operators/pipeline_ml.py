@@ -1299,3 +1299,84 @@ def st02_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- st03: ordered funnel conversion -----------------------------------------
+
+
+@query(
+    "st03_funnel_conversion",
+    oracle="""
+    WITH tv AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), tc AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN tv ON e.user_id = tv.user_id
+        WHERE e.event_type = 'click' AND e.ts >= tv.tv GROUP BY 1
+    ), tp AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN tc ON e.user_id = tc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= tc.tc GROUP BY 1
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS users FROM tv
+    UNION ALL SELECT '2_click_after_view', COUNT(*) FROM tc
+    UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM tp
+    ORDER BY stage
+    """,
+)
+def st03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): how many
+    users complete each stage IN ORDER — a click only counts after the
+    user's first view, a purchase only after that qualifying click.
+
+    The product-analytics sibling of st01 (sessions) and st02
+    (attribution). Ordering is enforced by stage-chained conditional
+    minima — stage k's timestamp is the user's earliest qualifying
+    event at-or-after stage k-1's — not by a per-user sort: each stage
+    is a filter + user-keyed MIN aggregate joined to the previous
+    stage's relation, so all three stages ride the SAME user-keyed
+    exchange (co-partitioned joins, no window, no per-user event
+    arrays). Funnel width shrinks monotonically by construction, the
+    invariant the pytest pins. At 100 TB the event scan is shared and
+    each stage relation is one row per surviving user.
+
+    Parity: the reference's dashboards count event types independently
+    (cbddl/src/dashboard/enhanced_streamlit_app.py's event breakdowns);
+    the ORDERED form is the beyond-reference extension.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tc = (
+        events.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    legs = [
+        tv.agg(F.count("*").alias("users")).select(
+            F.lit("1_view").alias("stage"), "users"
+        ),
+        tc.agg(F.count("*").alias("users")).select(
+            F.lit("2_click_after_view").alias("stage"), "users"
+        ),
+        tp.agg(F.count("*").alias("users")).select(
+            F.lit("3_purchase_after_click").alias("stage"), "users"
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("stage")

@@ -905,3 +905,26 @@ def test_inc04_probe_equals_full_rebuild_restricted(spark, sf_dir):
         for r in QUERIES["inc04_incremental_neardup_probe"](spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_st03_funnel_monotone_and_ordered(spark, sf_dir):
+    """Funnel widths shrink monotonically, and the ordered counts are
+    bounded by the unordered 'did each event type at all' counts."""
+    rows = {r["stage"]: r["users"] for r in QUERIES["st03_funnel_conversion"](spark, sf_dir).collect()}
+    assert set(rows) == {"1_view", "2_click_after_view", "3_purchase_after_click"}
+    assert rows["1_view"] >= rows["2_click_after_view"] >= rows["3_purchase_after_click"]
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    any_click = (
+        events.filter(F.col("event_type") == "click").select("user_id").distinct().count()
+    )
+    assert rows["2_click_after_view"] <= any_click
+
+
+def test_ab02_srm_fair_split_and_detection(spark, sf_dir):
+    """The md5 splitter is fair on this corpus (no SRM alarm), the
+    counts tie out, and the 4-sigma integer test replays exactly."""
+    r = QUERIES["ab02_srm_check"](spark, sf_dir).collect()[0]
+    assert r["n_a"] + r["n_b"] == r["n"]
+    assert r["delta"] == r["n_a"] - r["n_b"]
+    assert r["srm_suspect"] == (r["delta"] * r["delta"] > 16 * r["n"])
+    assert not r["srm_suspect"]  # md5 assignment is fair here
