@@ -180,6 +180,7 @@ BENCH_R5 = [
     "inc04_incremental_neardup_probe",
     "st03_funnel_conversion",
     "ab02_srm_check",
+    "tx17_repetition_signals",
 ]
 
 

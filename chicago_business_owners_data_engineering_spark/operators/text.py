@@ -750,3 +750,105 @@ def tx16_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), F.asc("bigram"))
         .limit(COLLOC_TOP)
     )
+
+
+# --- tx17: repetition quality signals (Gopher-style) ---------------------------
+
+
+@query(
+    "tx17_repetition_signals",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+    ), uni AS (
+        SELECT doc_id, u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words, UNNEST(w) AS u(tok)
+        GROUP BY doc_id, u.tok
+    ), uni_top AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS distinct_words,
+               MAX(c) AS top_word_n
+        FROM uni GROUP BY doc_id
+    ), bi AS (
+        SELECT doc_id, g.b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words,
+             UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                     FOR i IN RANGE(1, LEN(w))]) AS g(b)
+        WHERE LEN(w) >= 2
+        GROUP BY doc_id, g.b
+    ), bi_top AS (
+        SELECT doc_id, MAX(c) AS top_bigram_n FROM bi GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_words, u.distinct_words, u.top_word_n,
+           COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+           (u.top_word_n * 5 > u.n_words) AS top_word_heavy,
+           (COALESCE(b.top_bigram_n, 0) * 100 > 18 * (u.n_words - 1))
+               AS top_bigram_heavy,
+           (u.distinct_words * 2 < u.n_words) AS low_diversity
+    FROM uni_top u LEFT JOIN bi_top b ON u.doc_id = b.doc_id
+    ORDER BY u.doc_id
+    """,
+)
+def tx17_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document — the Gopher-rule
+    family (Rae et al. 2021 §A1.1: top n-gram fraction, duplicate
+    fraction) that production LLM pipelines apply before training:
+    documents dominated by one word, one bigram, or a tiny vocabulary
+    are boilerplate/spam and get gated out.
+
+    Signals (all integer-exact, thresholds cross-multiplied so both
+    engines decide identically — no float fraction is ever compared):
+    ``top_word_heavy`` (most frequent word > 20% of tokens),
+    ``top_bigram_heavy`` (most frequent bigram > 18% of bigram slots —
+    Gopher's 0.18), ``low_diversity`` (distinct words < half of
+    tokens). The raw counts ride along for downstream threshold tuning.
+
+    Scale shape: explode to (doc, gram) → count → per-doc MAX, for
+    unigrams and bigrams — two doc-keyed aggregation chains over one
+    scan, linear in tokens, no window and no per-doc sort (the MAX
+    replaces a rank). Complements tx01's length/punctuation heuristics
+    and ml05's model scores; tp06's curation report is where the gates
+    compose.
+    """
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    words = documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    uni = (
+        words.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    uni_top = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("distinct_words"),
+        F.max("c").alias("top_word_n"),
+    )
+    sz = F.size("w")
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.slice("w", 1, F.greatest(sz - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at("w", i + 2)),
+        ),
+    ).otherwise(F.array())
+    bi = (
+        words.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_top = bi.groupBy("doc_id").agg(F.max("c").alias("top_bigram_n"))
+    out = uni_top.join(bi_top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "distinct_words",
+        "top_word_n",
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+        (F.col("top_word_n") * 5 > F.col("n_words")).alias("top_word_heavy"),
+        (
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)) * 100
+            > 18 * (F.col("n_words") - 1)
+        ).alias("top_bigram_heavy"),
+        (F.col("distinct_words") * 2 < F.col("n_words")).alias("low_diversity"),
+    )
+    return out.orderBy("doc_id")

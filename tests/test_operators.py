@@ -928,3 +928,29 @@ def test_ab02_srm_fair_split_and_detection(spark, sf_dir):
     assert r["delta"] == r["n_a"] - r["n_b"]
     assert r["srm_suspect"] == (r["delta"] * r["delta"] > 16 * r["n"])
     assert not r["srm_suspect"]  # md5 assignment is fair here
+
+
+def test_tx17_repetition_signals_planted(spark, tmp_path):
+    """Planted boilerplate: a doc that is one word repeated trips all
+    three flags; a diverse doc trips none; a one-word doc is safe
+    (no negative-length bigram slice, top_bigram_n = 0)."""
+    docs = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over one lazy dog today"),
+        (3, "single"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["tx17_repetition_signals"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["top_word_heavy"] and rows[1]["top_bigram_heavy"] and rows[1]["low_diversity"]
+    assert not (
+        rows[2]["top_word_heavy"] or rows[2]["top_bigram_heavy"] or rows[2]["low_diversity"]
+    )
+    assert rows[3]["top_bigram_n"] == 0 and rows[3]["n_words"] == 1
+    assert not rows[3]["top_bigram_heavy"]
