@@ -181,6 +181,8 @@ BENCH_R5 = [
     "st03_funnel_conversion",
     "ab02_srm_check",
     "tx17_repetition_signals",
+    "f26_interval_merge",
+    "st04_cohort_retention",
 ]
 
 

@@ -1380,3 +1380,65 @@ def st03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("stage")
+
+
+# --- st04: cohort retention matrix ---------------------------------------------
+
+
+@query(
+    "st04_cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT o_custkey AS custkey,
+               EXTRACT(YEAR FROM o_orderdate) * 12
+                   + EXTRACT(MONTH FROM o_orderdate) - 1 AS midx
+        FROM orders
+    ), cohort AS (
+        SELECT custkey, MIN(midx) AS cidx FROM act GROUP BY custkey
+    )
+    SELECT LPAD(CAST(c.cidx // 12 AS VARCHAR), 4, '0')
+               || LPAD(CAST(c.cidx % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+           a.midx - c.cidx AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM act a JOIN cohort c ON a.custkey = c.custkey
+    GROUP BY 1, 2
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def st04_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-activity
+    month, counted in each subsequent month they return — the classic
+    product-analytics readout behind every retention curve.
+
+    Completes the behavioral family (st01 sessions, st02 attribution,
+    st03 funnel): months become integer indices (year·12 + month − 1)
+    so the offset subtraction is integer-exact; the cohort label
+    rebuilds yyyyMM from the index with zero-padded string arithmetic
+    shared by both engines (no date formatting of a synthetic date).
+
+    Scale shape: distinct (customer, month) collapses the fact table
+    map-side; the cohort MIN is a second aggregate on the SAME
+    customer-keyed exchange, the join is customer-co-partitioned, and
+    the final rollup is matrix-sized (cohorts × offsets). No window —
+    MIN-per-key beats a row_number sort when only the minimum is
+    needed.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    act = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("midx"),
+    ).distinct()
+    cohort = act.groupBy("custkey").agg(F.min("midx").alias("cidx"))
+    joined = act.join(cohort, "custkey")
+    cohort_month = F.concat(
+        F.lpad((F.col("cidx") / 12).cast("int").cast("string"), 4, "0"),
+        F.lpad((F.col("cidx") % 12 + 1).cast("string"), 2, "0"),
+    )
+    return (
+        joined.groupBy(
+            cohort_month.alias("cohort_month"),
+            (F.col("midx") - F.col("cidx")).alias("month_offset"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -426,3 +426,94 @@ def f25_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gap_len"), "gap_start")
         .limit(50)
     )
+
+
+# --- f26: overlapping-interval coalescing --------------------------------------
+
+F26_SPAN_DAYS = 30
+
+
+@query(
+    "f26_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_custkey AS custkey,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   + {F26_SPAN_DAYS} AS e
+        FROM orders
+    ), flagged AS (
+        SELECT custkey, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT custkey, s, e,
+               CAST(SUM(new_island) OVER (
+                   PARTITION BY custkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS island_id
+        FROM flagged
+    )
+    SELECT custkey, island_id,
+           MIN(s) AS start_day, MAX(e) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM islands GROUP BY custkey, island_id
+    ORDER BY custkey, island_id
+    """,
+)
+def f26_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce overlapping intervals per key — the interval twin of
+    f25's id-gap islands and the primitive behind activity episodes,
+    maintenance-window merging, and coverage accounting.
+
+    Each order opens a {F26_SPAN_DAYS}-day activity interval for its
+    customer; touching/overlapping intervals merge into episodes. The
+    classic two-window recipe: an interval starts a NEW island iff its
+    start exceeds the running MAX(end) of everything before it (ROWS
+    … 1 PRECEDING — plain LAG is wrong when an earlier interval
+    engulfs its successor), then a cumulative SUM of the island flags
+    numbers the episodes, and a per-(key, island) aggregate emits the
+    merged spans. Dates become integer day numbers up front so every
+    comparison is integer-exact cross-engine.
+
+    Scale shape: both windows partition by the key — one key-hash
+    exchange, per-key sort, no self-join, no explode-to-days (the
+    naive calendar-explode form is O(days·rows)). Window input is the
+    raw interval relation; at 100 TB this is the standard sessionize
+    shape (st01 is its timestamp-gap sibling).
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    iv = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        s.cast("long").alias("s"),
+        (s + F26_SPAN_DAYS).cast("long").alias("e"),
+    )
+    order_w = Window.partitionBy("custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        order_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("custkey", "island_id")
+        .agg(
+            F.min("s").alias("start_day"),
+            F.max("e").alias("end_day"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("custkey", "island_id")
+    )

@@ -954,3 +954,46 @@ def test_tx17_repetition_signals_planted(spark, tmp_path):
     )
     assert rows[3]["top_bigram_n"] == 0 and rows[3]["n_words"] == 1
     assert not rows[3]["top_bigram_heavy"]
+
+
+def test_f26_interval_merge_hand_computed(spark, tmp_path):
+    """Planted intervals: orders on days 0, 10, 100 for one customer
+    (span 30) merge to [0,40] (2 orders) + [100,130]; an engulfing
+    pattern (0, 5 when span covers both) stays one island — the case
+    plain LAG gets wrong."""
+    rows = [
+        (1, 100, "O", 1.0, "1970-01-01 00:00:00", "P"),
+        (2, 100, "O", 1.0, "1970-01-11 00:00:00", "P"),
+        (3, 100, "O", 1.0, "1970-04-11 00:00:00", "P"),  # day 100
+        (4, 200, "O", 1.0, "1970-01-01 00:00:00", "P"),
+        (5, 200, "O", 1.0, "1970-01-06 00:00:00", "P"),  # engulfed
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        (r["custkey"], r["island_id"], r["start_day"], r["end_day"], r["n_orders"])
+        for r in QUERIES["f26_interval_merge"](spark, str(tmp_path)).collect()
+    ]
+    assert got == [(100, 1, 0, 40, 2), (100, 2, 100, 130, 1), (200, 1, 0, 35, 2)]
+
+
+def test_st04_cohort_retention_invariants(spark, sf_dir):
+    """Offset-0 cell of each cohort equals its cohort size, offsets are
+    non-negative, and total offset-0 customers equals distinct buyers."""
+    rows = QUERIES["st04_cohort_retention"](spark, sf_dir).collect()
+    assert rows and all(r["month_offset"] >= 0 for r in rows)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], {})[r["month_offset"]] = r["n_customers"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_buyers = orders.select("o_custkey").distinct().count()
+    assert sum(c[0] for c in by_cohort.values()) == n_buyers
+    for c in by_cohort.values():
+        assert all(v <= c[0] for v in c.values())  # no offset outgrows the cohort
