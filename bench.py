@@ -183,6 +183,7 @@ BENCH_R5 = [
     "tx17_repetition_signals",
     "f26_interval_merge",
     "st04_cohort_retention",
+    "er05_blocking_quality",
 ]
 
 

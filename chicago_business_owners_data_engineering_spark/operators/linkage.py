@@ -378,3 +378,111 @@ def er04_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+# --- er05: blocking quality readout --------------------------------------------
+
+
+@query(
+    "er05_blocking_quality",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM part),
+    blocked AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+               CAST(COUNT(CASE WHEN levenshtein(a.p_name, b.p_name)
+                                    BETWEEN 1 AND {MAX_EDIT} THEN 1 END) AS BIGINT)
+                   AS found_matches
+        FROM part a JOIN part b
+          ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+         AND a.p_brand = b.p_brand
+         AND a.p_partkey < b.p_partkey
+    ), brute AS (
+        SELECT CAST(COUNT(CASE WHEN levenshtein(a.p_name, b.p_name)
+                                    BETWEEN 1 AND {MAX_EDIT} THEN 1 END) AS BIGINT)
+                   AS true_matches
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    )
+    SELECT n.n_records, blocked.candidate_pairs, blocked.found_matches,
+           brute.true_matches,
+           ROUND(1.0 - 2.0 * blocked.candidate_pairs
+                     / (n.n_records * (n.n_records - 1)), 6) AS reduction_ratio,
+           ROUND(blocked.found_matches * 1.0 / brute.true_matches, 6)
+               AS pair_completeness
+    FROM n, blocked, brute
+    """,
+)
+def er05_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality readout for the er01 matcher — the two numbers
+    every ER blocking scheme is judged by: REDUCTION RATIO (what share
+    of the n·(n−1)/2 comparison space the blocks eliminate) and PAIR
+    COMPLETENESS (what share of true fuzzy matches survive blocking).
+    The ER twin of sim15's ANN recall eval: candidate generators must
+    be measured, not trusted.
+
+    The TRUE match universe is brand-exact + fuzzy name (brand is an
+    exact attribute no real matcher fuzzes; edit distance alone would
+    count coincidentally-similar names of unrelated products as
+    "matches"). The blocking under eval adds the product-NOUN
+    restriction for tractability — pair completeness measures exactly
+    what that costs: variants whose edit sits IN the noun are the
+    pairs blocking loses. The truth leg therefore self-joins on brand
+    (an equi-join over brand groups — Σ|brand|² comparisons, the
+    eval's deliberate exact cost; at 100 TB it runs on a stratified
+    brand sample). The candidate count is taken BEFORE the
+    edit-distance filter — that is what blocking does or doesn't
+    eliminate. Ratios are ROUND()ed doubles computed from BIGINT
+    counts with textually identical expressions on both engines.
+    """
+    part = load_table(spark, sf_dir, "part")
+    sides = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.element_at(F.split("p_name", " "), -1).alias("block_noun"),
+    )
+    parallelism = part.sparkSession.sparkContext.defaultParallelism
+    probe = sides.repartition(parallelism, "block_noun", "p_brand")
+    a, b = probe.alias("a"), sides.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    blocked = a.join(
+        b,
+        on=[
+            F.col("a.block_noun") == F.col("b.block_noun"),
+            F.col("a.p_brand") == F.col("b.p_brand"),
+            F.col("a.p_partkey") < F.col("b.p_partkey"),
+        ],
+    ).agg(
+        F.count("*").alias("candidate_pairs"),
+        F.count(F.when(dist.between(1, MAX_EDIT), 1)).alias("found_matches"),
+    )
+    # truth leg: brand-keyed equi self-join (one shuffle on p_brand;
+    # Σ|brand-group|² levenshtein evals — the eval's exact cost)
+    ba, bb = (
+        part.select("p_partkey", "p_name", "p_brand")
+        .repartition(parallelism, "p_brand")
+        .alias("a"),
+        part.select("p_partkey", "p_name", "p_brand").alias("b"),
+    )
+    bdist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    brute = ba.join(
+        bb,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).agg(F.count(F.when(bdist.between(1, MAX_EDIT), 1)).alias("true_matches"))
+    n = part.agg(F.count("*").alias("n_records"))
+    out = n.crossJoin(blocked).crossJoin(brute)
+    return out.select(
+        "n_records",
+        "candidate_pairs",
+        "found_matches",
+        "true_matches",
+        F.round(
+            1.0
+            - 2.0 * F.col("candidate_pairs") / (F.col("n_records") * (F.col("n_records") - 1)),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(F.col("found_matches") * 1.0 / F.col("true_matches"), 6).alias(
+            "pair_completeness"
+        ),
+    )

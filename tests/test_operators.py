@@ -997,3 +997,18 @@ def test_st04_cohort_retention_invariants(spark, sf_dir):
     assert sum(c[0] for c in by_cohort.values()) == n_buyers
     for c in by_cohort.values():
         assert all(v <= c[0] for v in c.values())  # no offset outgrows the cohort
+
+
+def test_er05_blocking_quality_bounds(spark, sf_dir):
+    """Counts nest (found <= candidates, found <= truth), the metrics
+    replay their integer definitions, and blocking eliminates >90% of
+    the comparison space. Completeness < 1 is the READOUT working:
+    name variants whose edit sits in the product noun are exactly
+    what noun-blocking loses."""
+    r = QUERIES["er05_blocking_quality"](spark, sf_dir).collect()[0]
+    assert r["found_matches"] <= r["candidate_pairs"]
+    assert 0 < r["found_matches"] <= r["true_matches"]
+    assert 0 < r["pair_completeness"] <= 1.0
+    assert r["reduction_ratio"] > 0.9
+    n = r["n_records"]
+    assert r["reduction_ratio"] == round(1.0 - 2.0 * r["candidate_pairs"] / (n * (n - 1)), 6)
