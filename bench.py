@@ -184,6 +184,7 @@ BENCH_R5 = [
     "f26_interval_merge",
     "st04_cohort_retention",
     "er05_blocking_quality",
+    "mon03_freshness_lag",
 ]
 
 

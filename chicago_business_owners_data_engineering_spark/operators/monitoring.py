@@ -1210,3 +1210,66 @@ def ab02_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.alias("delta"),
         (delta * delta > 16 * F.col("n")).alias("srm_suspect"),
     )
+
+
+# --- mon03: per-source freshness lag -------------------------------------------
+
+FRESHNESS_STALE_MIN = 120  # stale when a source lags the corpus head by 2h+
+
+
+@query(
+    "mon03_freshness_lag",
+    oracle=f"""
+    WITH head AS (SELECT MAX(ts) AS head_ts FROM events),
+    per_src AS (
+        SELECT event_type, MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, STRFTIME(p.last_ts, '%Y%m%d%H%M%S') AS last_seen,
+           p.n_events,
+           DATE_DIFF('minute', p.last_ts, h.head_ts) AS lag_minutes,
+           DATE_DIFF('minute', p.last_ts, h.head_ts) >= {FRESHNESS_STALE_MIN}
+               AS is_stale
+    FROM per_src p, head h
+    ORDER BY p.event_type
+    """,
+)
+def mon03_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness: each event type's last-seen timestamp, its
+    lag in whole minutes behind the corpus head, and a stale flag — the
+    per-feed form of the reference's data-freshness gauge
+    (cbddl/src/monitoring/pipeline_monitor.py's freshness metric covers
+    only the table globally; a wedged single feed hides inside a fresh
+    global MAX, which is exactly the failure this catches).
+
+    Lag is an integer minute difference computed as truncated epoch
+    minutes on both engines (Spark unix_date·1440 + hour·60 + minute ≡
+    DuckDB DATE_DIFF('minute'): both count whole-minute boundaries, so
+    the stale comparison is integer-exact). One grouped aggregate +
+    one 1-row head broadcast; at 100 TB the scan reads the ts column
+    only, and on a date-partitioned lake the head/last-seen resolve
+    from partition maxima without a full scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def epoch_minutes(col: str):
+        return (
+            F.unix_date(F.col(col).cast("date")).cast("long") * 1440
+            + F.hour(col) * 60
+            + F.minute(col)
+        )
+
+    head = events.agg(F.max("ts").alias("head_ts"))
+    per_src = events.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
+    )
+    joined = per_src.crossJoin(F.broadcast(head))
+    lag = epoch_minutes("head_ts") - epoch_minutes("last_ts")
+    return joined.select(
+        "event_type",
+        F.date_format("last_ts", "yyyyMMddHHmmss").alias("last_seen"),
+        "n_events",
+        lag.alias("lag_minutes"),
+        (lag >= FRESHNESS_STALE_MIN).alias("is_stale"),
+    ).orderBy("event_type")

@@ -1012,3 +1012,24 @@ def test_er05_blocking_quality_bounds(spark, sf_dir):
     assert r["reduction_ratio"] > 0.9
     n = r["n_records"]
     assert r["reduction_ratio"] == round(1.0 - 2.0 * r["candidate_pairs"] / (n * (n - 1)), 6)
+
+
+def test_mon03_freshness_planted_stale_feed(spark, tmp_path):
+    """A feed that stopped 3h before the corpus head is stale; the feed
+    defining the head has lag 0 and is fresh."""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 5, 1, 12, 0, 0), 1, "view", 1.0, None),
+        (2, datetime.datetime(2024, 5, 1, 9, 0, 0), 2, "error", 1.0, None),
+        (3, datetime.datetime(2024, 5, 1, 11, 30, 0), 3, "view", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r for r in QUERIES["mon03_freshness_lag"](spark, str(tmp_path)).collect()}
+    assert got["view"]["lag_minutes"] == 0 and not got["view"]["is_stale"]
+    assert got["error"]["lag_minutes"] == 180 and got["error"]["is_stale"]
+    assert got["view"]["n_events"] == 2
