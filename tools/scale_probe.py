@@ -147,6 +147,17 @@ PROBE_QUERIES: tuple[str, ...] = (
     "gr11_clustering_coefficient",  # oriented wedge join + node-keyed joins — E^1.5 check
     "wh04_scd2_merge",  # key-partitioned close-and-open join — linear check
     "ts13_seasonal_anomaly",  # day rollup + bounded median windows — linear check
+    # round-5 additions
+    "mon02_slo_burn_rate",  # hourly rollup + bounded RANGE frames — linear check
+    "dq15_profile_drift",  # two multi-distinct EXPAND passes — linear check
+    "inc04_incremental_neardup_probe",  # delta-band index probe — collision-volume check
+    "st03_funnel_conversion",  # stage-chained user-keyed mins — linear check
+    "ab02_srm_check",  # distinct-user pass + 1-row readout — linear check
+    "tx17_repetition_signals",  # explode→count→per-doc MAX chains — linear check
+    "f26_interval_merge",  # key-partitioned island windows — linear check
+    "st04_cohort_retention",  # customer-keyed distinct + matrix rollup — linear check
+    "er05_blocking_quality",  # brand-keyed Σ|group|² truth leg — quadratic-in-group check
+    "mon03_freshness_lag",  # grouped max + 1-row head broadcast — linear check
 )
 
 # The 100× set: the top-10 most expensive registry queries by the
