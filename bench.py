@@ -185,6 +185,9 @@ BENCH_R5 = [
     "st04_cohort_retention",
     "er05_blocking_quality",
     "mon03_freshness_lag",
+    "ts14_ewma_anomaly",
+    "tp20_source_overlap_matrix",
+    "f27_time_to_convert",
 ]
 
 

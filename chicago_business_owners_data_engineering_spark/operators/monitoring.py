@@ -1273,3 +1273,90 @@ def mon03_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_minutes"),
         (lag >= FRESHNESS_STALE_MIN).alias("is_stale"),
     ).orderBy("event_type")
+
+
+# --- ts14: fixed-point EWMA baseline anomaly ------------------------------------
+
+# Truncated exponential weights (halving per day) for lags 1..7 — the
+# EWMA recurrence unrolled to a bounded window so the whole baseline is
+# INTEGER arithmetic (the repo's no-floats-in-the-recurrence rule: a
+# true recursive EWMA accumulates float rounding that diverges across
+# engines; the 2^-k tail beyond 7 days contributes < 1%).
+EWMA_WEIGHTS = (64, 32, 16, 8, 4, 2, 1)  # lag 1 .. lag 7
+
+
+@query(
+    "ts14_ewma_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT day, cents,
+               {', '.join(f"LAG(cents, {k + 1}) OVER (ORDER BY day) AS l{k + 1}" for k in range(7))}
+        FROM daily
+    ), scored AS (
+        SELECT day, cents,
+               {' + '.join(f"COALESCE(l{k + 1}, 0) * {w}" for k, w in enumerate(EWMA_WEIGHTS))} AS num,
+               {' + '.join(f"CASE WHEN l{k + 1} IS NOT NULL THEN {w} ELSE 0 END" for k, w in enumerate(EWMA_WEIGHTS))} AS den
+        FROM lagged
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day, cents,
+           CAST(num // den AS BIGINT) AS ewma_cents,
+           (10 * cents * den > 13 * num) AS is_spike,
+           (10 * cents * den < 7 * num) AS is_dip
+    FROM scored WHERE den > 0
+    ORDER BY day
+    """,
+)
+def ts14_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-baseline anomaly flags over the daily revenue series: each
+    day compared against an exponentially weighted average of its prior
+    week (spike = +30% over baseline, dip = −30%).
+
+    The smoothing-baseline member of the ts* family (ts13 is its
+    seasonal-median sibling; ts11 finds the single changepoint; this
+    flags per-day deviations against a recency-weighted level). The
+    recurrence is unrolled to SEVEN LAG columns with halving integer
+    weights — no recursive float state, so both engines produce
+    bit-identical baselines, and partial history (series head) just
+    shrinks the weight denominator instead of poisoning the average.
+    Thresholds are integer cross-multiplications (10·cents·den vs
+    13·num); the first day (no history) is excluded by den > 0.
+
+    Scale shape: one map-side daily rollup, then one ordered window
+    pass producing all seven lags in a single WindowExec (Spark fuses
+    same-spec window functions) — the documented post-aggregation
+    daily-grain posture; partition by series key for multi-metric use.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        *[F.lag("cents", k + 1).over(w).alias(f"l{k + 1}") for k in range(7)],
+    )
+    num = None
+    den = None
+    for k, wt in enumerate(EWMA_WEIGHTS):
+        col = F.col(f"l{k + 1}")
+        n_term = F.coalesce(col, F.lit(0)) * wt
+        d_term = F.when(col.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    scored = lagged.select("day", "cents", num.alias("num"), den.alias("den"))
+    return (
+        scored.filter(F.col("den") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.expr("num div den").alias("ewma_cents"),
+            (10 * F.col("cents") * F.col("den") > 13 * F.col("num")).alias("is_spike"),
+            (10 * F.col("cents") * F.col("den") < 7 * F.col("num")).alias("is_dip"),
+        )
+        .orderBy("day")
+    )

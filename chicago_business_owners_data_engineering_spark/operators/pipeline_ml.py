@@ -1442,3 +1442,137 @@ def st04_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("cohort_month", "month_offset")
     )
+
+
+# --- tp20: cross-source duplication matrix --------------------------------------
+
+from .shared_oracles import DD04_EXACT_PAIRS_SQL as _TP20_PAIRS_SQL  # noqa: E402
+
+
+@query(
+    "tp20_source_overlap_matrix",
+    oracle=f"""
+    WITH pairs AS ({_TP20_PAIRS_SQL})
+    SELECT LEAST(da.source, db.source) AS src_a,
+           GREATEST(da.source, db.source) AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(p.jaccard), 6) AS avg_jaccard
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY src_a, src_b
+    """,
+)
+def tp20_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source
+    pair, how many ≥0.5-Jaccard near-dup pairs straddle it (and their
+    mean similarity) — the curation readout that answers "which feeds
+    are mirroring each other", the decision input for source-level
+    dedup ordering and mixture down-weighting (tp08/tp15's weights).
+
+    Composes dd04's banded near-dup pairs (never brute force) with two
+    doc→source joins and a matrix-sized rollup; source labels are
+    normalized with least/greatest so (A,B) and (B,A) land in one
+    cell. The oracle rides the shared exact-pairs SQL (same recall
+    certificate as dd04); avg_jaccard is a ROUND()ed mean of the
+    already-rounded pair scores — identical input sets, identical
+    fold on both engines at this cardinality.
+
+    Parity: the reference dedups within one load and never attributes
+    duplication to feeds; cross-feed accounting is the
+    beyond-reference form (the multi-source story tp08 samples from).
+    """
+    from .dedup import _shingle_set, minhash_lsh_pairs
+
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("shingles"))
+    pairs = minhash_lsh_pairs(docs, "doc_id", "shingles", threshold=0.5)
+    src = documents.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --- f27: time-to-convert percentiles -------------------------------------------
+
+
+@query(
+    "f27_time_to_convert",
+    oracle="""
+    WITH tv AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), tp AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN tv ON e.user_id = tv.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= tv.tv GROUP BY 1
+    ), mins AS (
+        SELECT CAST(DATE_DIFF('minute', tv.tv, tp.tp) AS BIGINT) AS m
+        FROM tp JOIN tv ON tp.user_id = tv.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(QUANTILE_CONT(m, 0.25), 4) AS p25_min,
+           ROUND(QUANTILE_CONT(m, 0.5), 4) AS p50_min,
+           ROUND(QUANTILE_CONT(m, 0.75), 4) AS p75_min
+    FROM mins
+    """,
+)
+def f27_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: whole minutes from a user's first
+    view to their first at-or-after purchase, summarized as exact
+    interpolated quartiles — the latency readout attached to st03's
+    funnel (how long the converted leg takes, not just how wide it is).
+
+    Durations are integer minutes (truncated epoch-minute difference,
+    mon03's idiom, ≡ DATE_DIFF('minute')); the quartiles use the
+    a25-proven parity pair — Spark ``percentile`` is DuckDB
+    QUANTILE_CONT bit-for-bit on integer inputs, ROUND()ed identically.
+    Same user-keyed exchange family as st03; the percentile aggregate
+    is the only ordered state and runs on the per-user relation, never
+    raw events. At 100 TB swap ``percentile`` for ``percentile_approx``
+    (t-digest) — same call shape, bounded memory (the a25 posture).
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(tv, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+
+    def epoch_minutes(col: str):
+        return (
+            F.unix_date(F.col(col).cast("date")).cast("long") * 1440
+            + F.hour(col) * 60
+            + F.minute(col)
+        )
+
+    mins = tp.join(tv, "user_id").select(
+        (epoch_minutes("tp") - epoch_minutes("tv")).alias("m")
+    )
+    return mins.agg(
+        F.count("*").alias("n_converted"),
+        *[
+            F.round(F.expr(f"percentile(m, {q})"), 4).alias(f"p{int(q * 100)}_min")
+            for q in (0.25, 0.5, 0.75)
+        ],
+    )

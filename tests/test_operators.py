@@ -1033,3 +1033,51 @@ def test_mon03_freshness_planted_stale_feed(spark, tmp_path):
     assert got["view"]["lag_minutes"] == 0 and not got["view"]["is_stale"]
     assert got["error"]["lag_minutes"] == 180 and got["error"]["is_stale"]
     assert got["view"]["n_events"] == 2
+
+
+def test_ts14_ewma_planted_spike(spark, tmp_path):
+    """A flat 100-cent series with one 10x day: the spike day flags
+    is_spike (baseline stays ~100), the day AFTER does not flag is_dip
+    against the spike-inflated baseline unless it truly drops 30%, and
+    day 1 (no history) is excluded."""
+    rows = []
+    k = 1
+    for d in range(1, 15):
+        price = 10.0 if d == 10 else 1.0  # cents: 1000 vs 100
+        rows.append((k, 1, "O", price, f"2024-01-{d:02d} 00:00:00", "P"))
+        k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate_s").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {r["day"]: r for r in QUERIES["ts14_ewma_anomaly"](spark, str(tmp_path)).collect()}
+    assert "2024-01-01" not in got  # no history -> excluded
+    assert got["2024-01-10"]["is_spike"] and not got["2024-01-10"]["is_dip"]
+    assert got["2024-01-09"]["ewma_cents"] == 100  # flat baseline before the spike
+    assert got["2024-01-11"]["is_dip"]  # 100 vs spike-inflated baseline
+
+
+def test_tp20_overlap_matrix_consistency(spark, sf_dir):
+    """Matrix totals equal dd04's pair count; labels are normalized
+    (src_a <= src_b); every mean sits in the [0.5, 1] band."""
+    rows = QUERIES["tp20_source_overlap_matrix"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["src_a"] <= r["src_b"] for r in rows)
+    assert all(0.5 <= r["avg_jaccard"] <= 1.0 for r in rows)
+    total = sum(r["n_pairs"] for r in rows)
+    dd04 = QUERIES["dd04_minhash_lsh_pairs"](spark, sf_dir).count()
+    assert total == dd04
+
+
+def test_f27_time_to_convert_bounds(spark, sf_dir):
+    """Quartiles are ordered and non-negative; converted count matches
+    st03's purchase stage (same chain, click stage skipped -> >=)."""
+    r = QUERIES["f27_time_to_convert"](spark, sf_dir).collect()[0]
+    assert 0 <= r["p25_min"] <= r["p50_min"] <= r["p75_min"]
+    st03 = {x["stage"]: x["users"] for x in QUERIES["st03_funnel_conversion"](spark, sf_dir).collect()}
+    assert r["n_converted"] >= st03["3_purchase_after_click"]

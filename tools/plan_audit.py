@@ -67,6 +67,10 @@ EXPECTED_GLOBAL_WINDOW = {
     # total-row window over the ≤ 5-row grouped value-frequency
     # relation (heavy-hitter threshold n from the same exchange)
     "a31_freq_items",
+    # seven fused LAG columns over the ≤ 366-row daily grain — the
+    # documented post-aggregation posture (partition by series key for
+    # multi-metric use)
+    "ts14_ewma_anomaly",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
