@@ -64,6 +64,9 @@ BENCH_QUERIES = [
 # keeps the headline total comparable round-over-round; this second
 # metric makes regressions in newer code visible). Same measurement
 # protocol; reported as extra keys on the same JSON line.
+# r06 note: the round-5 group was folded in here (VERDICT r5 #6), so the
+# extended TOTAL is not comparable across the r05/r06 boundary — the
+# per-query medians in query_stats are the round-over-round signal.
 BENCH_EXTENDED = [
     "sim08_hybrid_search",
     "tx09_unigram_surprisal",
@@ -71,6 +74,20 @@ BENCH_EXTENDED = [
     "dq04_distribution_drift",
     "tp08_source_mixture_sample",
     "dd06_neardup_components",
+    # --- folded round-5 group (was BENCH_R5) ---
+    "mon02_slo_burn_rate",
+    "dq15_profile_drift",
+    "inc04_incremental_neardup_probe",
+    "st03_funnel_conversion",
+    "ab02_srm_check",
+    "tx17_repetition_signals",
+    "f26_interval_merge",
+    "st04_cohort_retention",
+    "er05_blocking_quality",
+    "mon03_freshness_lag",
+    "ts14_ewma_anomaly",
+    "tp20_source_overlap_matrix",
+    "f27_time_to_convert",
 ]
 
 # Round-3 additions (same freezing rationale: each round's new
@@ -173,22 +190,9 @@ BENCH_R4 = [
 ]
 
 
-# Round-5 additions (same freezing rationale).
-BENCH_R5 = [
-    "mon02_slo_burn_rate",
-    "dq15_profile_drift",
-    "inc04_incremental_neardup_probe",
-    "st03_funnel_conversion",
-    "ab02_srm_check",
-    "tx17_repetition_signals",
-    "f26_interval_merge",
-    "st04_cohort_retention",
-    "er05_blocking_quality",
-    "mon03_freshness_lag",
-    "ts14_ewma_anomaly",
-    "tp20_source_overlap_matrix",
-    "f27_time_to_convert",
-]
+# Round-6 additions (same freezing rationale; the round-5 group now
+# lives inside BENCH_EXTENDED). Frozen the day each operator ships.
+BENCH_R6: list[str] = []
 
 
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:
@@ -309,14 +313,27 @@ def main() -> None:
     r3b, r3b_stats = run_set(BENCH_R3B)
     r3c, r3c_stats = run_set(BENCH_R3C)
     r4, r4_stats = run_set(BENCH_R4)
-    r5, r5_stats = run_set(BENCH_R5)
+    r6, r6_stats = run_set(BENCH_R6)
     e2e = run_pipeline_e2e(sf_dir)
     vec = run_vector_e2e(sf_dir)
 
     # One JSON line PER metric group, headline group LAST: the driver's
-    # tail capture keeps the end of stdout, so the headline line must be
-    # the final one (r03's single mega-line outgrew the buffer and the
-    # official record lost the headline total).
+    # tail capture keeps only the END of stdout, so the headline must be
+    # the final line AND that line must be small. This channel has now
+    # broken twice (r03: one mega-line outgrew the buffer; r05: the
+    # median-of-3 query_stats ballooned the final line past the ~2,000
+    # char tail window, so it was truncated from the front and
+    # `BENCH_r05.parsed` came back null). Protocol since r06:
+    #   1. every DETAIL line (queries + query_stats) prints first;
+    #   2. the LAST line is a COMPACT headline (<200 chars, no
+    #      queries/query_stats — those live one line up in
+    #      `headline_queries_detail`);
+    #   3. before exit, a self-check asserts the last emitted line
+    #      round-trips through json.loads and is < 1,000 chars, so any
+    #      future protocol regression fails THIS process instead of
+    #      silently nulling the round's official record.
+    emitted: list[str] = []
+
     def emit(metric: str, queries: dict[str, float], stats: dict[str, dict] | None = None, **extra: object) -> None:
         payload = {
             "metric": metric,
@@ -329,14 +346,16 @@ def main() -> None:
         if stats is not None:
             payload["value_min"] = round(sum(s["min"] for s in stats.values()), 3)
             payload["query_stats"] = stats
-        print(json.dumps(payload), flush=True)
+        line = json.dumps(payload)
+        emitted.append(line)
+        print(line, flush=True)
 
     emit("extended_queries_total_runtime", extended, ext_stats)
     emit("round3_queries_total_runtime", r3, r3_stats)
     emit("round3_tail_queries_total_runtime", r3b, r3b_stats)
     emit("round3_session_queries_total_runtime", r3c, r3c_stats)
     emit("round4_queries_total_runtime", r4, r4_stats)
-    emit("round5_queries_total_runtime", r5, r5_stats)
+    emit("round6_queries_total_runtime", r6, r6_stats)
     stage_detail = e2e.pop("warehouse_stages", {})
     validation_flag = e2e.pop("warehouse_validation", "passed")
     emit(
@@ -346,7 +365,28 @@ def main() -> None:
         warehouse_validation=validation_flag,
     )
     emit("vector_e2e_runtime", vec)
-    emit("headline_queries_total_runtime", timings, stats)
+    emit("headline_queries_detail", timings, stats)
+    # The compact final headline: value = sum of per-query medians,
+    # value_min = sum of per-query mins (continuity with the best-of-N
+    # totals recorded in BENCH_r01-r04). Per-query numbers are on the
+    # `headline_queries_detail` line directly above.
+    headline = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "value_min": round(sum(s["min"] for s in stats.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+    }
+    line = json.dumps(headline)
+    emitted.append(line)
+    print(line, flush=True)
+
+    # Self-check (exit non-zero on violation — a broken artifact channel
+    # must fail loudly in-session, never silently at round close).
+    last = emitted[-1]
+    parsed = json.loads(last)  # raises if unparseable
+    assert len(last) < 1000, f"final bench line is {len(last)} chars (>= 1000)"
+    assert parsed["metric"] == "headline_queries_total_runtime" and "value" in parsed
 
 
 if __name__ == "__main__":

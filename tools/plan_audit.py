@@ -126,12 +126,14 @@ def audit(plan: str) -> dict:
     }
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def run_audit(spark, sf_dir: str) -> tuple[list, list[str]]:
+    """Execute every registry query at ``sf_dir`` and audit its final
+    (post-AQE) physical plan. Returns (rows, warnings); zero warnings is
+    the CI gate (tests/test_plan_audit.py) — a plan regression fails the
+    commit it lands on instead of surfacing at round close.
+    """
     from chicago_business_owners_data_engineering_spark import registry
-    from chicago_business_owners_data_engineering_spark.session import get_spark
 
-    spark = get_spark("plan-audit", shuffle_partitions=8)
     rows, warnings = [], []
     for name in sorted(registry.QUERIES):
         try:
@@ -155,6 +157,15 @@ def main() -> int:
             and name not in EXPECTED_GLOBAL_WINDOW
         ):
             warnings.append(f"{name}: unexpected single-partition exchange")
+    return rows, warnings
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from chicago_business_owners_data_engineering_spark.session import get_spark
+
+    spark = get_spark("plan-audit", shuffle_partitions=8)
+    rows, warnings = run_audit(spark, sf_dir)
 
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
