@@ -180,6 +180,23 @@ PROBE100_QUERIES: tuple[str, ...] = (
     "gr01_pagerank",
 )
 
+# Round-6 100× additions (VERDICT r5 #3): the heavy families whose fixes
+# were validated at 10× only — the ml03 lesson is that 10× hides
+# quadratics. inc04 is the heaviest bench query (collision volume over
+# two decades); dd13's asymmetric prefix filter meets 100×-denser
+# templates; sim13/sim14 run the k ∝ n calibration; ml04 the scaled-k +
+# out-of-tail θ; tx14/tx15 the BPE train/apply pair (widened charset so
+# the tokenizer sees every fixture shard).
+PROBE100_R6: tuple[str, ...] = (
+    "inc04_incremental_neardup_probe",
+    "dd13_containment_join",
+    "sim13_knnjoin_scaledk",
+    "sim14_pqjoin_scaledk",
+    "ml04_density_scaledk",
+    "tx14_bpe_merges",
+    "tx15_bpe_widecharset",
+)
+
 # One stride per key family — shared by every table that references the
 # family, so cross-table joins keep matching inside a shard and never
 # match across shards.
