@@ -192,7 +192,20 @@ BENCH_R4 = [
 
 # Round-6 additions (same freezing rationale; the round-5 group now
 # lives inside BENCH_EXTENDED). Frozen the day each operator ships.
-BENCH_R6: list[str] = []
+BENCH_R6 = [
+    "opt01_or_join_rule",
+    "opt02_fused_counts_rule",
+    "ab03_cuped_readout",
+    "ts15_seasonal_strength",
+    "ts16_peak_concurrency",
+    "mb01_market_basket",
+    "st05_rfm_segments",
+    "tx18_lexical_diversity",
+    "dq16_format_conformance",
+    "sim16_range_search",
+    "j13_interval_overlap_join",
+    "dd16_weighted_jaccard_pairs",
+]
 
 
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:

@@ -1,0 +1,136 @@
+"""Association mining over order baskets (A-Priori / frequent pairs).
+
+The market-basket member of the analytics surface: which parts co-occur
+in the same order more often than independence predicts. The reference's
+analytics layer answers per-dimension frequency questions
+(cbddl/src/analytics/demographics_analyzer.py's top-N tabulations);
+co-occurrence is the natural next question, and at 100 TB it is also
+the canonical "candidate explosion" problem — the implementation must
+prune BEFORE pair generation, never enumerate all pairs.
+
+Plan discipline (Agrawal & Srikant, VLDB'94, the A-Priori property):
+an item pair can only reach support s if BOTH items individually reach
+s, so the frequent-item filter runs first and the pair self-join is
+restricted to frequent items inside each basket. Pair volume is then
+Σ_basket C(frequent_items_in_basket, 2) — bounded by basket size (≤7
+lines in this schema), never |items|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+ITEM_SUPPORT_PERMILLE = 1  # item frequent when in ≥ 0.1% of baskets
+PAIR_SUPPORT_X5000 = 1  # pair kept when pair_cnt * 5000 ≥ n_baskets (0.02%)
+TOP_PAIRS = 50
+
+
+@query(
+    "mb01_market_basket",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+    ), item_cnt AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item
+    ), freq AS (
+        SELECT i.item, i.c FROM item_cnt i, nb
+        WHERE i.c * 1000 >= {ITEM_SUPPORT_PERMILLE} * nb.n_baskets
+    ), pairs AS (
+        SELECT a.item AS part_a, b.item AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM items a
+        JOIN items b ON a.basket = b.basket AND a.item < b.item
+        JOIN freq fa ON fa.item = a.item
+        JOIN freq fb ON fb.item = b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT p.part_a, p.part_b, p.pair_cnt,
+           CAST((1000 * p.pair_cnt) // nb.n_baskets AS BIGINT) AS support_milli,
+           CAST((1000 * p.pair_cnt) // fa.c AS BIGINT) AS conf_a_to_b_milli,
+           CAST((1000 * p.pair_cnt) // fb.c AS BIGINT) AS conf_b_to_a_milli,
+           CAST((1000 * p.pair_cnt * nb.n_baskets) // (fa.c * fb.c) AS BIGINT)
+               AS lift_milli
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.part_a
+    JOIN freq fb ON fb.item = p.part_b
+    CROSS JOIN nb
+    WHERE p.pair_cnt * 5000 >= {PAIR_SUPPORT_X5000} * nb.n_baskets
+    ORDER BY p.pair_cnt DESC, p.part_a ASC, p.part_b ASC
+    LIMIT {TOP_PAIRS}
+    """,
+)
+def mb01_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs with support / confidence / lift — A-Priori
+    pruned market-basket analysis over order baskets.
+
+    All metrics are integer floor-divisions of exact BIGINT counts
+    (support and confidence in per-mille, lift in per-mille of the
+    independence expectation) — no float crosses the engine boundary.
+    1000·pair_cnt·n_baskets stays far inside int64 at any realistic
+    scale because pair_cnt ≤ n_baskets.
+
+    Scale shape: the basket relation shuffles ONCE on basket key; the
+    pair self-join reuses that partitioning (co-located), candidates
+    are bounded per basket by the A-Priori filter (broadcast frequent
+    set), and the output aggregate is pair-keyed. The brute-force
+    alternative (items × items with no support pruning) is the
+    documented anti-pattern this operator exists to avoid.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = items.agg(F.countDistinct("basket").alias("n_baskets"))
+    item_cnt = items.groupBy("item").agg(F.count("*").alias("c"))
+    freq = (
+        item_cnt.crossJoin(F.broadcast(nb))
+        .filter(F.col("c") * 1000 >= ITEM_SUPPORT_PERMILLE * F.col("n_baskets"))
+        .select("item", "c")
+    )
+    fa = F.broadcast(freq).alias("fa")
+    fb = F.broadcast(freq).alias("fb")
+    a = items.alias("a").join(fa, F.col("a.item") == F.col("fa.item")).select(
+        F.col("a.basket").alias("basket"), F.col("a.item").alias("item")
+    )
+    b = items.alias("b").join(fb, F.col("b.item") == F.col("fb.item")).select(
+        F.col("b.basket").alias("basket"), F.col("b.item").alias("item")
+    )
+    pairs = (
+        a.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.basket") == F.col("y.basket"))
+            & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(
+            F.col("x.item").alias("part_a"), F.col("y.item").alias("part_b")
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    ca = freq.select(F.col("item").alias("part_a"), F.col("c").alias("c_a"))
+    cb = freq.select(F.col("item").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("pair_cnt") * 5000 >= PAIR_SUPPORT_X5000 * F.col("n_baskets"))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.expr("(1000 * pair_cnt) div n_baskets").alias("support_milli"),
+            F.expr("(1000 * pair_cnt) div c_a").alias("conf_a_to_b_milli"),
+            F.expr("(1000 * pair_cnt) div c_b").alias("conf_b_to_a_milli"),
+            F.expr("(1000 * pair_cnt * n_baskets) div (c_a * c_b)").alias(
+                "lift_milli"
+            ),
+        )
+        .orderBy(F.desc("pair_cnt"), F.asc("part_a"), F.asc("part_b"))
+        .limit(TOP_PAIRS)
+    )

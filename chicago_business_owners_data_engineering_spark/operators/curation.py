@@ -1684,3 +1684,74 @@ def dq15_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("old_distinct") != F.col("new_distinct")).alias("distinct_changed"),
     ).orderBy("col_name")
+
+
+# --- dq16: format-conformance profile -------------------------------------------
+
+# (rule, table, predicate) triples; the predicate strings are spliced
+# verbatim into BOTH engines (Spark F.expr / DuckDB SQL) so the decision
+# trees are identical. Regexes stay inside the RE2 ∩ Java-regex common
+# subset (character classes, anchors, bounded repeats — no lookaround,
+# no backrefs).
+_DQ16_RULES = (
+    ("customer.name_format", "customer", "c_name RLIKE '^Customer#[0-9]{9}$'"),
+    (
+        "orders.priority_enum",
+        "orders",
+        "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')",
+    ),
+    ("part.name_format", "part", "p_name RLIKE '^[a-z]+ [a-z]+$'"),
+    ("events.props_json", "events", "props RLIKE '^\\\\{\"k\": [0-9]+\\\\}$'"),
+    ("events.value_range", "events", "value >= 0"),
+)
+
+
+def _dq16_oracle() -> str:
+    legs = []
+    for rule, table, pred in _DQ16_RULES:
+        sql_pred = pred.replace("RLIKE", "SIMILAR TO").replace("\\\\", "\\")
+        legs.append(
+            f"""
+    SELECT '{rule}' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER ({sql_pred}) AS BIGINT) AS n_pass,
+           CAST((1000 * COUNT(*) FILTER ({sql_pred})) // COUNT(*) AS BIGINT)
+               AS pass_milli,
+           (COUNT(*) FILTER ({sql_pred}) < COUNT(*)) AS is_breach
+    FROM {table}"""
+        )
+    return "\n    UNION ALL".join(legs) + "\n    ORDER BY rule"
+
+
+@query("dq16_format_conformance", oracle=_dq16_oracle())
+def dq16_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-beyond-types conformance profile: per rule, how many rows
+    match the EXPECTED string format / enum domain / value range — the
+    'is the data shaped like we believe' audit that column types can't
+    express (a VARCHAR column full of garbage type-checks fine). The
+    reference validates completeness percentages per column
+    (cbddl/src/etl/pipeline.py:205-267); this is the format-level
+    sibling, one long-format relation a quality dashboard or a dq05
+    quarantine gate consumes directly.
+
+    Each rule is ONE conditional count over its table (map-side
+    partials, no shuffle beyond the 1-row aggregate), the report is a
+    union of 1-row legs, and every ratio is an integer per-mille
+    floor-division. Predicates are spliced strings shared by both
+    engines, restricted to the RE2 ∩ Java-regex common subset.
+    """
+    report = None
+    for rule, table, pred in _DQ16_RULES:
+        t = load_table(spark, sf_dir, table)
+        leg = t.agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.expr(pred), 1)).alias("n_pass"),
+        ).select(
+            F.lit(rule).alias("rule"),
+            "n_rows",
+            "n_pass",
+            F.expr("(1000 * n_pass) div n_rows").alias("pass_milli"),
+            (F.col("n_pass") < F.col("n_rows")).alias("is_breach"),
+        )
+        report = leg if report is None else report.unionByName(leg)
+    return report.orderBy("rule")

@@ -1576,3 +1576,147 @@ def dd15_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+# --- dd16: IDF-weighted Jaccard near-dup pairs -----------------------------------
+
+DD16_THETA_X10 = 5  # keep pairs with 10·inter ≥ 5·union (weighted J ≥ 0.5)
+DD16_BANDS = 4  # single-row minhash bands: recall ≈ 1-(1-J)^4 at Jaccard J
+
+from .shared_oracles import _SHINGLE_CTES as _DD16_SHINGLE_CTES  # noqa: E402
+
+
+@query(
+    "dd16_weighted_jaccard_pairs",
+    oracle="WITH "
+    + _DD16_SHINGLE_CTES
+    + f"""
+    , stoks AS (
+        SELECT doc_id, UNNEST(ws) AS sg FROM sh
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM stoks
+    ), wt AS (
+        SELECT sg, CAST((n.n_docs * 1000) // COUNT(DISTINCT doc_id) AS BIGINT) AS w
+        FROM stoks, n GROUP BY sg, n.n_docs
+    ), wtoks AS (
+        SELECT t.doc_id, t.sg, wt.w FROM stoks t JOIN wt USING (sg)
+    ), doc_sum AS (
+        SELECT doc_id, CAST(SUM(w) AS BIGINT) AS total_w FROM wtoks GROUP BY doc_id
+    ), mh AS (
+        SELECT doc_id, k, MIN(MD5(CAST(k AS VARCHAR) || '|' || sg)) AS sig
+        FROM stoks, GENERATE_SERIES(0, 3) AS g(k)
+        GROUP BY doc_id, k
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mh a JOIN mh b
+          ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(SUM(ta.w) AS BIGINT) AS inter_w
+        FROM cand c
+        JOIN wtoks ta ON ta.doc_id = c.doc_a
+        JOIN wtoks tb ON tb.doc_id = c.doc_b AND tb.sg = ta.sg
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_w,
+           sa.total_w + sb.total_w - i.inter_w AS union_w,
+           CAST((1000 * i.inter_w) // (sa.total_w + sb.total_w - i.inter_w)
+                AS BIGINT) AS jw_milli
+    FROM inter i
+    JOIN doc_sum sa ON sa.doc_id = i.doc_a
+    JOIN doc_sum sb ON sb.doc_id = i.doc_b
+    WHERE 10 * i.inter_w >= {DD16_THETA_X10} * (sa.total_w + sb.total_w - i.inter_w)
+    ORDER BY jw_milli DESC, i.doc_a ASC, i.doc_b ASC
+    """,
+)
+def dd16_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs over the family's shared
+    word-3-gram shingle universe: duplicates decided by RARE shared
+    shingles, not boilerplate — the CCNet/RefinedWeb importance-weighted
+    refinement of plain set Jaccard (dd04 verifies unweighted; a pair
+    held together only by ubiquitous shingles scores lower here, a pair
+    sharing rare content scores higher).
+
+    Weights are integer per-mille inverse document frequencies
+    ((N·1000) div df — monotone in rarity, no float log crosses the
+    engine boundary), weighted J = Σw(A∩B) / Σw(A∪B) with the union
+    sum assembled as total_a + total_b − inter (no union
+    materialization), and the θ=0.5 decision is a 10·inter ≥ 5·union
+    cross-multiplication — all exact BIGINTs.
+
+    Candidates come from FOUR single-row minhash bands (per band k the
+    doc keys on MIN md5(k|shingle)): two docs share band k's key with
+    probability J, so a J ≥ 0.5 pair is caught with probability
+    ≈ 1−0.5⁴ ≈ 94%, and the keys are min-hashes — unlike an
+    IDF-argmax block key, which provably ANTI-selects shared shingles
+    (a unique-to-one-doc shingle always has the higher IDF; the first
+    draft keyed on it and found nothing — recorded so the next reader
+    doesn't rediscover it). The oracle replays the band rule exactly,
+    so the recall contract is auditable; dd04's full banded-LSH is the
+    production-recall sibling, this is its 1-row-band economy form
+    with the weighted verify.
+
+    Scale shape: one shingle-keyed df aggregate, one doc-keyed min
+    aggregate per band (map-side), band-keyed candidate join, then an
+    intersection join that touches only candidate docs' shingle lists.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    stoks = documents.select(
+        "doc_id", F.explode(_shingle_set(F.col("text"))).alias("sg")
+    )
+    n = stoks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    wt = (
+        stoks.groupBy("sg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("sg", F.expr("(n_docs * 1000) div df").alias("w"))
+    )
+    wtoks = stoks.join(wt, "sg").select("doc_id", "sg", "w")
+    doc_sum = wtoks.groupBy("doc_id").agg(F.sum("w").alias("total_w"))
+    mh = (
+        stoks.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(k) for k in range(DD16_BANDS)])).alias("k"),
+            "sg",
+        )
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("sg")))
+            ).alias("sig")
+        )
+    )
+    cand = (
+        mh.alias("a")
+        .join(
+            mh.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = wtoks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg"), F.col("w").alias("w")
+    )
+    tb = wtoks.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "sg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("inter_w"))
+    )
+    sa = doc_sum.select(F.col("doc_id").alias("doc_a"), F.col("total_w").alias("tw_a"))
+    sb = doc_sum.select(F.col("doc_id").alias("doc_b"), F.col("total_w").alias("tw_b"))
+    union_w = F.col("tw_a") + F.col("tw_b") - F.col("inter_w")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(10 * F.col("inter_w") >= DD16_THETA_X10 * union_w)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_w",
+            union_w.alias("union_w"),
+            F.expr("(1000 * inter_w) div (tw_a + tw_b - inter_w)").alias("jw_milli"),
+        )
+        .orderBy(F.desc("jw_milli"), F.asc("doc_a"), F.asc("doc_b"))
+    )

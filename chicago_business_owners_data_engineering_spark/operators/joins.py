@@ -523,3 +523,129 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("nation_key")
     )
+
+
+# --- j13: interval-overlap join (bucketed range join) ----------------------------
+
+OVERLAP_BUCKET_SEC = 600  # 10-minute epoch buckets
+ERROR_HALO_MIN = 5  # an error event disturbs ±5 minutes
+
+
+@query(
+    "j13_interval_overlap_join",
+    oracle=f"""
+    WITH sess AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM events WHERE event_type <> 'error'
+        GROUP BY user_id, CAST(ts AS DATE)
+    ), err AS (
+        SELECT event_id, CAST(ts AS DATE) AS day,
+               GREATEST(ts - INTERVAL {ERROR_HALO_MIN} MINUTE,
+                        CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS w_start,
+               LEAST(ts + INTERVAL {ERROR_HALO_MIN} MINUTE,
+                     CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, STRFTIME(s.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT e.event_id) AS BIGINT) AS n_error_overlaps
+    FROM sess s
+    JOIN err e ON s.day = e.day
+              AND s.s_start <= e.w_end AND e.w_start <= s.s_end
+    GROUP BY s.user_id, s.day
+    ORDER BY n_error_overlaps DESC, s.user_id ASC, day ASC
+    LIMIT 50
+    """,
+)
+def j13_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, bucket-decomposed: which user activity
+    intervals overlap error-halo windows, per day — the incident
+    blast-radius question ("whose session was live while the system was
+    erroring?"). Spark has no native band/range join; the naive form
+    `ON s.start <= e.end AND e.start <= s.end` compiles to a
+    nested-loop over the day — O(sessions × errors) per day.
+
+    The scale form here is the standard bucket decomposition: each
+    interval explodes into the fixed-width (10-min) epoch buckets it
+    covers, the join runs as an EQUI join on (day, bucket) — hash
+    join, shuffle on bounded keys — and the exact overlap predicate
+    re-filters the bucket-collision candidates; DISTINCT collapses the
+    multi-bucket duplicates before the count. Candidate volume is
+    Σ_bucket sessions·errors per bucket — output-shaped, never
+    day-quadratic. Intervals are clamped to their day (the ts16
+    midnight convention) so the day key is exact on both engines; the
+    oracle runs the naive predicate join, certifying the decomposition
+    loses and invents nothing.
+
+    Parity: beyond-reference (range joins; the as-of sibling is j08).
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def epoch_sec(col):
+        return (
+            F.unix_date(F.col(col).cast("date")).cast("long") * 86400
+            + F.hour(col) * 3600
+            + F.minute(col) * 60
+            + F.expr(f"cast(date_part('SECOND', {col}) as long)")
+        )
+
+    sess = (
+        events.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    err = events.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        F.greatest(
+            F.col("ts") - F.expr(f"INTERVAL {ERROR_HALO_MIN} MINUTE"),
+            F.col("ts").cast("date").cast("timestamp"),
+        ).alias("w_start"),
+        F.least(
+            F.col("ts") + F.expr(f"INTERVAL {ERROR_HALO_MIN} MINUTE"),
+            F.date_add(F.col("ts").cast("date"), 1).cast("timestamp"),
+        ).alias("w_end"),
+    )
+    sess_b = sess.select(
+        "user_id",
+        "day",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                (epoch_sec("s_start") / OVERLAP_BUCKET_SEC).cast("long"),
+                (epoch_sec("s_end") / OVERLAP_BUCKET_SEC).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    err_b = err.select(
+        "event_id",
+        "day",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                (epoch_sec("w_start") / OVERLAP_BUCKET_SEC).cast("long"),
+                (epoch_sec("w_end") / OVERLAP_BUCKET_SEC).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        sess_b.join(err_b, ["day", "bucket"])
+        .filter(
+            (F.col("s_start") <= F.col("w_end")) & (F.col("w_start") <= F.col("s_end"))
+        )
+        .select("user_id", "day", "event_id")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_id", "day")
+        .agg(F.countDistinct("event_id").alias("n_error_overlaps"))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_error_overlaps",
+        )
+        .orderBy(F.desc("n_error_overlaps"), F.asc("user_id"), F.asc("day"))
+        .limit(50)
+    )

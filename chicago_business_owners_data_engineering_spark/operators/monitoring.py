@@ -1360,3 +1360,314 @@ def ts14_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- ab03: CUPED variance-reduced readout --------------------------------------
+
+# Spliced verbatim into BOTH engines (the ab01 z-expr discipline): the
+# sufficient statistics (n, sx, sy, sxy, sxx) are exact BIGINTs, every
+# factor is cast to DOUBLE *before* any product (n·Σxy in int64 would
+# overflow around the 100× probe scale), the parse trees are identical,
+# and the single float is ROUND()ed. NULLIF guards a zero-variance
+# covariate (theta undefined → NULL, not an ANSI divide error).
+_CUPED_THETA_EXPR = (
+    "round((cast(n as double) * cast(sxy as double)"
+    " - cast(sx as double) * cast(sy as double))"
+    " / nullif(cast(n as double) * cast(sxx as double)"
+    " - cast(sx as double) * cast(sx as double), 0), 6)"
+)
+
+_CUPED_ADJ_EXPR = (
+    "round(cast(sy_v as double) / cast(n_v as double)"
+    " - theta * (cast(sx_v as double) / cast(n_v as double)"
+    " - cast(sx as double) / cast(n as double)), 4)"
+)
+
+
+@query(
+    "ab03_cuped_readout",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS v,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    FILTER (event_type = 'purchase'), 0) AS BIGINT) AS y
+        FROM events
+        GROUP BY user_id
+    ), pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM per_user
+    ), theta_row AS (
+        SELECT *, {_CUPED_THETA_EXPR} AS theta FROM pooled
+    ), arm AS (
+        SELECT v AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(x) AS BIGINT) AS sx_v,
+               CAST(SUM(y) AS BIGINT) AS sy_v
+        FROM per_user GROUP BY v
+    )
+    SELECT a.variant, a.n_v AS n_users, a.sx_v AS sum_views,
+           a.sy_v AS sum_cents,
+           ROUND(CAST(a.sy_v AS DOUBLE) / CAST(a.n_v AS DOUBLE), 4) AS mean_cents,
+           t.theta,
+           (SELECT {_CUPED_ADJ_EXPR} FROM (SELECT a.sy_v AS sy_v, a.n_v AS n_v,
+                   a.sx_v AS sx_v, t.sx AS sx, t.n AS n, t.theta AS theta))
+               AS adj_mean_cents
+    FROM arm a, theta_row t
+    ORDER BY a.variant
+    """,
+)
+def ab03_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    per-variant purchase revenue adjusted by a pre-exposure covariate
+    (the user's view count), the standard trick that shrinks A/B
+    confidence intervals 30-50% without touching the treatment.
+
+    theta = cov(x, y)/var(x) over ALL users (pooled, the textbook
+    estimator — per-arm thetas would bias the contrast); the adjusted
+    arm mean is mean(y) − theta·(mean(x) − mean(x_pooled)). Everything
+    up to theta is exact BIGINT sufficient statistics in ONE pass over
+    the per-user relation; theta and the adjusted means are single
+    ROUND()ed floats built from identical spliced parse trees on both
+    engines (ab01's z-score discipline). The covariate uses the same
+    corpus (no pre-period column exists in this schema); in production
+    x would be the metric over the pre-assignment window, which only
+    changes the filter.
+
+    Scale shape: one user-keyed aggregate (the only data-sized
+    shuffle), then a 2-row arm relation × a 1-row broadcast stats row.
+
+    Parity: beyond-reference (extends ab01/ab02's experiment layer).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("v"),
+        "x",
+        "y",
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).withColumn("theta", F.expr(_CUPED_THETA_EXPR))
+    arm = per_user.groupBy(F.col("v").alias("variant")).agg(
+        F.count("*").alias("n_v"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y").alias("sy_v"),
+    )
+    return (
+        arm.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            F.col("n_v").alias("n_users"),
+            F.col("sx_v").alias("sum_views"),
+            F.col("sy_v").alias("sum_cents"),
+            F.round(F.col("sy_v").cast("double") / F.col("n_v").cast("double"), 4).alias(
+                "mean_cents"
+            ),
+            "theta",
+            F.expr(_CUPED_ADJ_EXPR).alias("adj_mean_cents"),
+        )
+        .orderBy("variant")
+    )
+
+
+# --- ts15: seasonal-strength decomposition -------------------------------------
+
+
+@query(
+    "ts15_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), gm AS (
+        SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS grand_mean FROM daily
+    ), pm AS (
+        SELECT day, CAST((cents * 1000) // g.grand_mean AS BIGINT) AS cents_pm
+        FROM daily, gm g
+    ), win AS (
+        SELECT day, cents_pm,
+               SUM(cents_pm) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_sum,
+               COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n
+        FROM pm
+    ), detr AS (
+        SELECT day, cents_pm - CAST(w_sum // 7 AS BIGINT) AS detr_pm,
+               ISODOW(day) - 1 AS wd
+        FROM win WHERE w_n = 7
+    ), seas AS (
+        SELECT wd, CAST(SUM(detr_pm) // COUNT(*) AS BIGINT) AS s_pm
+        FROM detr GROUP BY wd
+    ), resid AS (
+        SELECT d.detr_pm, d.detr_pm - s.s_pm AS resid_pm
+        FROM detr d JOIN seas s USING (wd)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(detr_pm * detr_pm) AS BIGINT) AS ssd,
+           CAST(SUM(resid_pm * resid_pm) AS BIGINT) AS ssr,
+           CAST(GREATEST(0, 1000 - (1000 * SUM(resid_pm * resid_pm))
+                // NULLIF(SUM(detr_pm * detr_pm), 0)) AS BIGINT) AS strength_milli,
+           (1000 * SUM(resid_pm * resid_pm)
+                < 700 * NULLIF(SUM(detr_pm * detr_pm), 0)) AS is_seasonal
+    FROM resid
+    """,
+)
+def ts15_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal-strength of the daily revenue series (Hyndman &
+    Athanasopoulos FPP3 §4.4: strength = 1 − Var(remainder)/Var(detrended)
+    under a classical decomposition) — the one-number answer to "is a
+    weekday profile (ts12) even worth modeling here?", sitting upstream
+    of ts09's seasonal-naive forecast and ts13's seasonal anomaly fence.
+
+    Decomposition in EXACT integer arithmetic end to end: the series is
+    first normalized to per-mille of its grand mean (bounding every
+    later square regardless of corpus scale — raw cents² overflows
+    int64 around the 100× probe), the trend is a full centered 7-day
+    moving sum floor-divided by 7 (partial windows at the series edges
+    are EXCLUDED, not padded — padding biases the seasonal means), the
+    weekday means are floor-divided sums, and the strength ratio is an
+    integer cross-multiplication (1000·SSR vs SSD), GREATEST-floored at
+    0 like the published statistic. Weekday numbering is the ts12
+    contract (Spark weekday() ≡ DuckDB ISODOW−1 — dayofweek() disagrees
+    across engines).
+
+    Scale shape: one map-side daily rollup (the only data-sized work),
+    then ≤366-row windows/joins — the documented post-aggregation
+    daily-grain posture (per series key in multi-metric use).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    gm = daily.agg(F.expr("sum(cents) div count(*)").alias("grand_mean"))
+    pm = daily.crossJoin(F.broadcast(gm)).select(
+        "day", F.expr("(cents * 1000) div grand_mean").alias("cents_pm")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = pm.select(
+        "day",
+        "cents_pm",
+        F.sum("cents_pm").over(w).alias("w_sum"),
+        F.count("*").over(w).alias("w_n"),
+    )
+    detr = win.filter(F.col("w_n") == 7).select(
+        "day",
+        (F.col("cents_pm") - F.expr("w_sum div 7")).alias("detr_pm"),
+        F.weekday("day").alias("wd"),
+    )
+    seas = detr.groupBy("wd").agg(F.expr("sum(detr_pm) div count(*)").alias("s_pm"))
+    resid = detr.join(F.broadcast(seas), "wd").select(
+        "detr_pm", (F.col("detr_pm") - F.col("s_pm")).alias("resid_pm")
+    )
+    ssd = F.sum(F.col("detr_pm") * F.col("detr_pm"))
+    ssr = F.sum(F.col("resid_pm") * F.col("resid_pm"))
+    return resid.agg(
+        F.count("*").alias("n_days"),
+        ssd.alias("ssd"),
+        ssr.alias("ssr"),
+        F.greatest(F.lit(0), F.lit(1000) - F.expr(
+            "(1000 * sum(resid_pm * resid_pm)) div nullif(sum(detr_pm * detr_pm), 0)"
+        )).alias("strength_milli"),
+        (F.lit(1000) * ssr < F.lit(700) * F.nullif(ssd, F.lit(0))).alias("is_seasonal"),
+    )
+
+
+# --- ts16: peak concurrency (sweep-line) ----------------------------------------
+
+PRESENCE_MINUTES = 30  # each event opens a 30-min presence interval
+
+
+@query(
+    "ts16_peak_concurrency",
+    oracle=f"""
+    WITH iv AS (
+        SELECT CAST(ts AS DATE) AS day, ts AS t_start,
+               LEAST(ts + INTERVAL {PRESENCE_MINUTES} MINUTE,
+                     CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS t_end
+        FROM events
+    ), pts AS (
+        SELECT day, t_start AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT day, t_end AS t, -1 AS delta FROM iv
+    ), run AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+        FROM pts
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day ORDER BY day
+    """,
+)
+def ts16_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent presence per day via the sweep-line (+1/−1)
+    counting pattern: every event opens a 30-minute presence interval,
+    each interval emits a +1 point at its start and a −1 at its end,
+    and the day's peak is the max of the running sum over the
+    time-ordered points — the capacity-planning primitive (max
+    concurrent sessions/connections/streams) that a naive
+    interval×interval self-join computes quadratically.
+
+    Intervals are truncated at midnight and both points carry the
+    START's day, so each day's sweep is self-contained (no unmatched
+    −1 smuggled in from yesterday) and the running sum partitions
+    cleanly by day. At equal timestamps starts sort before ends
+    (delta DESC) — touching intervals count as concurrent, and the
+    per-day MAX is permutation-invariant within equal (t, delta) so
+    the result is a total function of the data. All integer.
+
+    Scale shape: one projection (2 points per event, map-side), one
+    day-keyed window + rollup. A single day too large for one task
+    splits by the standard two-pass refinement: chunk-local sweeps
+    plus per-chunk prefix offsets (documented, not needed at bench SF).
+    """
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("ts").alias("t_start"),
+        F.least(
+            F.col("ts") + F.expr(f"INTERVAL {PRESENCE_MINUTES} MINUTE"),
+            F.date_add(F.col("ts").cast("date"), 1).cast("timestamp"),
+        ).alias("t_end"),
+    )
+    pts = iv.select("day", F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("day", F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("running"))
+    return (
+        run.groupBy("day")
+        .agg(F.max("running").alias("peak_concurrency"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrency")
+        .orderBy("day")
+    )

@@ -1576,3 +1576,102 @@ def f27_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.5, 0.75)
         ],
     )
+
+
+# --- st05: RFM segmentation ------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+@query(
+    "st05_rfm_segments",
+    oracle=f"""
+    WITH head AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS head_day FROM orders),
+    rfm AS (
+        SELECT o_custkey AS custkey,
+               DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)), h.head_day)
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders, head h
+        GROUP BY o_custkey, h.head_day
+    ), scored AS (
+        SELECT custkey, recency_days, frequency, monetary_cents,
+               NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, custkey ASC) AS r,
+               NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, custkey ASC) AS f,
+               NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS m
+        FROM rfm
+    )
+    SELECT CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR))
+               AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(MIN(custkey) AS BIGINT) AS sample_custkey
+    FROM scored
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def st05_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic lifecycle-marketing rollup the reference's business
+    analytics layer points toward (its owner-demographics tabulations
+    are one-dimensional; RFM is the three-dimensional segment matrix).
+
+    Each customer gets an NTILE quintile per dimension — bucket 1 =
+    most recent / most frequent / highest spend — and the output is the
+    segment matrix (counts + revenue per 'rfm' code). Every NTILE
+    carries a TOTAL tie order (metric, custkey), because NTILE on a
+    partial order is partition-arrival-dependent — the a30 determinism
+    lesson applied to window buckets. Recency is an integer day diff
+    against the corpus head (the mon03 freshness discipline), money is
+    integer cents.
+
+    Scale note: the three global NTILEs over the per-customer relation
+    are single-partition windows over an already-aggregated input
+    (|customers| rows, not facts); at 100 TB swap each for its
+    percentile-bucket twin (ntile rank ≈ floor(percent_rank·k) computed
+    per shard against broadcast global quantile fences) — the same
+    refinement documented for tp10's curriculum ranks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    head = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("head_day"))
+    rfm = (
+        orders.crossJoin(F.broadcast(head))
+        .groupBy(F.col("o_custkey").alias("custkey"), "head_day")
+        .agg(
+            F.datediff(
+                F.first("head_day"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .drop("head_day")
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("custkey"))
+    scored = rfm.select(
+        "custkey",
+        "monetary_cents",
+        F.ntile(RFM_BUCKETS).over(r_w).alias("r"),
+        F.ntile(RFM_BUCKETS).over(f_w).alias("f"),
+        F.ntile(RFM_BUCKETS).over(m_w).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+            F.min("custkey").alias("sample_custkey"),
+        )
+        .orderBy("segment")
+    )

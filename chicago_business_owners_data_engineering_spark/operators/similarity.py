@@ -1334,3 +1334,101 @@ def sim15_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --- sim16: cosine range search (IVF cell-pruned) -------------------------------
+
+RANGE_THETA_MILLI = 250  # return everything with cos ≥ 0.250
+RANGE_CELL_FLOOR_MILLI = 100  # probe cells whose centroid cos ≥ 0.100
+
+
+@query(
+    "sim16_range_search",
+    oracle=f"""
+    WITH pos AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, GENERATE_SERIES(1, 64) AS g(i)
+    ),
+    cent AS (
+        SELECT label, LIST(mean_val ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(val) AS mean_val FROM pos GROUP BY label, pos)
+        GROUP BY label
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    probed AS (
+        SELECT label FROM cent, q
+        WHERE LIST_DOT_PRODUCT(centroid, qv) /
+              (SQRT(LIST_DOT_PRODUCT(centroid, centroid)) *
+               SQRT(LIST_DOT_PRODUCT(qv, qv))) >= {RANGE_CELL_FLOOR_MILLI} / 1000.0
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+    FROM embeddings e JOIN probed USING (label), q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+      AND ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) *
+                 SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6)
+          >= {RANGE_THETA_MILLI} / 1000.0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    """,
+)
+def sim16_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (everything within a similarity radius, not
+    top-k) with IVF cell pruning — the retrieval mode dedup and
+    contamination sweeps actually need: "give me ALL near neighbors",
+    where a k cutoff silently drops matches past k.
+
+    sim01/sim03 rank; this thresholds. Cells are pruned by a centroid
+    floor θ_cell = θ − 0.15 (cells whose centroid already scores far
+    below the radius are skipped — the IVF recall/cost dial, same knob
+    family as sim03's nprobe, and the eval harness for quantifying the
+    tradeoff is sim15). Both the probe rule and the radius use the
+    ROUNDED cosine with vec_id tie order (the sim01 discipline), so
+    the result is a total function of the data on both engines.
+
+    Scale shape: centroid build is sim03's posexplode partial-agg; the
+    probe is a broadcast of surviving cell ids; the scan reads only
+    probed cells (partition-pruned on the cell key at 100 TB) and
+    filters locally — output-proportional, never corpus×corpus.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = (
+        embeddings.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    pos = embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    centroid = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s.mean_val,
+            ).alias("centroid")
+        )
+    )
+    probed = (
+        centroid.crossJoin(F.broadcast(q))
+        .filter(
+            cosine(F.col("centroid"), F.col("qv"))
+            >= F.lit(RANGE_CELL_FLOOR_MILLI) / F.lit(1000.0)
+        )
+        .select("label")
+    )
+    cos = F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6)
+    return (
+        embeddings.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(RANGE_THETA_MILLI) / F.lit(1000.0))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )

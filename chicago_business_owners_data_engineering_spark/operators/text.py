@@ -852,3 +852,65 @@ def tx17_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("distinct_words") * 2 < F.col("n_words")).alias("low_diversity"),
     )
     return out.orderBy("doc_id")
+
+
+# --- tx18: lexical-diversity profile (type/token, hapax) ------------------------
+
+
+@query(
+    "tx18_lexical_diversity",
+    oracle="""
+    WITH words AS (
+        SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+        FROM documents
+    ), vocab AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words WHERE LENGTH(word) >= 1
+        GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+           CAST((1000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_milli,
+           CAST((1000 * COUNT(*) FILTER (c = 1)) // COUNT(*) AS BIGINT)
+               AS hapax_milli
+    FROM vocab
+    GROUP BY source ORDER BY source
+    """,
+)
+def tx18_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio and hapax
+    legomenon share — the vocabulary-health counterpart of tx17's
+    repetition signals (tx17 flags over-repeated DOCUMENTS; this
+    profiles whether a SOURCE's vocabulary is template-collapsed).
+    A source whose TTR or hapax share craters relative to its peers is
+    boilerplate/generated text and a dedup/filter target (the Gopher
+    rules' corpus-level analog).
+
+    Two aggregates, both bounded: tokens collapse map-side onto the
+    (source, word) key (vocabulary-sized shuffle, the a18/tx* family
+    posture), then the per-source rollup is |vocab|-sized. Ratios are
+    integer per-mille floor-divisions of exact BIGINT counts — nothing
+    float crosses the engine boundary. Tokenization is the family's
+    shared contract (lowercase, single-space split — a18's form, so
+    profiles reconcile with the word-frequency table).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = documents.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    vocab = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    return (
+        vocab.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+            F.expr("(1000 * count(*)) div sum(c)").alias("ttr_milli"),
+            F.expr(
+                "(1000 * count(case when c = 1 then 1 end)) div count(*)"
+            ).alias("hapax_milli"),
+        )
+        .orderBy("source")
+    )

@@ -189,6 +189,7 @@ def _import_operator_modules() -> None:
     )
     from .plans import rules, warehouse  # noqa: F401
     from .operators import (  # noqa: F401
+        associations,
         incremental,
         linkage,
         olap,

@@ -1,0 +1,236 @@
+"""Hand-computed fixtures for the round-6 operators: each test plants a
+tiny corpus where the right answer is checkable on paper and pins the
+semantic contract the oracle can't isolate (boundary rules, tie rules,
+degenerate inputs)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+# ------------------------------------------------------------------
+# ts16: peak concurrency
+# ------------------------------------------------------------------
+
+def test_ts16_peak_counts_overlaps_and_truncates_at_midnight(spark, tmp_path):
+    rows = [
+        # three events within one 30-min halo → peak 3
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-03-01 10:10:00", 2, "view", 0.0, "{}"),
+        (3, "2024-03-01 10:20:00", 3, "view", 0.0, "{}"),
+        # isolated later event — back down to 1
+        (4, "2024-03-01 20:00:00", 4, "view", 0.0, "{}"),
+        # 23:50 interval truncates at midnight; day 2 has ONE event
+        (5, "2024-03-02 23:50:00", 5, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r.day: r.peak_concurrency for r in QUERIES["ts16_peak_concurrency"](spark, str(tmp_path)).collect()}
+    assert got == {"2024-03-01": 3, "2024-03-02": 1}
+
+
+def test_ts16_touching_intervals_count_as_concurrent(spark, tmp_path):
+    rows = [
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        # starts exactly when event 1's interval ends (10:30): the
+        # delta-DESC tie rule sorts the +1 before the −1 → peak 2
+        (2, "2024-03-01 10:30:00", 2, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r.day: r.peak_concurrency for r in QUERIES["ts16_peak_concurrency"](spark, str(tmp_path)).collect()}
+    assert got == {"2024-03-01": 2}
+
+
+# ------------------------------------------------------------------
+# j13: interval-overlap join
+# ------------------------------------------------------------------
+
+def test_j13_counts_only_halo_overlapping_sessions(spark, tmp_path):
+    rows = [
+        # user 1 active 10:00-11:00
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-03-01 11:00:00", 1, "click", 0.0, "{}"),
+        # error at 10:30 → halo [10:25, 10:35] overlaps user 1
+        (3, "2024-03-01 10:30:00", 9, "error", 0.0, "{}"),
+        # error at 11:04 → halo [10:59, 11:09] still touches 11:00 (inclusive)
+        (4, "2024-03-01 11:04:00", 9, "error", 0.0, "{}"),
+        # error at 18:00 → no overlap
+        (5, "2024-03-01 18:00:00", 9, "error", 0.0, "{}"),
+        # user 2 active 02:00 only (point interval), far from all halos
+        (6, "2024-03-01 02:00:00", 2, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {(r.user_id, r.day): r.n_error_overlaps for r in QUERIES["j13_interval_overlap_join"](spark, str(tmp_path)).collect()}
+    assert got == {(1, "2024-03-01"): 2}
+
+
+# ------------------------------------------------------------------
+# ab03: CUPED
+# ------------------------------------------------------------------
+
+def test_ab03_theta_recovers_exact_linear_covariate(spark, tmp_path):
+    # y (purchase cents) = 2·x (view count) exactly for every user →
+    # theta = cov/var = 2 and BOTH arms' adjusted means collapse to
+    # 2·mean(x_pooled): the covariate explains everything.
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        x = (u % 5) + 1
+        for _ in range(x):
+            eid += 1
+            rows.append((eid, "2024-03-01 10:00:00", u, "view", 0.0, "{}"))
+        eid += 1
+        rows.append((eid, "2024-03-01 12:00:00", u, "purchase", 2 * x / 100.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = QUERIES["ab03_cuped_readout"](spark, str(tmp_path)).collect()
+    assert len(out) == 2  # both md5 arms populated
+    assert all(r.theta == 2.0 for r in out)
+    assert out[0].adj_mean_cents == out[1].adj_mean_cents
+    # and the raw means differ unless the arms balanced by luck —
+    # the adjustment is what equalized them
+    assert all(r.sum_cents == 2 * r.sum_views for r in out)
+
+
+# ------------------------------------------------------------------
+# mb01: market basket
+# ------------------------------------------------------------------
+
+def test_mb01_counts_confidence_and_lift_by_hand(spark, tmp_path):
+    # 10 baskets; parts 1 and 2 co-occur in 4; part 3 rides along twice.
+    rows = []
+    ln = 0
+    def add(basket, part):
+        nonlocal ln
+        ln += 1
+        rows.append((basket, part, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-03-01 00:00:00"))
+    for b in range(1, 5):
+        add(b, 1); add(b, 2)
+    add(1, 3); add(2, 3)
+    for b in range(5, 11):
+        add(b, 4)
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).select(
+        *[c for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus"]],
+        F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {(r.part_a, r.part_b): r for r in QUERIES["mb01_market_basket"](spark, str(tmp_path)).collect()}
+    r12 = got[(1, 2)]
+    assert r12.pair_cnt == 4
+    assert r12.support_milli == 400          # 4 of 10 baskets
+    assert r12.conf_a_to_b_milli == 1000     # 1 always with 2
+    assert r12.lift_milli == 2500            # 4·10 / (4·4) = 2.5
+    r13 = got[(1, 3)]
+    assert r13.pair_cnt == 2 and r13.conf_b_to_a_milli == 1000
+
+
+# ------------------------------------------------------------------
+# dd16: weighted Jaccard
+# ------------------------------------------------------------------
+
+def test_dd16_identical_docs_score_1000_and_strangers_drop(spark, tmp_path):
+    text_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    text_other = "one two three four five six seven eight nine"
+    spark.createDataFrame(
+        [
+            (1, text_dup, "en", "s", len(text_dup)),
+            (2, text_dup, "en", "s", len(text_dup)),
+            (3, text_other, "en", "s", len(text_other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.doc_a, r.doc_b): r.jw_milli for r in QUERIES["dd16_weighted_jaccard_pairs"](spark, str(tmp_path)).collect()}
+    assert out == {(1, 2): 1000}
+
+
+def test_dd16_weighting_downranks_boilerplate_only_overlap(spark, tmp_path):
+    # docs 1/2 share ONLY a ubiquitous boilerplate prefix (appears in
+    # all 8 docs → low IDF weight); docs 3/4 share a rare tail of the
+    # same unweighted size. Weighted J must rank (3,4) above (1,2).
+    boiler = "click here to subscribe now"
+    rare_tail = "unique raven comet quartz falcon ember prism anchor tundra"
+    docs = [
+        (1, boiler + " apple"),
+        (2, boiler + " orange"),
+        (3, rare_tail + " alpha"),
+        (4, rare_tail + " omega"),
+    ]
+    # pad with more boilerplate carriers so its df is high
+    docs += [(i, boiler + f" filler{i}a filler{i}b filler{i}c") for i in range(5, 9)]
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["dd16_weighted_jaccard_pairs"](spark, str(tmp_path)).collect()
+    scores = {(r.doc_a, r.doc_b): r.jw_milli for r in rows}
+    # (1,2) may fall below θ entirely; if both present, (3,4) outranks
+    if (1, 2) in scores:
+        assert scores[(3, 4)] > scores[(1, 2)]
+    else:
+        assert (3, 4) in scores
+
+
+# ------------------------------------------------------------------
+# ts15: seasonal strength
+# ------------------------------------------------------------------
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string"
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"), "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_ts15_strong_weekly_pattern_scores_high(spark, tmp_path):
+    import datetime
+    rows = []
+    base = datetime.date(2024, 1, 1)  # a Monday
+    for d in range(56):  # 8 full weeks
+        day = base + datetime.timedelta(days=d)
+        amount = 100.0 + 80.0 * (day.weekday() == 5)  # Saturday spike
+        rows.append((d + 1, 1, "F", amount, day.isoformat() + " 00:00:00", "1-URGENT"))
+    _write_orders(spark, tmp_path, rows)
+    [r] = QUERIES["ts15_seasonal_strength"](spark, str(tmp_path)).collect()
+    assert r.strength_milli >= 900
+    assert bool(r.is_seasonal) is True
+
+
+def test_ts15_constant_series_degenerates_to_zero_not_error(spark, tmp_path):
+    import datetime
+    rows = []
+    base = datetime.date(2024, 1, 1)
+    for d in range(21):
+        day = base + datetime.timedelta(days=d)
+        rows.append((d + 1, 1, "F", 100.0, day.isoformat() + " 00:00:00", "1-URGENT"))
+    _write_orders(spark, tmp_path, rows)
+    [r] = QUERIES["ts15_seasonal_strength"](spark, str(tmp_path)).collect()
+    # SSD = 0 → strength floors at 0 via GREATEST(0, NULL) on both engines
+    assert r.ssd == 0 and r.strength_milli == 0
+
+
+# ------------------------------------------------------------------
+# st05: RFM segments
+# ------------------------------------------------------------------
+
+def test_st05_segments_partition_customers(spark, sf_dir):
+    rows = QUERIES["st05_rfm_segments"](spark, sf_dir).collect()
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    n_cust = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    import re
+    assert all(re.fullmatch(r"[1-5]{3}", r.segment) for r in rows)

@@ -94,6 +94,9 @@ EXPECTED_CARTESIAN = {
     # (filtered-window scalars — the keyless-aggregate heuristic can't
     # see them)
     "ts13_seasonal_anomaly",
+    # 1-row query vector broadcast onto centroids + probed cells
+    # (sim03's shape with a threshold filter instead of top-k)
+    "sim16_range_search",
 }
 
 
