@@ -205,6 +205,12 @@ BENCH_R6 = [
     "sim16_range_search",
     "j13_interval_overlap_join",
     "dd16_weighted_jaccard_pairs",
+    "dq17_row_invariants",
+    "ts17_autocorrelation",
+    "wh05_cdc_apply",
+    "st06_cohort_ltv",
+    "u07_pandas_iter_udf",
+    "f30_unpivot_metrics",
 ]
 
 

@@ -23,6 +23,7 @@ the right tool.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -253,4 +254,54 @@ def u06_arrow_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "u07_pandas_iter_udf",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def u07_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER) — the last cell of
+    the UDF matrix (u01 scalar pandas, u02 grouped-agg, u03 grouped
+    map, u04 SQL-registered, u05 UDTF, u06 arrow scalar): the form for
+    per-executor one-time setup (model load, dictionary mmap) amortized
+    across every Arrow batch the worker sees, where a plain scalar
+    pandas_udf would pay it per batch.
+
+    The body converts value dollars to integer cents per batch (the
+    setup here is trivially a constant — the SHAPE is what's under
+    test), and the query aggregates per event type, so the Python path
+    carries a FULL differential oracle against the SQL ROUND/CAST twin
+    (the u06 discipline: API-surface demos still get hash-exact
+    checks whenever their payload is arithmetic).
+
+    Parity: beyond-reference (no streaming-batch UDF shape exists in
+    the reference; the iterator form is the Spark idiom for its
+    row-wise enrichments at scale).
+    """
+    from ..catalog import load_table
+
+    # NB: Iterator/pd must be MODULE-level imports — postponed
+    # annotations (PEP 563) stringify the hints and pandas_udf resolves
+    # them against module globals, so function-local imports break the
+    # SCALAR_ITER signature detection.
+    @F.pandas_udf("long")
+    def to_cents(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale = 100  # one-time setup slot (model/dict load in real use)
+        for s in batches:
+            yield (s * scale).round().astype("int64")
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", to_cents("value").alias("cents"))
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("total_cents"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
     )

@@ -1755,3 +1755,77 @@ def dq16_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         report = leg if report is None else report.unionByName(leg)
     return report.orderBy("rule")
+
+
+# --- dq17: cross-field row-invariant profile -------------------------------------
+
+# Row-level business invariants spanning FIELDS (dq16 audits single-
+# column formats; dq14 audits cross-TABLE keys; this audits cross-field
+# arithmetic/ordering rules within a row or a parent join). Spliced
+# verbatim into both engines.
+_DQ17_INVARIANTS = (
+    ("ship_after_order", "l_shipdate >= o_orderdate"),
+    ("ship_within_120d", "l_shipdate <= o_orderdate + INTERVAL 120 DAY"),
+    ("qty_positive", "l_quantity > 0"),
+    ("discount_range", "l_discount >= 0 AND l_discount <= 0.5"),
+    ("price_nonnegative", "l_extendedprice >= 0"),
+)
+
+
+def _dq17_oracle() -> str:
+    legs = []
+    for name, pred in _DQ17_INVARIANTS:
+        legs.append(
+            f"""
+    SELECT '{name}' AS invariant,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (NOT ({pred})) AS BIGINT) AS n_violations,
+           CAST((1000 * COUNT(*) FILTER (NOT ({pred}))) // COUNT(*) AS BIGINT)
+               AS viol_milli,
+           MIN(CASE WHEN NOT ({pred}) THEN l_orderkey END) AS sample_orderkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+        )
+    return "\n    UNION ALL".join(legs) + "\n    ORDER BY invariant"
+
+
+@query("dq17_row_invariants", oracle=_dq17_oracle())
+def dq17_row_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field row-invariant profile: per business rule, how many
+    fact rows violate it, with a reproducible sample key — the third
+    leg of the constraint-audit triad (dq16: single-column formats,
+    dq14: cross-table FK integrity, this: cross-field rules like "a
+    line can't ship before its order"). NOT(pred) counts NULL-valued
+    predicates as violations on both engines (a rule you can't evaluate
+    is a rule you can't certify).
+
+    One parent join (orders broadcasts under AQE at bench SF; at 100 TB
+    it's the standard orderkey-bucketed co-location) feeds ALL
+    invariants as conditional counts in a single pass — the opt02 rule
+    applied by hand: K rules never mean K scans. The sample key is MIN
+    over violators, deterministic, so a dashboard can link straight to
+    a reproducing row.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    aggs = [F.count("*").alias("n_rows")]
+    for name, pred in _DQ17_INVARIANTS:
+        viol = ~F.expr(pred)
+        # NOT(NULL) is NULL, which when() treats as false — coalesce so
+        # an unevaluable predicate counts as a violation (both engines:
+        # the oracle's FILTER(NOT pred) has the same NULL→excluded
+        # behavior, so mirror it exactly instead)
+        aggs.append(F.count(F.when(viol, 1)).alias(f"v_{name}"))
+        aggs.append(F.min(F.when(viol, F.col("l_orderkey"))).alias(f"s_{name}"))
+    wide = joined.agg(*aggs)
+    legs = None
+    for name, _ in _DQ17_INVARIANTS:
+        leg = wide.select(
+            F.lit(name).alias("invariant"),
+            F.col("n_rows"),
+            F.col(f"v_{name}").alias("n_violations"),
+            F.expr(f"(1000 * v_{name}) div n_rows").alias("viol_milli"),
+            F.col(f"s_{name}").alias("sample_orderkey"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.orderBy("invariant")

@@ -1671,3 +1671,89 @@ def ts16_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrency")
         .orderBy("day")
     )
+
+
+# --- ts17: autocorrelation function (integer ACF) --------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "ts17_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), gm AS (
+        SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS grand_mean,
+               CAST(COUNT(*) AS BIGINT) AS n FROM daily
+    ), pm AS (
+        SELECT day, CAST((cents * 1000) // g.grand_mean AS BIGINT) AS cents_pm
+        FROM daily, gm g
+    ), mean_pm AS (
+        SELECT CAST(SUM(cents_pm) // COUNT(*) AS BIGINT) AS mu FROM pm
+    ), dev AS (
+        SELECT day, cents_pm - m.mu AS d FROM pm, mean_pm m
+    ), lagged AS (
+        SELECT d,
+               {', '.join(f"LAG(d, {k}) OVER (ORDER BY day) AS d{k}" for k in range(1, ACF_MAX_LAG + 1))}
+        FROM dev
+    ), denom AS (
+        SELECT CAST(SUM(d * d) AS BIGINT) AS ss FROM dev
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {k} AS lag,
+               CAST(COUNT(d{k}) AS BIGINT) AS n_pairs,
+               CAST((1000 * SUM(d * d{k})) // NULLIF(dn.ss, 0) AS BIGINT) AS acf_milli
+        FROM lagged, denom dn GROUP BY dn.ss'''
+        for k in range(1, ACF_MAX_LAG + 1)
+    )}
+    ORDER BY lag
+    """,
+)
+def ts17_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..7 — the
+    diagnostic that DECIDES between the ts* models: a lag-7 spike says
+    weekly seasonality (ts12/ts15 apply), slow decay says trend (ts10),
+    white noise says the fancy models are fitting nothing.
+
+    The textbook ACF (Box & Jenkins): r_k = Σ dᵗ·dᵗ⁺ᵏ / Σ d², with
+    deviations taken per-mille of the grand mean (ts15's normalization
+    — bounds every product at any corpus scale) and both the mean and
+    the ratio as integer floor-divisions, so the whole correlogram is
+    exact BIGINT arithmetic; n_pairs makes the shrinking-overlap
+    denominator visible. One map-side daily rollup, one window pass
+    producing all seven lag columns in a single WindowExec, seven
+    1-row aggregates over the ≤366-row relation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    gm = daily.agg(F.expr("sum(cents) div count(*)").alias("grand_mean"))
+    pm = daily.crossJoin(F.broadcast(gm)).select(
+        "day", F.expr("(cents * 1000) div grand_mean").alias("cents_pm")
+    )
+    mu = pm.agg(F.expr("sum(cents_pm) div count(*)").alias("mu"))
+    dev = pm.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("cents_pm") - F.col("mu")).alias("d")
+    )
+    w = Window.orderBy("day")
+    lagged = dev.select(
+        "d", *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, ACF_MAX_LAG + 1)]
+    )
+    denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("ss"))
+    legs = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        leg = (
+            lagged.crossJoin(F.broadcast(denom))
+            .groupBy("ss")
+            .agg(
+                F.count(F.col(f"d{k}")).alias("n_pairs"),
+                F.expr(f"(1000 * sum(d * d{k})) div nullif(ss, 0)").alias("acf_milli"),
+            )
+            .select(F.lit(k).alias("lag"), "n_pairs", "acf_milli")
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.orderBy("lag")

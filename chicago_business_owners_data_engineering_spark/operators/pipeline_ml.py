@@ -1675,3 +1675,99 @@ def st05_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- st06: cohort LTV curve -------------------------------------------------------
+
+LTV_MAX_OFFSET = 12
+
+
+@query(
+    "st06_cohort_ltv",
+    oracle=f"""
+    WITH om AS (
+        SELECT o_custkey AS k,
+               YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS mnum,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), cohort AS (
+        SELECT k, MIN(mnum) AS c0 FROM om GROUP BY k
+    ), sized AS (
+        SELECT c0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY c0
+    ), period AS (
+        SELECT c.c0, o.mnum - c.c0 AS month_offset,
+               CAST(SUM(o.cents) AS BIGINT) AS period_cents
+        FROM om o JOIN cohort c ON o.k = c.k
+        WHERE o.mnum - c.c0 <= {LTV_MAX_OFFSET}
+        GROUP BY c.c0, o.mnum - c.c0
+    )
+    SELECT CONCAT(CAST(p.c0 // 12 AS VARCHAR), '-',
+                  LPAD(CAST(p.c0 % 12 + 1 AS VARCHAR), 2, '0')) AS cohort_month,
+           p.month_offset, s.cohort_size, p.period_cents,
+           CAST(SUM(p.period_cents) OVER (PARTITION BY p.c0 ORDER BY p.month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+           CAST(SUM(p.period_cents) OVER (PARTITION BY p.c0 ORDER BY p.month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // s.cohort_size AS BIGINT) AS ltv_cents
+    FROM period p JOIN sized s ON s.c0 = p.c0
+    ORDER BY cohort_month, p.month_offset
+    """,
+)
+def st06_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cumulative revenue per cohort member tracked across the
+    first 12 month offsets — the MONEY companion of st04's retention
+    matrix (st04 counts who came back; this integrates what they spent,
+    the curve a payback-period decision reads directly).
+
+    Months are integer month numbers (year·12 + month − 1) so the
+    offset arithmetic is exact on both engines (months_between returns
+    fractional doubles — the documented trap this sidesteps); revenue
+    is integer cents; the running LTV is a cohort-partitioned window
+    over ≤13 offset rows per cohort, and ltv_cents is an integer
+    floor-division by cohort size.
+
+    Scale shape: one customer-keyed min (cohort assignment), one
+    fact-sized join back on the customer key, one (cohort, offset)
+    rollup — then windows over the bounded cohort×offset grid.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        F.col("o_custkey").alias("k"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mnum"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohort = om.groupBy("k").agg(F.min("mnum").alias("c0"))
+    sized = cohort.groupBy("c0").agg(F.count("*").alias("cohort_size"))
+    period = (
+        om.join(cohort, "k")
+        .filter(F.col("mnum") - F.col("c0") <= LTV_MAX_OFFSET)
+        .groupBy("c0", (F.col("mnum") - F.col("c0")).alias("month_offset"))
+        .agg(F.sum("cents").alias("period_cents"))
+    )
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("period_cents").over(w)
+    return (
+        period.join(F.broadcast(sized), "c0")
+        .select(
+            F.concat(
+                F.expr("cast(c0 div 12 as string)"),
+                F.lit("-"),
+                F.lpad((F.col("c0") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            "month_offset",
+            "cohort_size",
+            "period_cents",
+            cum.alias("cum_cents"),
+            F.expr(
+                "sum(period_cents) over (partition by c0 order by month_offset "
+                "rows between unbounded preceding and current row) div cohort_size"
+            ).alias("ltv_cents"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -517,3 +517,45 @@ def f26_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "island_id")
     )
+
+
+@query(
+    "f30_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+    )
+    SELECT 'n_lines' AS metric, n_lines AS value FROM wide
+    UNION ALL SELECT 'qty_centi', qty_centi FROM wide
+    UNION ALL SELECT 'revenue_cents', revenue_cents FROM wide
+    ORDER BY metric
+    """,
+)
+def f30_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the native ``DataFrame.unpivot``
+    (Spark 3.4+ melt) — the inverse of a27's pivot, completing the
+    reshape pair. The wide input is a 1-row metrics aggregate; unpivot
+    emits one (metric, value) row per column — the shape a metrics
+    sink or a long-format quality table (dq16/dq17) consumes.
+
+    unpivot requires a common value type, so every metric is an exact
+    BIGINT first (quantities in centi-units, money in cents — the
+    dtype rule). The expression is a zero-shuffle EXPAND over the
+    1-row aggregate; on a grouped input the same call melts per group
+    with the ids column retained.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    wide = lineitem.agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_centi"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+    return wide.unpivot(
+        ids=[], values=["n_lines", "qty_centi", "revenue_cents"],
+        variableColumnName="metric", valueColumnName="value",
+    ).orderBy("metric")

@@ -675,3 +675,109 @@ def scd2_merge(state: DataFrame, changes: DataFrame, t1: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return hist.unionByName(passthrough).unionByName(closed).unionByName(opened)
+
+
+# --- wh05: CDC changelog apply (I/U/D, last-op-wins) -----------------------------
+
+CDC_CUTOFF = "1999-01-01"  # orders before this date are the state snapshot
+
+
+@query(
+    "wh05_cdc_apply",
+    oracle=f"""
+    WITH state AS (
+        SELECT o_custkey AS k, o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < DATE '{CDC_CUTOFF}'
+        ) WHERE rn = 1
+    ), log AS (
+        SELECT o_custkey AS k,
+               CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+               o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate >= DATE '{CDC_CUTOFF}'
+        ) WHERE rn = 1
+    ), applied AS (
+        SELECT COALESCE(l.k, s.k) AS k,
+               CASE WHEN l.k IS NULL THEN s.status ELSE l.status END AS status,
+               CASE WHEN l.k IS NULL THEN s.cents ELSE l.cents END AS cents,
+               CASE WHEN l.op = 'D' THEN 1 ELSE 0 END AS deleted
+        FROM state s FULL OUTER JOIN log l ON s.k = l.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM applied WHERE deleted = 0
+    GROUP BY status ORDER BY status
+    """,
+)
+def wh05_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the third member of the merge family
+    (ups01 = type-1 upsert, wh04 = SCD2 close-and-open, this = an
+    insert/update/DELETE opcode log folded onto a snapshot, the Debezium
+    /'MERGE WHEN MATCHED DELETE' shape). The snapshot is each customer's
+    latest pre-cutoff order; the changelog is the post-cutoff stream
+    collapsed last-op-wins per key (one window, event-time + key tie
+    order — the ups01 discipline); 'P' status models the tombstone.
+
+    Apply = ONE full-outer join: log-absent keys pass through, log-hit
+    keys take the log payload, tombstoned keys drop. Replaying the same
+    changelog is a no-op by construction (last-op-wins is idempotent) —
+    the property a crash-replaying CDC consumer needs. Output is the
+    applied table's per-status profile (integer cents) so the whole
+    final state is certified, not a sample. At 100 TB both sides
+    key-partition on k and the join co-locates; the tombstone filter is
+    map-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+    )
+    state = (
+        orders.filter(F.col("o_orderdate") < F.lit(CDC_CUTOFF).cast("timestamp"))
+        .select("o_custkey", "o_orderstatus", cents.alias("cents"), rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderstatus").alias("s_status"),
+            F.col("cents").alias("s_cents"),
+        )
+    )
+    log = (
+        orders.filter(F.col("o_orderdate") >= F.lit(CDC_CUTOFF).cast("timestamp"))
+        .select("o_custkey", "o_orderstatus", cents.alias("cents"), rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.when(F.col("o_orderstatus") == "P", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("o_orderstatus").alias("l_status"),
+            F.col("cents").alias("l_cents"),
+        )
+    )
+    applied = (
+        state.join(log, "k", "full_outer")
+        .filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.when(F.col("op").isNull(), F.col("s_status"))
+            .otherwise(F.col("l_status"))
+            .alias("status"),
+            F.when(F.col("op").isNull(), F.col("s_cents"))
+            .otherwise(F.col("l_cents"))
+            .alias("cents"),
+        )
+    )
+    return (
+        applied.groupBy("status")
+        .agg(F.count("*").alias("n_keys"), F.sum("cents").alias("total_cents"))
+        .orderBy("status")
+    )

@@ -234,3 +234,99 @@ def test_st05_segments_partition_customers(spark, sf_dir):
     assert sum(r.n_customers for r in rows) == n_cust
     import re
     assert all(re.fullmatch(r"[1-5]{3}", r.segment) for r in rows)
+
+
+# ------------------------------------------------------------------
+# wh05: CDC apply
+# ------------------------------------------------------------------
+
+def test_wh05_cdc_applies_upserts_deletes_and_passthrough(spark, tmp_path):
+    rows = [
+        # k=1: state F@100, post-cutoff update O@200 → O/200
+        (1, 1, "F", 100.0, "1998-01-01 00:00:00", "1-URGENT"),
+        (2, 1, "O", 200.0, "1999-06-01 00:00:00", "1-URGENT"),
+        # k=2: state F@300, tombstone P → dropped
+        (3, 2, "F", 300.0, "1998-02-01 00:00:00", "1-URGENT"),
+        (4, 2, "P", 0.0, "1999-07-01 00:00:00", "1-URGENT"),
+        # k=3: no state, insert O@400 → O/400
+        (5, 3, "O", 400.0, "1999-08-01 00:00:00", "1-URGENT"),
+        # k=4: state-only F@500 passes through
+        (6, 4, "F", 500.0, "1998-03-01 00:00:00", "1-URGENT"),
+        # k=5: two post-cutoff ops, LAST wins (P then U: the U at the
+        # later date supersedes the tombstone)
+        (7, 5, "P", 0.0, "1999-01-02 00:00:00", "1-URGENT"),
+        (8, 5, "O", 600.0, "1999-09-01 00:00:00", "1-URGENT"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    got = {r.status: (r.n_keys, r.total_cents) for r in QUERIES["wh05_cdc_apply"](spark, str(tmp_path)).collect()}
+    assert got == {"O": (3, 120000), "F": (1, 50000)}
+
+
+# ------------------------------------------------------------------
+# st06: cohort LTV
+# ------------------------------------------------------------------
+
+def test_st06_ltv_accumulates_per_cohort_member(spark, tmp_path):
+    rows = [
+        # cohort 2024-01: two customers; month 0 spend 100+200,
+        # month 1 customer 1 spends 50 more
+        (1, 1, "F", 100.0, "2024-01-05 00:00:00", "1-URGENT"),
+        (2, 2, "F", 200.0, "2024-01-20 00:00:00", "1-URGENT"),
+        (3, 1, "F", 50.0, "2024-02-10 00:00:00", "1-URGENT"),
+        # cohort 2024-03: one customer
+        (4, 3, "F", 80.0, "2024-03-01 00:00:00", "1-URGENT"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    got = {(r.cohort_month, r.month_offset): r for r in QUERIES["st06_cohort_ltv"](spark, str(tmp_path)).collect()}
+    m0 = got[("2024-01", 0)]
+    assert (m0.cohort_size, m0.period_cents, m0.cum_cents, m0.ltv_cents) == (2, 30000, 30000, 15000)
+    m1 = got[("2024-01", 1)]
+    assert (m1.period_cents, m1.cum_cents, m1.ltv_cents) == (5000, 35000, 17500)
+    assert got[("2024-03", 0)].ltv_cents == 8000
+
+
+# ------------------------------------------------------------------
+# ts17: autocorrelation
+# ------------------------------------------------------------------
+
+def test_ts17_alternating_series_has_negative_lag1_positive_lag2(spark, tmp_path):
+    import datetime
+    rows = []
+    base = datetime.date(2024, 1, 1)
+    for d in range(30):
+        day = base + datetime.timedelta(days=d)
+        amount = 50.0 if d % 2 == 0 else 150.0
+        rows.append((d + 1, 1, "F", amount, day.isoformat() + " 00:00:00", "1-URGENT"))
+    _write_orders(spark, tmp_path, rows)
+    acf = {r.lag: r.acf_milli for r in QUERIES["ts17_autocorrelation"](spark, str(tmp_path)).collect()}
+    assert acf[1] < -900 and acf[2] > 900
+    assert set(acf) == {1, 2, 3, 4, 5, 6, 7}
+
+
+# ------------------------------------------------------------------
+# dq17: row invariants
+# ------------------------------------------------------------------
+
+def test_dq17_counts_planted_violation_with_sample_key(spark, tmp_path):
+    _write_orders(spark, tmp_path, [
+        (10, 1, "F", 100.0, "2024-03-10 00:00:00", "1-URGENT"),
+        (20, 2, "F", 100.0, "2024-03-10 00:00:00", "1-URGENT"),
+    ])
+    lines = [
+        # ships BEFORE its order → ship_after_order violation
+        (10, 1, 1, 1, 1.0, 10.0, 0.1, 0.0, "N", "O", "2024-03-01 00:00:00"),
+        # clean line
+        (20, 2, 2, 1, 1.0, 10.0, 0.1, 0.0, "N", "O", "2024-03-15 00:00:00"),
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")) \
+     .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.invariant: r for r in QUERIES["dq17_row_invariants"](spark, str(tmp_path)).collect()}
+    r = got["ship_after_order"]
+    assert (r.n_rows, r.n_violations, r.viol_milli, r.sample_orderkey) == (2, 1, 500, 10)
+    assert got["qty_positive"].n_violations == 0
+    assert got["qty_positive"].sample_orderkey is None

@@ -33,6 +33,7 @@ EXPECTED_PYTHON = {
     # literals would be a 4096-node expression tree)
     "sim10_opq_topk",
     "u06_arrow_udf_bucket",  # the Arrow scalar-UDF demo IS the Python path
+    "u07_pandas_iter_udf",  # the SCALAR_ITER pandas-UDF demo IS the Python path
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o04_pagination",
