@@ -158,6 +158,19 @@ PROBE_QUERIES: tuple[str, ...] = (
     "st04_cohort_retention",  # customer-keyed distinct + matrix rollup — linear check
     "er05_blocking_quality",  # brand-keyed Σ|group|² truth leg — quadratic-in-group check
     "mon03_freshness_lag",  # grouped max + 1-row head broadcast — linear check
+    # round-6 additions
+    "mb01_market_basket",  # basket-keyed pair self-join — candidate-volume check
+    "dd16_weighted_jaccard_pairs",  # minhash-band candidates + weighted verify — collision check
+    "j13_interval_overlap_join",  # bucketed range join — bucket-collision-volume check
+    "ts16_peak_concurrency",  # 2-points-per-event day-keyed sweep — linear check
+    "sim16_range_search",  # centroid-floor cell probe — pruned-scan check
+    "ab03_cuped_readout",  # user-keyed sufficient-stats pass — linear check
+    "st05_rfm_segments",  # customer rollup + 3 bounded ntile windows — linear check
+    "st06_cohort_ltv",  # customer-keyed min + fact join + grid windows — linear check
+    "wh05_cdc_apply",  # two key-windows + one full-outer join — linear check
+    "dq17_row_invariants",  # one parent join, all rules conditional-counted — linear check
+    "tx18_lexical_diversity",  # (source, word)-keyed vocab rollup — linear check
+    "ts17_autocorrelation",  # daily rollup + bounded lag windows — linear check
 )
 
 # The 100× set: the top-10 most expensive registry queries by the
