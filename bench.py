@@ -211,6 +211,10 @@ BENCH_R6 = [
     "st06_cohort_ltv",
     "u07_pandas_iter_udf",
     "f30_unpivot_metrics",
+    "ts18_rolling_wau",
+    "mon04_error_budget",
+    "tx19_langid_confusion",
+    "f31_mom_change",
 ]
 
 

@@ -25,7 +25,7 @@ from ..catalog import load_table
 from ..registry import query
 
 ITEM_SUPPORT_PERMILLE = 1  # item frequent when in ≥ 0.1% of baskets
-PAIR_SUPPORT_X5000 = 1  # pair kept when pair_cnt * 5000 ≥ n_baskets (0.02%)
+PAIR_MIN_COUNT = 2  # absolute noise floor; ranking is top-N by count
 TOP_PAIRS = 50
 
 
@@ -60,7 +60,7 @@ TOP_PAIRS = 50
     JOIN freq fa ON fa.item = p.part_a
     JOIN freq fb ON fb.item = p.part_b
     CROSS JOIN nb
-    WHERE p.pair_cnt * 5000 >= {PAIR_SUPPORT_X5000} * nb.n_baskets
+    WHERE p.pair_cnt >= {PAIR_MIN_COUNT}
     ORDER BY p.pair_cnt DESC, p.part_a ASC, p.part_b ASC
     LIMIT {TOP_PAIRS}
     """,
@@ -74,6 +74,14 @@ def mb01_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence expectation) — no float crosses the engine boundary.
     1000·pair_cnt·n_baskets stays far inside int64 at any realistic
     scale because pair_cnt ≤ n_baskets.
+
+    The pair floor is a small ABSOLUTE count (2), not a corpus
+    fraction, with ranking done by top-N: on a corpus with no true
+    associations the best pair's count grows sub-linearly in baskets
+    (binomial max, ~log n), so any corpus-relative support threshold
+    silently starves as data grows — the 10× probe caught exactly
+    that (0 rows at sf1). Real signal (a pair whose count DOES track
+    corpus size) dominates the top-N ranking either way.
 
     Scale shape: the basket relation shuffles ONCE on basket key; the
     pair self-join reuses that partitioning (co-located), candidates
@@ -119,7 +127,7 @@ def mb01_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(ca), "part_a")
         .join(F.broadcast(cb), "part_b")
         .crossJoin(F.broadcast(nb))
-        .filter(F.col("pair_cnt") * 5000 >= PAIR_SUPPORT_X5000 * F.col("n_baskets"))
+        .filter(F.col("pair_cnt") >= PAIR_MIN_COUNT)
         .select(
             "part_a",
             "part_b",

@@ -527,7 +527,8 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- j13: interval-overlap join (bucketed range join) ----------------------------
 
-OVERLAP_BUCKET_SEC = 600  # 10-minute epoch buckets
+# (the first-draft bucket decomposition and its OVERLAP_BUCKET_SEC knob were
+# removed when the 10x probe flagged it — see the docstring below)
 ERROR_HALO_MIN = 5  # an error event disturbs ±5 minutes
 
 
@@ -558,36 +559,40 @@ ERROR_HALO_MIN = 5  # an error event disturbs ±5 minutes
     """,
 )
 def j13_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join, bucket-decomposed: which user activity
-    intervals overlap error-halo windows, per day — the incident
-    blast-radius question ("whose session was live while the system was
-    erroring?"). Spark has no native band/range join; the naive form
-    `ON s.start <= e.end AND e.start <= s.end` compiles to a
-    nested-loop over the day — O(sessions × errors) per day.
+    """Interval-overlap join computed by BOUNDARY RANKS, not pair
+    materialization: which user activity intervals overlap error-halo
+    windows, per day — the incident blast-radius question ("whose
+    session was live while the system was erroring?"). Spark has no
+    native band/range join; the naive form compiles to a per-day
+    nested loop.
 
-    The scale form here is the standard bucket decomposition: each
-    interval explodes into the fixed-width (10-min) epoch buckets it
-    covers, the join runs as an EQUI join on (day, bucket) — hash
-    join, shuffle on bounded keys — and the exact overlap predicate
-    re-filters the bucket-collision candidates; DISTINCT collapses the
-    multi-bucket duplicates before the count. Candidate volume is
-    Σ_bucket sessions·errors per bucket — output-shaped, never
-    day-quadratic. Intervals are clamped to their day (the ts16
-    midnight convention) so the day key is exact on both engines; the
-    oracle runs the naive predicate join, certifying the decomposition
-    loses and invents nothing.
+    The first draft used the textbook bucket decomposition (explode
+    intervals into 10-min epoch buckets, equi-join on (day, bucket),
+    re-filter exactly) — and the 10× probe flagged it at exponent 1.50:
+    user-day activity intervals span most of the day, so every session
+    hit every bucket and the "decomposed" join degenerated back to
+    sessions × errors per day. The lesson: bucket decomposition only
+    helps when intervals are SHORT relative to the bucket; for long
+    intervals the right tool is counting by ranks. An interval count is
+    two cumulative lookups —
+
+        overlaps(s) = #{w_start ≤ s_end} − #{w_end < s_start}
+
+    (valid because w_start ≤ w_end: every window ending before the
+    session also started before it ends) — so each side contributes
+    its BOUNDARIES to a day-partitioned ordered sweep, a running count
+    of error boundaries answers both lookups, and no session×error
+    pair ever materializes. Boundary ties encode the predicate's ≤ / <
+    exactly: error starts sort BEFORE queries at equal t (≤ counts
+    them), error ends sort AFTER queries at equal t (< excludes them).
+    Cost: two day-keyed window sorts over sessions+errors boundaries —
+    linear, probe re-verified. The oracle still runs the naive
+    predicate join, certifying the rank arithmetic is exact.
 
     Parity: beyond-reference (range joins; the as-of sibling is j08).
     """
     events = load_table(spark, sf_dir, "events")
-
-    def epoch_sec(col):
-        return (
-            F.unix_date(F.col(col).cast("date")).cast("long") * 86400
-            + F.hour(col) * 3600
-            + F.minute(col) * 60
-            + F.expr(f"cast(date_part('SECOND', {col}) as long)")
-        )
+    from pyspark.sql import Window
 
     sess = (
         events.filter(F.col("event_type") != "error")
@@ -595,7 +600,6 @@ def j13_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
     err = events.filter(F.col("event_type") == "error").select(
-        "event_id",
         F.col("ts").cast("date").alias("day"),
         F.greatest(
             F.col("ts") - F.expr(f"INTERVAL {ERROR_HALO_MIN} MINUTE"),
@@ -606,46 +610,51 @@ def j13_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add(F.col("ts").cast("date"), 1).cast("timestamp"),
         ).alias("w_end"),
     )
-    sess_b = sess.select(
-        "user_id",
-        "day",
-        "s_start",
-        "s_end",
-        F.explode(
-            F.sequence(
-                (epoch_sec("s_start") / OVERLAP_BUCKET_SEC).cast("long"),
-                (epoch_sec("s_end") / OVERLAP_BUCKET_SEC).cast("long"),
+
+    def rank_sweep(q_points: DataFrame, e_points: DataFrame, e_first: bool) -> DataFrame:
+        """Running count of error boundaries at each query point.
+        ``e_first`` controls the equal-timestamp rule: True counts a
+        boundary AT the query time (≤), False excludes it (<)."""
+        e_tie, q_tie = (0, 1) if e_first else (1, 0)
+        pts = e_points.select(
+            "day", "t", F.lit(e_tie).alias("tie"), F.lit(1).alias("is_err"),
+            F.lit(None).cast("long").alias("user_id"),
+        ).unionByName(
+            q_points.select(
+                "day", "t", F.lit(q_tie).alias("tie"), F.lit(0).alias("is_err"), "user_id"
             )
-        ).alias("bucket"),
-    )
-    err_b = err.select(
-        "event_id",
-        "day",
-        "w_start",
-        "w_end",
-        F.explode(
-            F.sequence(
-                (epoch_sec("w_start") / OVERLAP_BUCKET_SEC).cast("long"),
-                (epoch_sec("w_end") / OVERLAP_BUCKET_SEC).cast("long"),
-            )
-        ).alias("bucket"),
-    )
-    pairs = (
-        sess_b.join(err_b, ["day", "bucket"])
-        .filter(
-            (F.col("s_start") <= F.col("w_end")) & (F.col("w_start") <= F.col("s_end"))
         )
-        .select("user_id", "day", "event_id")
-        .distinct()
-    )
+        w = (
+            Window.partitionBy("day")
+            .orderBy("t", "tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            pts.select("day", "user_id", F.col("is_err"), F.sum("is_err").over(w).alias("cnt"))
+            .filter(F.col("is_err") == 0)
+            .select("day", "user_id", "cnt")
+        )
+
+    cnt_le = rank_sweep(
+        sess.select("day", F.col("s_end").alias("t"), "user_id"),
+        err.select("day", F.col("w_start").alias("t")),
+        e_first=True,
+    ).withColumnRenamed("cnt", "n_started_by_end")
+    cnt_lt = rank_sweep(
+        sess.select("day", F.col("s_start").alias("t"), "user_id"),
+        err.select("day", F.col("w_end").alias("t")),
+        e_first=False,
+    ).withColumnRenamed("cnt", "n_ended_before_start")
     return (
-        pairs.groupBy("user_id", "day")
-        .agg(F.countDistinct("event_id").alias("n_error_overlaps"))
+        cnt_le.join(cnt_lt, ["day", "user_id"])
         .select(
             "user_id",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "n_error_overlaps",
+            (F.col("n_started_by_end") - F.col("n_ended_before_start")).alias(
+                "n_error_overlaps"
+            ),
         )
+        .filter(F.col("n_error_overlaps") > 0)
         .orderBy(F.desc("n_error_overlaps"), F.asc("user_id"), F.asc("day"))
         .limit(50)
     )

@@ -1757,3 +1757,127 @@ def ts17_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         legs = leg if legs is None else legs.unionByName(leg)
     return legs.orderBy("lag")
+
+
+# --- ts18: rolling distinct users (WAU) -------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+@query(
+    "ts18_rolling_wau",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    )
+    SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day <= d.day
+             AND u.day > d.day - INTERVAL {WAU_WINDOW_DAYS} DAY
+    GROUP BY d.day ORDER BY day
+    """,
+)
+def ts18_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU) per day — THE product
+    health metric, and the classic "you can't window COUNT(DISTINCT)"
+    operator: distinct counts don't merge across frames, so a window
+    function can't express it (the same non-algebraic wall inc03
+    documents for incremental state).
+
+    The scale form: dedup once to the (day, user) grain (the only
+    fact-sized shuffle — everything after runs on active-user-days,
+    not events), then a BOUNDED day-range join (each user-day lands in
+    ≤7 day frames, a fixed ×7 blowup, never data×data) and a
+    day-keyed distinct count. The approximate O(1)-state alternative
+    is an HLL-sketch union per frame (a29's machinery); this is the
+    exact leg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    u = du.select(F.col("day").alias("u_day"), "user_id")
+    return (
+        days.join(
+            u,
+            (F.col("u_day") <= F.col("day"))
+            & (F.col("u_day") > F.date_sub(F.col("day"), WAU_WINDOW_DAYS)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+# --- mon04: error-budget accounting ------------------------------------------------
+
+SLO_TARGET_MILLI = 700  # demo SLO: ≤ 30% of events may be errors (synthetic corpus)
+
+
+@query(
+    "mon04_error_budget",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT day, n_total, n_err,
+               SUM(n_total) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total,
+               SUM(n_err) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_err
+        FROM daily
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day, n_total, n_err,
+           CAST((1000 - {SLO_TARGET_MILLI}) * cum_total // 1000 AS BIGINT)
+               AS budget_events,
+           CAST(((1000 - {SLO_TARGET_MILLI}) * cum_total // 1000) - cum_err
+               AS BIGINT) AS budget_remaining,
+           (1000 * cum_err > (1000 - {SLO_TARGET_MILLI}) * cum_total)
+               AS budget_exhausted
+    FROM cum ORDER BY day
+    """,
+)
+def mon04_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative error-budget accounting against an SLO — the ledger
+    mon02's burn-rate alerts draw from (mon02 answers "are we burning
+    too fast RIGHT NOW"; this answers "how much budget is left this
+    period"). Budget = (1 − SLO)·total events so far; remaining =
+    budget − errors so far; exhaustion is the integer
+    cross-multiplication 1000·cum_err > (1000−SLO‰)·cum_total — no
+    float rate ever materializes.
+
+    One map-side daily rollup, one ordered window pass over the
+    ≤366-row daily relation (per service key in multi-tenant use).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w).alias("cum_total"),
+        F.sum("n_err").over(w).alias("cum_err"),
+    )
+    budget = F.expr(f"(1000 - {SLO_TARGET_MILLI}) * cum_total div 1000")
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_total",
+        "n_err",
+        budget.alias("budget_events"),
+        (budget - F.col("cum_err")).alias("budget_remaining"),
+        (
+            1000 * F.col("cum_err") > (1000 - SLO_TARGET_MILLI) * F.col("cum_total")
+        ).alias("budget_exhausted"),
+    ).orderBy("day")

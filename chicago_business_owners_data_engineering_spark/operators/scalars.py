@@ -559,3 +559,65 @@ def f30_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids=[], values=["n_lines", "qty_centi", "revenue_cents"],
         variableColumnName="metric", valueColumnName="value",
     ).orderBy("metric")
+
+
+@query(
+    "f31_mom_change",
+    oracle="""
+    WITH monthly AS (
+        SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS mnum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT mnum, cents, LAG(cents, 1) OVER (ORDER BY mnum) AS prev_cents,
+               LAG(mnum, 1) OVER (ORDER BY mnum) AS prev_mnum
+        FROM monthly
+    )
+    SELECT CONCAT(CAST(mnum // 12 AS VARCHAR), '-',
+                  LPAD(CAST(mnum % 12 + 1 AS VARCHAR), 2, '0')) AS month,
+           cents,
+           CASE WHEN prev_mnum = mnum - 1 THEN prev_cents END AS prev_cents,
+           CASE WHEN prev_mnum = mnum - 1
+                THEN CAST((10000 * (cents - prev_cents)) // prev_cents AS BIGINT)
+           END AS change_bps
+    FROM lagged ORDER BY month
+    """,
+)
+def f31_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change in integer basis points — the
+    reporting primitive behind every growth dashboard, with the two
+    traps handled explicitly: CALENDAR GAPS (a LAG over a monthly
+    rollup silently compares across a missing month; the prev_mnum =
+    mnum − 1 guard NULLs the change instead — st06's integer month
+    numbers make the adjacency test exact) and float drift (change is
+    (10000·Δ) div prev, integer bps, never a float ratio).
+
+    One map-side monthly rollup, one ordered window over the ≤N-month
+    relation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mnum")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    w = Window.orderBy("mnum")
+    lagged = monthly.select(
+        "mnum",
+        "cents",
+        F.lag("cents", 1).over(w).alias("prev_raw"),
+        F.lag("mnum", 1).over(w).alias("prev_mnum"),
+    )
+    adjacent = F.col("prev_mnum") == F.col("mnum") - 1
+    return lagged.select(
+        F.concat(
+            F.expr("cast(mnum div 12 as string)"),
+            F.lit("-"),
+            F.lpad((F.col("mnum") % 12 + 1).cast("string"), 2, "0"),
+        ).alias("month"),
+        "cents",
+        F.when(adjacent, F.col("prev_raw")).alias("prev_cents"),
+        F.when(adjacent, F.expr("(10000 * (cents - prev_raw)) div prev_raw")).alias(
+            "change_bps"
+        ),
+    ).orderBy("month")

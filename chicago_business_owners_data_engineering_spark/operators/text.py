@@ -914,3 +914,52 @@ def tx18_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- tx19: language-ID confusion matrix ---------------------------------------------
+
+
+@query(
+    "tx19_langid_confusion",
+    oracle="""
+    WITH pred AS (
+        SELECT lang AS labeled_lang,
+               CASE
+                   WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                            w -> w IN ('the', 'a', 'of', 'and', 'is'))) >= 2 THEN 'en'
+                   ELSE 'unknown'
+               END AS predicted_lang
+        FROM documents
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def tx19_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of tx03's language-ID heuristic against the
+    corpus labels — the eval leg the classifier family requires of
+    every inference op (ml05 gets ml06/ml08; tx03 gets this): a
+    lang-ID used to route documents into per-language dedup/filter
+    pipelines silently mis-routes whatever it confuses, and this
+    matrix is the audit. Replays tx03's exact marker rule (shared
+    decision tree on both engines), one grouped count over the
+    |langs|² grid.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    en_markers = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is"))
+    )
+    pred = documents.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(en_markers >= 2, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("predicted_lang"),
+    )
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )

@@ -330,3 +330,56 @@ def test_dq17_counts_planted_violation_with_sample_key(spark, tmp_path):
     assert (r.n_rows, r.n_violations, r.viol_milli, r.sample_orderkey) == (2, 1, 500, 10)
     assert got["qty_positive"].n_violations == 0
     assert got["qty_positive"].sample_orderkey is None
+
+
+# ------------------------------------------------------------------
+# ts18 / mon04 / f31: batch-3 hand fixtures
+# ------------------------------------------------------------------
+
+def test_ts18_wau_window_slides_and_dedups(spark, tmp_path):
+    rows = [
+        # user 1 on day 1 (twice — dedup), user 2 on day 2
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-03-01 11:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-03-02 10:00:00", 2, "view", 0.0, "{}"),
+        # 8 days later: user 1's day-1 visit has aged out
+        (4, "2024-03-09 10:00:00", 3, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r.day: r.wau for r in QUERIES["ts18_rolling_wau"](spark, str(tmp_path)).collect()}
+    assert got == {"2024-03-01": 1, "2024-03-02": 2, "2024-03-09": 1}
+
+
+def test_mon04_budget_exhausts_exactly_at_threshold(spark, tmp_path):
+    # SLO 700‰ → 30% budget. Day 1: 10 events, 3 errors → budget 3,
+    # remaining 0, NOT exhausted (strict >). Day 2: one more error with
+    # 0-error traffic of 10 → budget 6, errors 4 → remaining 2.
+    rows = []
+    eid = 0
+    for i in range(10):
+        eid += 1
+        rows.append((eid, "2024-03-01 10:00:00", i, "error" if i < 3 else "view", 0.0, "{}"))
+    for i in range(10):
+        eid += 1
+        rows.append((eid, "2024-03-02 10:00:00", i, "error" if i < 1 else "view", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = {r.day: r for r in QUERIES["mon04_error_budget"](spark, str(tmp_path)).collect()}
+    d1 = got["2024-03-01"]
+    assert (d1.budget_events, d1.budget_remaining, bool(d1.budget_exhausted)) == (3, 0, False)
+    d2 = got["2024-03-02"]
+    assert (d2.budget_events, d2.budget_remaining, bool(d2.budget_exhausted)) == (6, 2, False)
+
+
+def test_f31_mom_change_nulls_across_calendar_gaps(spark, tmp_path):
+    rows = [
+        (1, 1, "F", 100.0, "2024-01-10 00:00:00", "1-URGENT"),
+        (2, 1, "F", 150.0, "2024-02-10 00:00:00", "1-URGENT"),
+        # March missing entirely
+        (3, 1, "F", 300.0, "2024-04-10 00:00:00", "1-URGENT"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    got = {r.month: r for r in QUERIES["f31_mom_change"](spark, str(tmp_path)).collect()}
+    assert got["2024-01"].change_bps is None            # no prior month
+    assert got["2024-02"].change_bps == 5000            # +50% = 5000 bps
+    assert got["2024-04"].change_bps is None            # gap-guarded
+    assert got["2024-04"].prev_cents is None

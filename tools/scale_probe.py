@@ -171,6 +171,10 @@ PROBE_QUERIES: tuple[str, ...] = (
     "dq17_row_invariants",  # one parent join, all rules conditional-counted — linear check
     "tx18_lexical_diversity",  # (source, word)-keyed vocab rollup — linear check
     "ts17_autocorrelation",  # daily rollup + bounded lag windows — linear check
+    "ts18_rolling_wau",  # (day,user) dedup + bounded day-range join — x7-blowup check
+    "mon04_error_budget",  # daily rollup + bounded cumulative window — linear check
+    "tx19_langid_confusion",  # one grouped count over the lang grid — linear check
+    "f31_mom_change",  # monthly rollup + bounded lag window — linear check
 )
 
 # The 100× set: the top-10 most expensive registry queries by the
