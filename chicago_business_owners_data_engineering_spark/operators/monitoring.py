@@ -1789,24 +1789,32 @@ def ts18_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale form: dedup once to the (day, user) grain (the only
     fact-sized shuffle — everything after runs on active-user-days,
-    not events), then a BOUNDED day-range join (each user-day lands in
-    ≤7 day frames, a fixed ×7 blowup, never data×data) and a
-    day-keyed distinct count. The approximate O(1)-state alternative
-    is an HLL-sketch union per frame (a29's machinery); this is the
-    exact leg.
+    not events), then EXPLODE each user-day into the ≤7 frame days it
+    belongs to (a fixed ×7 map-side blowup, never data×data) so the
+    frame membership is an EQUI key — a range join here compiles to a
+    nested loop, which is exactly the shape the plan audit exists to
+    reject; the frame-day explode is the bucket trick with a bounded
+    bucket count. A final semi join restricts frames to days that
+    exist in the data (the trailing explode otherwise invents empty
+    future frames). The approximate O(1)-state alternative is an
+    HLL-sketch union per frame (a29's machinery); this is the exact
+    leg.
     """
     events = load_table(spark, sf_dir, "events")
     du = events.select(
         F.col("ts").cast("date").alias("day"), "user_id"
     ).distinct()
     days = du.select("day").distinct()
-    u = du.select(F.col("day").alias("u_day"), "user_id")
+    frames = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("day"),
+        "user_id",
+    )
     return (
-        days.join(
-            u,
-            (F.col("u_day") <= F.col("day"))
-            & (F.col("u_day") > F.date_sub(F.col("day"), WAU_WINDOW_DAYS)),
-        )
+        frames.join(days, "day", "left_semi")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")

@@ -56,6 +56,11 @@ EXPECTED_GLOBAL_WINDOW = {
     "dq08_ks_drift",
     # cumulative rank window over the same ≤ KS_BINS-row bin relation
     "dq09_mann_whitney",
+    # cumulative-budget window over the post-aggregation DAILY grain
+    # (≤366 rows; per service key in multi-tenant use)
+    "mon04_error_budget",
+    # lag window over the post-aggregation MONTHLY grain (≤N months)
+    "f31_mom_change",
     # LEAD over the filtered KEY relation (not fact payload); the
     # docstring documents the per-shard form at scale
     "f25_id_gap_islands",
