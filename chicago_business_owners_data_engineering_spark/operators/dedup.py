@@ -1658,9 +1658,13 @@ def dd16_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection join that touches only candidate docs' shingle lists.
     """
     documents = load_table(spark, sf_dir, "documents")
+    # The exploded shingle relation feeds FIVE consumers (df counts,
+    # doc totals, band minima, and both intersection legs) — without a
+    # checkpoint Spark re-explodes the corpus per consumer (the dd15
+    # lesson); localCheckpoint materializes it once.
     stoks = documents.select(
         "doc_id", F.explode(_shingle_set(F.col("text"))).alias("sg")
-    )
+    ).localCheckpoint(eager=True)
     n = stoks.agg(F.countDistinct("doc_id").alias("n_docs"))
     wt = (
         stoks.groupBy("sg")
@@ -1668,21 +1672,36 @@ def dd16_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("sg", F.expr("(n_docs * 1000) div df").alias("w"))
     )
-    wtoks = stoks.join(wt, "sg").select("doc_id", "sg", "w")
-    doc_sum = wtoks.groupBy("doc_id").agg(F.sum("w").alias("total_w"))
-    mh = (
-        stoks.select(
-            "doc_id",
-            F.explode(F.array(*[F.lit(k) for k in range(DD16_BANDS)])).alias("k"),
-            "sg",
-        )
-        .groupBy("doc_id", "k")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("sg")))
-            ).alias("sig")
-        )
+    wtoks = stoks.join(wt, "sg").select("doc_id", "sg", "w").localCheckpoint(
+        eager=True
     )
+    doc_sum = wtoks.groupBy("doc_id").agg(F.sum("w").alias("total_w"))
+    # All four band minima in ONE doc-keyed aggregate (map-side
+    # partials) instead of exploding the shingle relation ×4: A/B-
+    # measured equivalent at sf0.1 (the shingle-keyed df/intersection
+    # work dominates), kept for the 4×-smaller shuffle payload — the
+    # gap widens with band count and at executor-memory pressure; the
+    # (docs × bands) self-join input is a zero-shuffle EXPAND of the
+    # agg output.
+    mh_wide = stoks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sg")))).alias(f"sig{k}")
+            for k in range(DD16_BANDS)
+        ]
+    )
+    mh = mh_wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"sig{k}").alias("sig")
+                    )
+                    for k in range(DD16_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.k").alias("k"), F.col("b.sig").alias("sig"))
     cand = (
         mh.alias("a")
         .join(
