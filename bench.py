@@ -215,6 +215,8 @@ BENCH_R6 = [
     "mon04_error_budget",
     "tx19_langid_confusion",
     "f31_mom_change",
+    "gov01_pseudonymize",
+    "gov02_erasure_audit",
 ]
 
 

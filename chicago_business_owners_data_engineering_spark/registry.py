@@ -194,6 +194,7 @@ def _import_operator_modules() -> None:
     from .plans import rules, warehouse  # noqa: F401
     from .operators import (  # noqa: F401
         associations,
+        governance,
         incremental,
         linkage,
         olap,

@@ -383,3 +383,40 @@ def test_f31_mom_change_nulls_across_calendar_gaps(spark, tmp_path):
     assert got["2024-02"].change_bps == 5000            # +50% = 5000 bps
     assert got["2024-04"].change_bps is None            # gap-guarded
     assert got["2024-04"].prev_cents is None
+
+
+# ------------------------------------------------------------------
+# gov01 / gov02: governance
+# ------------------------------------------------------------------
+
+def test_gov01_tokens_deterministic_joinable_and_masked(spark, sf_dir):
+    view = QUERIES["gov01_pseudonymize"](spark, sf_dir)
+    rows = view.collect()
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    raw = {r.c_custkey: r.c_name for r in load_table(spark, sf_dir, "customer").collect()}
+    again = {r.custkey: r.name_token for r in QUERIES["gov01_pseudonymize"](spark, sf_dir).collect()}
+    by_name: dict[str, set] = {}
+    for r in rows:
+        assert raw[r.custkey] not in (r.name_token, r.name_hint)  # masked
+        assert r.name_hint.startswith("***") and r.name_hint[3:] == raw[r.custkey][-4:]
+        assert again[r.custkey] == r.name_token  # deterministic across runs
+        by_name.setdefault(raw[r.custkey], set()).add(r.name_token)
+        assert r.acctbal_bucket % 1000 == 0
+    # equal raw names map to equal tokens (joinability)
+    assert all(len(toks) == 1 for toks in by_name.values())
+
+
+def test_gov02_counts_reconcile_and_blast_radius_matches_keys(spark, sf_dir):
+    from chicago_business_owners_data_engineering_spark.operators.governance import ERASURE_MOD
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    rows = {r.tbl: r for r in QUERIES["gov02_erasure_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "events"}
+    for r in rows.values():
+        assert r.n_before == r.n_after + r.n_erased
+    import pyspark.sql.functions as F
+    expected = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % ERASURE_MOD == 0)
+        .count()
+    )
+    assert rows["orders"].n_erased == expected

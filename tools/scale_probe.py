@@ -175,6 +175,8 @@ PROBE_QUERIES: tuple[str, ...] = (
     "mon04_error_budget",  # daily rollup + bounded cumulative window — linear check
     "tx19_langid_confusion",  # one grouped count over the lang grid — linear check
     "f31_mom_change",  # monthly rollup + bounded lag window — linear check
+    "gov01_pseudonymize",  # scan-fused masking projection — linear check
+    "gov02_erasure_audit",  # three conditional-count scans — linear check
 )
 
 # The 100× set: the top-10 most expensive registry queries by the
