@@ -1771,3 +1771,146 @@ def st06_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+# --- st07: first-order Markov transition matrix over session journeys --------
+
+TRANS_GAP_S = SESSION_GAP_S  # a transition exists only inside one session
+
+
+@query(
+    "st07_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ), trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq
+        WHERE next_type IS NOT NULL
+          AND DATE_DIFF('second', ts, next_ts) <= {TRANS_GAP_S}
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST((1000 * n_trans) //
+                SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+               AS p_milli
+    FROM trans
+    ORDER BY from_type, n_trans DESC, to_type
+    """,
+)
+def st07_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for each
+    ordered pair of event types, how often does one follow the other
+    within a session, and with what conditional probability.
+
+    The journey-model summary behind st02's attribution and st03's
+    funnel: those fix a target path, this profiles ALL paths (which
+    steps leak into which; the input to next-step prediction and to
+    funnel design). A transition is two consecutive events of one user
+    separated by ≤ the st01 session gap, so the matrix reconciles with
+    the sessionization the rest of the st* family uses.
+
+    Scale shape: one shuffle on user_id for the LEAD (same partitioning
+    st01 reuses), then an aggregate whose key space is |event_types|² —
+    bounded, tiny — and a window over that same bounded relation for
+    the row-conditional denominator. Probabilities are integer
+    per-mille floor-divisions of exact BIGINT counts (the mb01
+    contract: no float crosses the engine boundary).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        "ts",
+        F.lead("event_type").over(w).alias("to_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    trans = (
+        seq.filter(
+            F.col("to_type").isNotNull()
+            & (
+                F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+                <= TRANS_GAP_S
+            )
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr(
+            "(1000 * n_trans) div sum(n_trans) over (partition by from_type)"
+        ).alias("p_milli"),
+    ).orderBy("from_type", F.desc("n_trans"), "to_type")
+
+
+# --- tp21: hash-threshold eval panel (membership stable under growth) --------
+
+PANEL_PERMILLE = 25  # ~2.5% of docs held out as the frozen eval panel
+
+
+@query(
+    "tp21_stable_eval_panel",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT source, doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000 < {PANEL_PERMILLE} AS in_panel
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN in_panel THEN 1 END) AS BIGINT) AS n_panel,
+           CAST((1000 * COUNT(CASE WHEN in_panel THEN 1 END)) // COUNT(*)
+                AS BIGINT) AS panel_permille,
+           CAST(COALESCE(SUM(CASE WHEN in_panel THEN doc_id END), 0)
+                AS BIGINT) AS panel_id_checksum
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def tp21_stable_eval_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-THRESHOLD eval panel: a doc is in the held-out panel iff its
+    md5 bucket falls under a fixed permille cut — so membership is a
+    pure function of the key, and (unlike tp04/tp12's exactly-k
+    samples) the panel of any corpus SUBSET is exactly the subset of
+    the panel. That containment property is what a training pipeline
+    needs from a frozen eval set: append a new crawl snapshot and every
+    previously held-out doc is STILL held out (no eval→train leakage on
+    growth), while the panel keeps pace with corpus size. tp14 keeps
+    near-dup CLUSTERS split-coherent; this keeps the split itself
+    append-stable. The property is pinned by a pytest (panel(prefix) ==
+    panel(full) ∩ prefix).
+
+    Output is the per-source audit an eval owner reviews: panel rate vs
+    the nominal cut plus an exact membership checksum (Σ doc_id of
+    panel members), so the driver hash pins WHICH docs are in the
+    panel, not just how many. Pure projection + one source-keyed
+    aggregate; no shuffle beyond it.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    in_panel = _md5_bucket(F.col("doc_id"), 1000) < PANEL_PERMILLE
+    return (
+        documents.select("source", "doc_id", in_panel.alias("in_panel"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("in_panel"), 1)).alias("n_panel"),
+            F.expr(
+                "(1000 * count(case when in_panel then 1 end)) div count(*)"
+            ).alias("panel_permille"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_panel"), F.col("doc_id"))), F.lit(0)
+            ).alias("panel_id_checksum"),
+        )
+        .orderBy("source")
+    )

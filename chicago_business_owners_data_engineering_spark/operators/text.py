@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread_scan
 from ..registry import query
@@ -963,3 +964,95 @@ def tx19_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+# --- tx20: vocabulary growth (Heaps curve) -------------------------------------------
+
+HEAPS_BUCKETS = 10  # fixed-width doc_id ranges — output size is scale-free
+
+
+@query(
+    "tx20_heaps_curve",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS mdoc FROM documents),
+    words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+        FROM documents
+    ), w2 AS (
+        SELECT doc_id, word FROM words WHERE LENGTH(word) >= 1
+    ), tok AS (
+        SELECT CAST((doc_id * {HEAPS_BUCKETS}) // (mdoc + 1) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS toks
+        FROM w2, mx GROUP BY 1
+    ), fs AS (
+        SELECT word, MIN(doc_id) AS fdoc FROM w2 GROUP BY word
+    ), typ AS (
+        SELECT CAST((fdoc * {HEAPS_BUCKETS}) // (mdoc + 1) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS ntypes
+        FROM fs, mx GROUP BY 1
+    )
+    SELECT t.bucket,
+           CAST(COALESCE(y.ntypes, 0) AS BIGINT) AS new_types,
+           CAST(SUM(t.toks) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(y.ntypes, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+               AS cum_types,
+           CAST((1000 * SUM(COALESCE(y.ntypes, 0)) OVER (ORDER BY t.bucket)) //
+                SUM(t.toks) OVER (ORDER BY t.bucket) AS BIGINT) AS ttr_milli
+    FROM tok t LEFT JOIN typ y ON t.bucket = y.bucket
+    ORDER BY t.bucket
+    """,
+)
+def tx20_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct word
+    types vs cumulative tokens across the corpus in ingestion-key
+    order — the diminishing-returns measurement behind "is more of this
+    source still adding new language?". tx18 profiles each source's
+    diversity at rest; this measures the corpus's MARGINAL diversity
+    (new_types per bucket falling toward zero = the crawl is saturated
+    and further ingestion mostly buys duplicates — a dedup/budget
+    signal, Heaps 1978).
+
+    A type is attributed to the bucket of its FIRST appearance
+    (MIN doc_id per word — order-free, repartition-invariant; dd14's
+    attribution rule at word grain). Buckets are {HEAPS_BUCKETS}
+    fixed doc_id ranges, so output size is scale-free; the cumulative
+    windows run over that bounded relation only. Heavy lifting is two
+    vocabulary-keyed aggregates (the a18/tx* shuffle posture);
+    tokenization is the family's shared contract (lowercase,
+    single-space split).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    mx = documents.agg(F.max("doc_id").alias("mdoc"))
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    bucket_of = lambda c: F.expr(f"({c} * {HEAPS_BUCKETS}) div (mdoc + 1)")
+    tok = (
+        words.crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of("doc_id").alias("bucket"))
+        .agg(F.count("*").alias("toks"))
+    )
+    fs = words.groupBy("word").agg(F.min("doc_id").alias("fdoc"))
+    typ = (
+        fs.crossJoin(F.broadcast(mx))
+        .groupBy(bucket_of("fdoc").alias("bucket"))
+        .agg(F.count("*").alias("ntypes"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    joined = tok.join(typ, "bucket", "left").select(
+        "bucket",
+        F.coalesce("ntypes", F.lit(0)).alias("new_types"),
+        F.col("toks"),
+    )
+    return joined.select(
+        "bucket",
+        "new_types",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+        F.expr(
+            "(1000 * sum(new_types) over (order by bucket "
+            "rows between unbounded preceding and current row)) div "
+            "sum(toks) over (order by bucket "
+            "rows between unbounded preceding and current row)"
+        ).alias("ttr_milli"),
+    ).orderBy("bucket")

@@ -1,0 +1,144 @@
+"""Hand-computed fixtures for the round-6 tail-session operators
+(st07, tp21, tx20, ...): tiny corpora where the right answer is
+checkable on paper, pinning the contracts the oracle can't isolate
+(session-gap boundary, append-stability, first-seen attribution)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chicago_business_owners_data_engineering_spark.registry import QUERIES
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _write_documents(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+# ------------------------------------------------------------------
+# st07: Markov transition matrix
+# ------------------------------------------------------------------
+
+def test_st07_counts_within_session_transitions_only(spark, tmp_path):
+    rows = [
+        # user 1: view → cart (5 min apart, same session)
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-03-01 10:05:00", 1, "cart", 0.0, "{}"),
+        # then a 2-hour gap: cart → view must NOT count
+        (3, "2024-03-01 12:05:00", 1, "view", 0.0, "{}"),
+        # user 2: view → cart again (makes p(view→cart) certain)
+        (4, "2024-03-01 09:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-03-01 09:01:00", 2, "cart", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.from_type, r.to_type): (r.n_trans, r.p_milli)
+        for r in QUERIES["st07_markov_transitions"](spark, str(tmp_path)).collect()
+    }
+    assert got == {("view", "cart"): (2, 1000)}
+
+
+def test_st07_gap_boundary_is_inclusive_and_prob_splits(spark, tmp_path):
+    rows = [
+        # exactly 1800 s apart: still one session (<= gap, st01's rule)
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-03-01 10:30:00", 1, "cart", 0.0, "{}"),
+        # user 2: view → view (same tick ordering by event_id)
+        (3, "2024-03-01 11:00:00", 2, "view", 0.0, "{}"),
+        (4, "2024-03-01 11:00:00", 2, "view", 0.0, "{}"),
+        # 1801 s apart: new session, no transition
+        (5, "2024-03-01 12:00:00", 3, "view", 0.0, "{}"),
+        (6, "2024-03-01 12:30:01", 3, "cart", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.from_type, r.to_type): (r.n_trans, r.p_milli)
+        for r in QUERIES["st07_markov_transitions"](spark, str(tmp_path)).collect()
+    }
+    # from 'view': one →cart, one →view ⇒ 500‰ each (floor division)
+    assert got == {("view", "cart"): (1, 500), ("view", "view"): (1, 500)}
+
+
+# ------------------------------------------------------------------
+# tp21: hash-threshold eval panel
+# ------------------------------------------------------------------
+
+def test_tp21_membership_is_append_stable(spark, tmp_path):
+    full = [(i, f"doc {i}", "en", "web", 10) for i in range(400)]
+    _write_documents(spark, tmp_path, full)
+    chk_full = {
+        r.source: r.panel_id_checksum
+        for r in QUERIES["tp21_stable_eval_panel"](spark, str(tmp_path)).collect()
+    }
+    n_full = sum(
+        r.n_panel
+        for r in QUERIES["tp21_stable_eval_panel"](spark, str(tmp_path)).collect()
+    )
+    # the prefix corpus's panel must be exactly the full panel ∩ prefix:
+    # with one source and doc_ids 0..199 ⊂ 0..399, the prefix checksum
+    # counts only members < 200, all of which are members of the full run
+    prefix = [(i, f"doc {i}", "en", "web", 10) for i in range(200)]
+    _write_documents(spark, tmp_path, prefix)
+    res_prefix = QUERIES["tp21_stable_eval_panel"](spark, str(tmp_path)).collect()
+    # recompute expected membership directly from the split rule
+    import hashlib
+
+    members_full = [
+        i for i in range(400)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < 25
+    ]
+    members_prefix = [i for i in members_full if i < 200]
+    assert chk_full == {"web": sum(members_full)}
+    assert {r.source: r.panel_id_checksum for r in res_prefix} == {
+        "web": sum(members_prefix)
+    }
+    assert n_full == len(members_full)
+
+
+def test_tp21_empty_panel_source_reports_zero_checksum(spark, tmp_path):
+    # pick doc_ids that all hash OUTSIDE the 25‰ cut
+    import hashlib
+
+    ids = [
+        i for i in range(1000)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 >= 25
+    ][:10]
+    _write_documents(spark, tmp_path, [(i, "t", "en", "niche", 1) for i in ids])
+    [row] = QUERIES["tp21_stable_eval_panel"](spark, str(tmp_path)).collect()
+    assert (row.n_panel, row.panel_id_checksum, row.panel_permille) == (0, 0, 0)
+
+
+# ------------------------------------------------------------------
+# tx20: Heaps curve
+# ------------------------------------------------------------------
+
+def test_tx20_first_seen_attribution_and_cumulative_ttr(spark, tmp_path):
+    # doc_ids 0..9 → with 10 buckets and mdoc=9, bucket = doc_id
+    rows = [(i, "alpha beta" if i == 0 else "alpha alpha", "en", "web", 10) for i in range(10)]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r.bucket: (r.new_types, r.cum_tokens, r.cum_types, r.ttr_milli)
+        for r in QUERIES["tx20_heaps_curve"](spark, str(tmp_path)).collect()
+    }
+    # bucket 0: both types appear (alpha, beta), 2 tokens
+    assert got[0] == (2, 2, 2, 1000)
+    # later buckets add tokens but no new types — TTR decays
+    assert got[9] == (0, 20, 2, 100)
+    assert all(got[b][0] == 0 for b in range(1, 10))
+
+
+def test_tx20_type_counted_once_at_first_bucket_even_if_reused_later(spark, tmp_path):
+    # 'rare' first appears in doc 5 and again in doc 9 — attributed once
+    rows = [(i, "common rare" if i in (5, 9) else "common", "en", "web", 10) for i in range(10)]
+    _write_documents(spark, tmp_path, rows)
+    got = {r.bucket: r.new_types for r in QUERIES["tx20_heaps_curve"](spark, str(tmp_path)).collect()}
+    assert got[0] == 1 and got[5] == 1 and got[9] == 0

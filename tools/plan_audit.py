@@ -77,6 +77,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # documented post-aggregation posture (partition by series key for
     # multi-metric use)
     "ts14_ewma_anomaly",
+    # cumulative token/type windows over the HEAPS_BUCKETS-row (10)
+    # bucket spine — post-aggregation, scale-free by construction
+    "tx20_heaps_curve",
 }
 EXPECTED_CARTESIAN = {
     "dd03_jaccard_pairs",        # brute-force oracle baseline, O(n²) by design
@@ -103,6 +106,9 @@ EXPECTED_CARTESIAN = {
     # 1-row query vector broadcast onto centroids + probed cells
     # (sim03's shape with a threshold filter instead of top-k)
     "sim16_range_search",
+    # 1-row MAX(doc_id) aggregate broadcast onto the token/type streams
+    # (bucket-width scalar)
+    "tx20_heaps_curve",
 }
 
 
