@@ -142,3 +142,73 @@ def gov02_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("tbl")
+
+
+# --- gov03: retention sweep audit ----------------------------------------------------
+
+RETENTION_DAYS = 90  # purge horizon relative to the newest event
+
+
+@query(
+    "gov03_retention_sweep",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    tagged AS (
+        SELECT event_type, ts,
+               ts < mx - INTERVAL {RETENTION_DAYS} DAY AS expired
+        FROM events, anchor
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN expired THEN 1 END) AS BIGINT) AS n_expired,
+           CAST((1000 * COUNT(CASE WHEN expired THEN 1 END)) // COUNT(*)
+                AS BIGINT) AS expired_permille,
+           MIN(ts) AS oldest_ts,
+           CAST(COUNT(DISTINCT CASE WHEN expired
+                THEN CAST(DATE_TRUNC('month', ts) AS DATE) END) AS BIGINT)
+               AS purge_months
+    FROM tagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def gov03_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy audit: per event type, how many rows are past
+    the {RETENTION_DAYS}-day horizon and how many month partitions a
+    purge would touch — the planning query an operator runs BEFORE
+    gov02's erasure pass (that one deletes identified subjects, this
+    sweeps by age). Anchoring to MAX(ts) instead of the wall clock
+    keeps the audit replayable (and the oracle differential exact);
+    production substitutes current_timestamp at the one literal.
+
+    Scale shape: the 1-row anchor broadcasts onto the scan, the age
+    predicate is a scan-fused projection, and the rollup keys on
+    event_type (bounded). purge_months counting distinct MONTHS, not
+    rows, is the point — at 100 TB with month-partitioned lakes
+    (sources/lake.py) the sweep cost is proportional to partitions
+    touched, which is exactly what this reports.
+    """
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("mx"))
+    tagged = events.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "ts",
+        (F.col("ts") < F.col("mx") - F.expr(f"INTERVAL {RETENTION_DAYS} DAY")).alias(
+            "expired"
+        ),
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("expired"), 1)).alias("n_expired"),
+            F.expr(
+                "(1000 * count(case when expired then 1 end)) div count(*)"
+            ).alias("expired_permille"),
+            F.min("ts").alias("oldest_ts"),
+            F.countDistinct(
+                F.when(F.col("expired"), F.trunc("ts", "month"))
+            ).alias("purge_months"),
+        )
+        .orderBy("event_type")
+    )

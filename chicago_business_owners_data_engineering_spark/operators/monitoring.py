@@ -1914,3 +1914,85 @@ def mon04_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000 * F.col("cum_err") > (1000 - SLO_TARGET_MILLI) * F.col("cum_total")
         ).alias("budget_exhausted"),
     ).orderBy("day")
+
+
+# --- ts19: inter-arrival distribution per event type --------------------------------
+
+
+@query(
+    "ts19_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               DATE_DIFF('second',
+                         LAG(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+    ), g AS (
+        SELECT event_type, gap_s,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s)
+                   AS rn
+        FROM gaps WHERE gap_s IS NOT NULL
+    ), n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM g GROUP BY event_type
+    )
+    SELECT g.event_type, n.n_gaps,
+           CAST(MAX(CASE WHEN g.rn = (n.n_gaps + 1) // 2 THEN g.gap_s END)
+                AS BIGINT) AS p50_gap_s,
+           CAST(MAX(CASE WHEN g.rn = (9 * n.n_gaps + 9) // 10 THEN g.gap_s END)
+                AS BIGINT) AS p90_gap_s,
+           n.max_gap_s
+    FROM g JOIN n ON g.event_type = n.event_type
+    GROUP BY g.event_type, n.n_gaps, n.max_gap_s
+    ORDER BY g.event_type
+    """,
+)
+def ts19_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: exact lower-median
+    and p90 gap in whole seconds, plus the max — the arrival-rate
+    health profile behind mon03's freshness lag (mon03 asks "how stale
+    is the newest row", this asks "what cadence is NORMAL for this
+    stream", which is what an alert threshold should be derived from).
+
+    Percentiles are exact ORDER STATISTICS by index selection (value at
+    row_number (n+1)//2 resp. ceil(0.9n) of the per-type sorted gap
+    relation), not percentile_approx — approximate sketches are
+    engine-specific and would never hash-match an oracle. Ties in gap_s
+    make the row_number assignment ambiguous but the SELECTED value is
+    still unique (equal values are interchangeable at any rank), so the
+    contract stays deterministic. Two windows and one aggregate, all
+    partitioned on event_type — a single exchange; gaps are BIGINT
+    seconds end to end.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_s")
+    g = gaps.select("event_type", "gap_s", F.row_number().over(wr).alias("rn"))
+    n = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"), F.max("gap_s").alias("max_gap_s")
+    )
+    return (
+        g.join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n_gaps", "max_gap_s")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n_gaps + 1) div 2"), F.col("gap_s"))
+            ).alias("p50_gap_s"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n_gaps + 9) div 10"), F.col("gap_s")
+                )
+            ).alias("p90_gap_s"),
+        )
+        .select("event_type", "n_gaps", "p50_gap_s", "p90_gap_s", "max_gap_s")
+        .orderBy("event_type")
+    )

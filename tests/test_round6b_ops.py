@@ -142,3 +142,108 @@ def test_tx20_type_counted_once_at_first_bucket_even_if_reused_later(spark, tmp_
     _write_documents(spark, tmp_path, rows)
     got = {r.bucket: r.new_types for r in QUERIES["tx20_heaps_curve"](spark, str(tmp_path)).collect()}
     assert got[0] == 1 and got[5] == 1 and got[9] == 0
+
+
+def _write_lineitem_baskets(spark, tmp_path, baskets):
+    """baskets: dict basket_id -> list of part ids; other lineitem cols stubbed."""
+    rows = []
+    for b, parts in baskets.items():
+        for i, p in enumerate(parts):
+            rows.append((b, p, i + 1))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_linenumber int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+# ------------------------------------------------------------------
+# mb02: frequent triples
+# ------------------------------------------------------------------
+
+def test_mb02_triple_support_and_rule_confidence(spark, tmp_path):
+    # items 1,2,3 co-occur in 2 baskets; pair (1,2) also in a third.
+    # 10 baskets → every item in ≥1 basket passes the 0.1% floor.
+    baskets = {
+        1: [1, 2, 3],
+        2: [1, 2, 3],
+        3: [1, 2],
+        **{b: [9] for b in range(4, 11)},
+    }
+    _write_lineitem_baskets(spark, tmp_path, baskets)
+    rows = QUERIES["mb02_frequent_triples"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.part_a, r.part_b, r.part_c, r.triple_cnt) == (1, 2, 3, 2)
+    # pair (1,2) seen 3×, pairs (1,3)/(2,3) seen 2× →
+    # conf((1,2)→3) = 2/3 = 666‰, the others are certain
+    assert (r.conf_ab_c_milli, r.conf_ac_b_milli, r.conf_bc_a_milli) == (666, 1000, 1000)
+
+
+def test_mb02_triple_with_infrequent_subpair_is_pruned(spark, tmp_path):
+    # items 4,5,6 co-occur twice, but pair (4,5) appears ONLY inside
+    # those triples... build (5,6) below the pair floor instead:
+    # (4,5) twice, (4,6) twice, but (5,6) only once → no triple.
+    baskets = {
+        1: [4, 5],
+        2: [4, 5],
+        3: [4, 6],
+        4: [4, 6],
+        5: [4, 5, 6],   # the only basket holding all three
+        **{b: [9] for b in range(6, 11)},
+    }
+    _write_lineitem_baskets(spark, tmp_path, baskets)
+    rows = QUERIES["mb02_frequent_triples"](spark, str(tmp_path)).collect()
+    assert rows == []  # (5,6) has support 1 < PAIR_MIN_COUNT → pruned
+
+
+# ------------------------------------------------------------------
+# ts19: inter-arrival distribution
+# ------------------------------------------------------------------
+
+def test_ts19_exact_order_statistics(spark, tmp_path):
+    # 11 'view' events → 10 gaps of 1..10 minutes (60..600 s):
+    # p50 = value at rank (10+1)//2 = 5 → 300 s;
+    # p90 = value at rank (9*10+9)//10 = 9 → 540 s; max = 600 s
+    rows, t = [], 0
+    for i in range(11):
+        rows.append((i, f"2024-03-01 10:{t // 60:02d}:{t % 60:02d}", 1, "view", 0.0, "{}"))
+        t += (i + 1) * 60
+    # make the minutes arithmetic valid (t grows past an hour): rebuild with epoch math
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows, t = [], 0
+    for i in range(11):
+        ts = base + datetime.timedelta(seconds=t)
+        rows.append((i, ts.strftime("%Y-%m-%d %H:%M:%S"), 1, "view", 0.0, "{}"))
+        t += (i + 1) * 60
+    _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["ts19_interarrival"](spark, str(tmp_path)).collect()
+    assert (r.event_type, r.n_gaps, r.p50_gap_s, r.p90_gap_s, r.max_gap_s) == (
+        "view", 10, 300, 540, 600,
+    )
+
+
+def test_ts19_single_event_type_has_no_gaps_row(spark, tmp_path):
+    _write_events(spark, tmp_path, [(1, "2024-03-01 10:00:00", 1, "solo", 0.0, "{}")])
+    assert QUERIES["ts19_interarrival"](spark, str(tmp_path)).collect() == []
+
+
+# ------------------------------------------------------------------
+# gov03: retention sweep
+# ------------------------------------------------------------------
+
+def test_gov03_age_anchor_and_partition_count(spark, tmp_path):
+    rows = [
+        # newest event anchors the horizon at 2024-06-01 - 90d = 2024-03-03
+        (1, "2024-06-01 00:00:00", 1, "view", 0.0, "{}"),
+        # expired: strictly older than the horizon, two distinct months
+        (2, "2024-01-15 00:00:00", 1, "view", 0.0, "{}"),
+        (3, "2024-02-15 00:00:00", 1, "view", 0.0, "{}"),
+        (4, "2024-02-20 00:00:00", 1, "view", 0.0, "{}"),
+        # exactly AT the horizon → not expired (strict <)
+        (5, "2024-03-03 00:00:00", 1, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["gov03_retention_sweep"](spark, str(tmp_path)).collect()
+    assert (r.n_total, r.n_expired, r.purge_months) == (5, 3, 2)
+    assert r.expired_permille == 600
+    assert str(r.oldest_ts).startswith("2024-01-15")
