@@ -1536,3 +1536,106 @@ def gr11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("coefficient"), F.desc("deg"), F.asc("node"))
         .limit(CC_TOP)
     )
+
+
+# --- gr12: landmark harmonic centrality ----------------------------------------------
+
+HARMONIC_K = 8  # fixed landmark panel: the K smallest node ids
+HARMONIC_ROUNDS = 4  # same bounded-radius convention as gr08
+
+
+def _harmonic_chain(rounds: int, k: int) -> str:
+    """Unrolled per-seed BFS CTEs after ``copairs`` (seed carried in the
+    state relation); MATERIALIZED per the _kcore_chain lesson."""
+    head = f"""
+    , e0 AS MATERIALIZED (
+        SELECT part_a AS src, part_b AS dst FROM copairs
+        UNION ALL SELECT part_b, part_a FROM copairs
+    ), n0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM e0
+    ), seeds AS MATERIALIZED (
+        SELECT node AS seed FROM n0 ORDER BY node LIMIT {k}
+    ), h0 AS MATERIALIZED (
+        SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+    )"""
+    body = "".join(
+        f"""
+    , h{r} AS MATERIALIZED (
+        SELECT seed, node, MIN(dist) AS dist FROM (
+            SELECT seed, node, dist FROM h{r - 1}
+            UNION ALL
+            SELECT d.seed, e.src AS node, d.dist + 1 AS dist
+            FROM e0 e JOIN h{r - 1} d ON e.dst = d.node
+        ) GROUP BY seed, node
+    )"""
+        for r in range(1, rounds + 1)
+    )
+    return head + body
+
+
+@query(
+    "gr12_harmonic_centrality",
+    oracle=_COPURCHASE_EDGE_CTE.rstrip()
+    + _harmonic_chain(HARMONIC_ROUNDS, HARMONIC_K)
+    + f"""
+    SELECT seed,
+           CAST(COUNT(CASE WHEN dist >= 1 THEN 1 END) AS BIGINT) AS n_reached,
+           CAST(COALESCE(SUM(CASE WHEN dist >= 1 THEN 1000 // dist END), 0)
+                AS BIGINT) AS harmonic_milli
+    FROM h{HARMONIC_ROUNDS}
+    GROUP BY seed
+    ORDER BY seed
+    """,
+)
+def gr12_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius harmonic centrality of a fixed LANDMARK panel
+    (Boldi & Vigna's axiom-respecting centrality, Σ 1/d over reachable
+    nodes): how central are the K lowest-id nodes of the co-purchase
+    graph within {HARMONIC_ROUNDS} hops. Completes the graph family's
+    centrality ladder — gr01 ranks by stationary flow, gr10 measures
+    mixing, this measures DISTANCE-centrality, the "how quickly can
+    this node's influence cover the graph" number behind seed selection
+    for campaigns/crawls.
+
+    All-pairs harmonic centrality is O(n·m) and off the table at scale;
+    the landmark form keeps state at K×|reached| (K fixed), which is
+    the standard production compromise (and the BFS state is one
+    (seed, node)-keyed relation — the gr08 recurrence with the seed
+    carried along, same O(log-ish) bounded rounds, localCheckpointed
+    per round to cut the lineage). Contributions are integer
+    1000 // dist per reached node — BIGINT end to end, no float SUM
+    order to trap the driver hash (dist ∈ {{1..{HARMONIC_ROUNDS}}}).
+    """
+    from ..catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=True
+    )
+    bidir = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(HARMONIC_K).select(F.col("node").alias("seed"))
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(HARMONIC_ROUNDS):
+        relaxed = bidir.join(dist, bidir["dst"] == dist["node"]).select(
+            "seed", F.col("src").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.groupBy("seed")
+        .agg(
+            F.count(F.when(F.col("dist") >= 1, 1)).alias("n_reached"),
+            F.coalesce(
+                F.sum(F.when(F.col("dist") >= 1, F.expr("1000 div dist"))), F.lit(0)
+            ).alias("harmonic_milli"),
+        )
+        .orderBy("seed")
+    )

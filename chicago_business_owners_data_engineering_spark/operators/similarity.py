@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread_scan
 from ..registry import query
@@ -1431,4 +1432,198 @@ def sim16_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(RANGE_THETA_MILLI) / F.lit(1000.0))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
+# --- sim17: IVF + scalar-quantized ADC batch top-k -----------------------------------
+
+SIM17_QUERY_IDS = (0, 7, 13, 21)  # fixed query panel (batch retrieval shape)
+SIM17_NPROBE = 3
+SIM17_RERANK = 40  # SQ-approx candidates kept per query before exact re-rank
+
+_SIM17_IDS_SQL = ", ".join(str(i) for i in SIM17_QUERY_IDS)
+
+
+@query(
+    "sim17_ivf_sq_batch_topk",
+    # Fully deterministic given the probe rule and the quantization
+    # grid, so fully oracle-able: the oracle replays the same per-dim
+    # min/max grid, the same FLOOR code assignment, the same midpoint
+    # reconstruction, and ranks by the same fold-order cosine.
+    # GENERATE_SERIES(1, 64) = this corpus's dim (the sim03 convention).
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qs AS (
+        SELECT vec_id AS q_id, v AS qv FROM emb
+        WHERE vec_id IN ({_SIM17_IDS_SQL})
+    ), pos AS MATERIALIZED (
+        SELECT vec_id, label, i AS pos, v[i] AS val
+        FROM emb, GENERATE_SERIES(1, 64) AS g(i)
+    ), bounds AS (
+        SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM pos GROUP BY pos
+    ), cent AS (
+        SELECT label, LIST(mean_val ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(val) AS mean_val FROM pos
+              GROUP BY label, pos)
+        GROUP BY label
+    ), probe AS (
+        SELECT q_id, label FROM (
+            SELECT q.q_id, c.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY LIST_DOT_PRODUCT(c.centroid, q.qv) /
+                                (SQRT(LIST_DOT_PRODUCT(c.centroid, c.centroid)) *
+                                 SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) DESC,
+                                c.label ASC) AS rn
+            FROM cent c CROSS JOIN qs q)
+        WHERE rn <= {SIM17_NPROBE}
+    ), recon AS (
+        SELECT p.vec_id, p.label,
+               LIST(CASE WHEN b.mx > b.mn
+                         THEN b.mn + (LEAST(255.0, FLOOR(((p.val - b.mn) * 255.0) /
+                                                         (b.mx - b.mn))) + 0.5) *
+                              (b.mx - b.mn) / 255.0
+                         ELSE b.mn END ORDER BY p.pos) AS rv
+        FROM pos p JOIN bounds b ON p.pos = b.pos
+        WHERE p.label IN (SELECT DISTINCT label FROM probe)
+        GROUP BY p.vec_id, p.label
+    ), cand AS (
+        SELECT * FROM (
+            SELECT q.q_id, r.vec_id, r.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY LIST_DOT_PRODUCT(r.rv, q.qv) /
+                                (SQRT(LIST_DOT_PRODUCT(r.rv, r.rv)) *
+                                 SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) DESC,
+                                r.vec_id ASC) AS rn
+            FROM recon r
+            JOIN probe p ON r.label = p.label
+            JOIN qs q ON q.q_id = p.q_id
+            WHERE r.vec_id <> q.q_id)
+        WHERE rn <= {SIM17_RERANK}
+    ), exact AS (
+        SELECT t.q_id, e.vec_id, e.label,
+               LIST_DOT_PRODUCT(e.v, q.qv) /
+               (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) *
+                SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) AS cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.q_id
+                   ORDER BY LIST_DOT_PRODUCT(e.v, q.qv) /
+                            (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) *
+                             SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) DESC,
+                            e.vec_id ASC) AS rn
+        FROM cand t JOIN emb e ON e.vec_id = t.vec_id
+        JOIN qs q ON q.q_id = t.q_id
+    )
+    SELECT q_id AS q_vec_id, vec_id, label, ROUND(cs, 6) AS cos_sim
+    FROM exact WHERE rn <= {TOP_K}
+    ORDER BY q_vec_id, cos_sim DESC, vec_id
+    """,
+)
+def sim17_ivf_sq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized BATCH retrieval — the production serving composition:
+    IVF cell probing (sim03) × scalar-quantized approximate scoring
+    (sim06's int8 grid, applied asymmetrically: raw query against the
+    midpoint-reconstructed corpus, Jégou et al.'s ADC) × exact top-k
+    re-rank, for a PANEL of queries at once.
+
+    Why it matters at 100 TB: the SQ codes are 4× smaller than the raw
+    floats (8 bits/dim), so the candidate scan reads a fraction of the
+    bytes; the probe prunes it to nprobe/ncells of the corpus; and only
+    {SIM17_RERANK} vectors per query are ever re-scored at full
+    precision. The batch shape amortizes the centroid/bounds relations
+    (computed once, broadcast) across all queries — the per-query cost
+    is two broadcast joins and a bounded window.
+
+    Everything is native DataFrame ops: the quantization grid is a
+    64-row min/max aggregate re-assembled into two array literals-at-
+    runtime (one broadcast row), codes and reconstruction are a single
+    indexed ``transform`` (no explode of the corpus), and approximate
+    and exact cosines share the zip_with/aggregate fold whose order the
+    oracle mirrors bit-for-bit (the sim13 lesson: a float that DRIVES
+    ranking must be fold-order-exact, not just close).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = emb.filter(F.col("vec_id").isin(*SIM17_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pos = emb.select("label", F.posexplode("v").alias("pos", "val"))
+    bounds = (
+        pos.groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+            ).alias("mn_arr"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+            ).alias("mx_arr"),
+        )
+    )
+    centroid = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s.mean_val,
+            ).alias("centroid")
+        )
+    )
+    wq = Window.partitionBy("q_id")
+    probe = (
+        centroid.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id", "label", cosine(F.col("centroid"), F.col("qv")).alias("cell_sim")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("cell_sim"), F.asc("label"))),
+        )
+        .filter(F.col("rn") <= SIM17_NPROBE)
+        .select("q_id", "label")
+    )
+    # SQ-reconstruct once per corpus vector in any probed cell (labels
+    # dedup'd first so a vector probed by several queries encodes once)
+    sub = emb.join(F.broadcast(probe.select("label").distinct()), "label")
+
+    def _recon(x, i):
+        mn = F.element_at(F.col("mn_arr"), i + 1)
+        mx = F.element_at(F.col("mx_arr"), i + 1)
+        code = F.least(F.lit(255.0), F.floor(((x - mn) * 255.0) / (mx - mn)))
+        return F.when(mx > mn, mn + (code + 0.5) * (mx - mn) / 255.0).otherwise(mn)
+
+    sub_rv = sub.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", "label", "v", F.transform("v", _recon).alias("rv")
+    )
+    cand = (
+        sub_rv.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qs), "q_id")
+        .withColumn("approx", cosine(F.col("rv"), F.col("qv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("approx"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rn") <= SIM17_RERANK)
+        .select("q_id", "vec_id", "label", "v", "qv")
+    )
+    exact = cand.withColumn("cs", cosine(F.col("v"), F.col("qv")))
+    return (
+        exact.withColumn(
+            "rn", F.row_number().over(wq.orderBy(F.desc("cs"), F.asc("vec_id")))
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("q_id").alias("q_vec_id"),
+            "vec_id",
+            "label",
+            F.round("cs", 6).alias("cos_sim"),
+        )
+        .orderBy("q_vec_id", F.desc("cos_sim"), "vec_id")
     )

@@ -247,3 +247,116 @@ def test_gov03_age_anchor_and_partition_count(spark, tmp_path):
     assert (r.n_total, r.n_expired, r.purge_months) == (5, 3, 2)
     assert r.expired_permille == 600
     assert str(r.oldest_ts).startswith("2024-01-15")
+
+
+# ------------------------------------------------------------------
+# sim17: IVF + SQ batch top-k
+# ------------------------------------------------------------------
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def test_sim17_batch_returns_topk_per_query_with_exact_scores(spark, tmp_path):
+    import math
+
+    # four tight clusters along distinct axes; a constant 5th dim
+    # exercises the mx == mn reconstruction branch (no NaN/∞ leaks)
+    base = {0: [1, 0, 0, 0], 1: [0, 1, 0, 0], 2: [0, 0, 1, 0], 3: [0, 0, 0, 1]}
+    rows = []
+    for vid in range(40):
+        lab = vid % 4
+        vec = [x + 0.01 * (vid // 4) * x for x in base[lab]] + [7.0]
+        rows.append((vid, [float(c) for c in vec], lab))
+    _write_embeddings(spark, tmp_path, rows)
+    out = QUERIES["sim17_ivf_sq_batch_topk"](spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_vec_id, []).append(r)
+    # every panel query returns exactly TOP_K rows, none of them itself
+    assert set(by_q) == {0, 7, 13, 21}
+    for q, rs in by_q.items():
+        assert len(rs) == 10
+        assert all(r.vec_id != q for r in rs)
+        assert all(r.cos_sim == r.cos_sim for r in rs)  # no NaN
+
+    # the reported score is the EXACT cosine (re-rank output), not the
+    # quantized approximation: recompute top-1 for query 0 by hand
+    vecs = {vid: vec for vid, vec, _ in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    top = by_q[0][0]
+    assert abs(top.cos_sim - round(cos(vecs[0], vecs[top.vec_id]), 6)) < 1e-9
+
+
+def test_sim17_probe_restricts_to_nearest_cells(spark, tmp_path):
+    # 8 labels; query 0 sits in label 0's direction. With nprobe=3 the
+    # candidates must come from ≤3 distinct labels.
+    import itertools
+
+    dirs = list(itertools.product([1.0, 0.0], repeat=3))[:8]
+    rows = []
+    for vid in range(48):
+        lab = vid % 8
+        d = dirs[lab]
+        vec = [c + 0.001 * vid for c in d] + [1.0]
+        rows.append((vid, [float(x) for x in vec], lab))
+    _write_embeddings(spark, tmp_path, rows)
+    out = QUERIES["sim17_ivf_sq_batch_topk"](spark, str(tmp_path)).collect()
+    labels_for_q0 = {r.label for r in out if r.q_vec_id == 0}
+    assert 1 <= len(labels_for_q0) <= 3
+
+
+# ------------------------------------------------------------------
+# gr12: landmark harmonic centrality
+# ------------------------------------------------------------------
+
+def _write_lineitem_edges(spark, tmp_path, edges):
+    import datetime
+
+    ts = datetime.datetime(1995, 6, 1)
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        for pk in (a, b):
+            rows.append((i, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_gr12_path_graph_harmonic_sums(spark, tmp_path):
+    # path 1-2-3-4-5-6-7-8-9 (9 nodes, seeds = 8 lowest ids 1..8).
+    # For seed 1: dists 1,2,3,4 within radius → 1000+500+333+250 = 2083
+    _write_lineitem_edges(spark, tmp_path, [(i, i + 1) for i in range(1, 9)])
+    got = {
+        r.seed: (r.n_reached, r.harmonic_milli)
+        for r in QUERIES["gr12_harmonic_centrality"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(1, 9))
+    assert got[1] == (4, 2083)
+    # seed 5 (middle): reaches 4 on each side = 8 nodes,
+    # 2*(1000+500+333+250) = 4166
+    assert got[5] == (8, 4166)
+
+
+def test_gr12_isolated_seed_scores_zero(spark, tmp_path):
+    # two components: pair (1,2) and a far clique (10,11,12);
+    # seed 1 reaches only node 2
+    _write_lineitem_edges(
+        spark, tmp_path, [(1, 2), (10, 11), (10, 12), (11, 12)]
+    )
+    got = {
+        r.seed: (r.n_reached, r.harmonic_milli)
+        for r in QUERIES["gr12_harmonic_centrality"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 1000)
+    assert got[10] == (2, 2000)
