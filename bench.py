@@ -220,6 +220,19 @@ BENCH_R6 = [
 ]
 
 
+# Round-6 tail-session additions (frozen the day each operator ships).
+BENCH_R6B = [
+    "st07_markov_transitions",
+    "tp21_stable_eval_panel",
+    "tx20_heaps_curve",
+    "mb02_frequent_triples",
+    "ts19_interarrival",
+    "gov03_retention_sweep",
+    "sim17_ivf_sq_batch_topk",
+    "gr12_harmonic_centrality",
+]
+
+
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:
     """Time the full warehouse CLI (ingestion → warehouse → analytics).
 
@@ -339,6 +352,7 @@ def main() -> None:
     r3c, r3c_stats = run_set(BENCH_R3C)
     r4, r4_stats = run_set(BENCH_R4)
     r6, r6_stats = run_set(BENCH_R6)
+    r6b, r6b_stats = run_set(BENCH_R6B)
     e2e = run_pipeline_e2e(sf_dir)
     vec = run_vector_e2e(sf_dir)
 
@@ -381,6 +395,7 @@ def main() -> None:
     emit("round3_session_queries_total_runtime", r3c, r3c_stats)
     emit("round4_queries_total_runtime", r4, r4_stats)
     emit("round6_queries_total_runtime", r6, r6_stats)
+    emit("round6_tail_queries_total_runtime", r6b, r6b_stats)
     stage_detail = e2e.pop("warehouse_stages", {})
     validation_flag = e2e.pop("warehouse_validation", "passed")
     emit(

@@ -109,6 +109,10 @@ EXPECTED_CARTESIAN = {
     # 1-row MAX(doc_id) aggregate broadcast onto the token/type streams
     # (bucket-width scalar)
     "tx20_heaps_curve",
+    # 4-row query-panel broadcast onto centroids, and the 1-row
+    # quantization-bounds broadcast onto the probed-cell scan (the
+    # batch generalization of sim03's allow-listed shape)
+    "sim17_ivf_sq_batch_topk",
 }
 
 
