@@ -230,6 +230,8 @@ BENCH_R6B = [
     "gov03_retention_sweep",
     "sim17_ivf_sq_batch_topk",
     "gr12_harmonic_centrality",
+    "inc05_incremental_topk",
+    "st08_session_paths",
 ]
 
 

@@ -452,3 +452,61 @@ def inc04_incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- inc05: incremental top-k heavy hitters -----------------------------------
+
+INC5_DELTA_MOD = 5  # event_id % 5 == 0 arrives in "today's" batch
+INC5_TOP = 10
+
+
+@query(
+    "inc05_incremental_topk",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {INC5_TOP}
+    """,
+)
+def inc05_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a top-k activity leaderboard.
+
+    The lesson this operator pins: per-key COUNTS are algebraic (a
+    delta's partial counts merge into state with one sum), but TOP-K
+    IS NOT — a key far below yesterday's cut can vault into today's
+    top-k, so the stored state must be the FULL per-key count relation,
+    never just the current leaderboard. (Same non-algebraic taxonomy as
+    inc03's distinct counts; the sketchy alternative — count-min + heap,
+    a28 — bounds state at the cost of exactness.)
+
+    The executed plan maintains it incrementally: the base count
+    relation (arrived before the delta batch) stands in for stored
+    state; the delta batch aggregates ALONE (O(|delta|), map-side
+    partial); the merge is a full-outer join on the key — in
+    production, state is key-partitioned so only the delta's key
+    partitions are touched — and the leaderboard is a TakeOrdered over
+    the merged relation (per-partition top-k, no global sort). The
+    oracle recomputes from full history; equality is the maintenance
+    invariant.
+
+    Parity: beyond-reference (incremental-maintenance extension; the
+    reference recomputes its per-owner tabulations per run,
+    cbddl/src/analytics/demographics_analyzer.py:103-123).
+    """
+    events = load_table(spark, sf_dir, "events")
+    is_delta = F.col("event_id") % INC5_DELTA_MOD == 0
+    state = events.filter(~is_delta).groupBy("user_id").agg(
+        F.count("*").alias("c")
+    )
+    delta = events.filter(is_delta).groupBy("user_id").agg(
+        F.count("*").alias("dc")
+    )
+    merged = state.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        (
+            F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))
+        ).alias("n_events"),
+    )
+    return merged.orderBy(F.desc("n_events"), F.asc("user_id")).limit(INC5_TOP)

@@ -1914,3 +1914,96 @@ def tp21_stable_eval_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- st08: top session paths ---------------------------------------------------------
+
+PATH_LEN = 5  # journey prefix length
+TOP_PATHS = 20
+
+
+@query(
+    "st08_session_paths",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(CASE WHEN prev IS NULL
+                             OR DATE_DIFF('second', prev, ts) > {SESSION_GAP_S}
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS session_id
+        FROM gaps
+    ), firstn AS (
+        SELECT user_id, session_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ), paths AS (
+        SELECT user_id, session_id,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM firstn WHERE rn <= {PATH_LEN}
+        GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT {TOP_PATHS}
+    """,
+)
+def st08_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session JOURNEYS: the most common ordered event-type paths
+    (first {PATH_LEN} steps of each st01 session), ranked by session
+    count. st07 gives the pairwise transition matrix; this gives the
+    full-path distribution — the "what do users actually do" table
+    behind funnel design (st03 fixes one path, this discovers which
+    paths are worth fixing).
+
+    Ordering inside a path is made repartition-proof by sorting the
+    collected (ts, event_id, type) structs IN the aggregate
+    (array_sort on the struct's total order — event_id breaks ts
+    ties), never relying on collect_list's arrival order, which is
+    partitioning-dependent. Path cardinality is bounded by
+    |event_types|^{PATH_LEN} in the worst case but concentrates hard
+    in practice; the final count shuffles on the path string key.
+    Windows and the path aggregate all share the user_id
+    partitioning; TakeOrdered serves the top-N.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0)
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_id"
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    firstn = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = firstn.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(TOP_PATHS)
+    )

@@ -360,3 +360,74 @@ def test_gr12_isolated_seed_scores_zero(spark, tmp_path):
     }
     assert got[1] == (1, 1000)
     assert got[10] == (2, 2000)
+
+
+# ------------------------------------------------------------------
+# inc05: incremental top-k
+# ------------------------------------------------------------------
+
+def test_inc05_delta_can_promote_key_from_outside_base_topk(spark, tmp_path):
+    # users 1..11 each get 5 base events; user 12 has ONE base event
+    # (outside any base top-10) but 20 delta events (event_id % 5 == 0)
+    # → the merged leaderboard must put user 12 first. Maintaining only
+    # yesterday's top-k list would lose them; the full count state wins.
+    rows, eid = [], 0
+
+    def next_eid(delta):
+        nonlocal eid
+        eid += 1
+        while (eid % 5 == 0) != delta:
+            eid += 1
+        return eid
+
+    for u in range(1, 12):
+        for _ in range(5):
+            rows.append((next_eid(False), "2024-03-01 10:00:00", u, "view", 0.0, "{}"))
+    rows.append((next_eid(False), "2024-03-01 10:00:00", 12, "view", 0.0, "{}"))
+    for _ in range(20):
+        rows.append((next_eid(True), "2024-03-01 11:00:00", 12, "view", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = QUERIES["inc05_incremental_topk"](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert (out[0].user_id, out[0].n_events) == (12, 21)
+    # remaining ranks are the 5-count users, lowest ids first
+    assert [(r.user_id, r.n_events) for r in out[1:]] == [(u, 5) for u in range(1, 10)]
+
+
+# ------------------------------------------------------------------
+# st08: session paths
+# ------------------------------------------------------------------
+
+def test_st08_paths_group_truncate_and_tie_order(spark, tmp_path):
+    rows = [
+        # two users with the same 3-step journey
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-03-01 10:01:00", 1, "cart", 0.0, "{}"),
+        (3, "2024-03-01 10:02:00", 1, "buy", 0.0, "{}"),
+        (4, "2024-03-01 09:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-03-01 09:01:00", 2, "cart", 0.0, "{}"),
+        (6, "2024-03-01 09:02:00", 2, "buy", 0.0, "{}"),
+        # user 3: 7-step session truncates to the first PATH_LEN=5
+        *[(7 + i, f"2024-03-01 12:{i:02d}:00", 3, "view", 0.0, "{}") for i in range(7)],
+        # user 4: two events at the SAME timestamp — event_id orders them
+        (20, "2024-03-01 14:00:00", 4, "a", 0.0, "{}"),
+        (21, "2024-03-01 14:00:00", 4, "b", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r.path: r.n_sessions for r in QUERIES["st08_session_paths"](spark, str(tmp_path)).collect()}
+    assert got == {
+        "view>cart>buy": 2,
+        "view>view>view>view>view": 1,
+        "a>b": 1,
+    }
+
+
+def test_st08_session_gap_splits_paths(spark, tmp_path):
+    rows = [
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        # 2 h gap → new session: two 1-step paths, not one 2-step path
+        (2, "2024-03-01 12:00:01", 1, "cart", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {r.path: r.n_sessions for r in QUERIES["st08_session_paths"](spark, str(tmp_path)).collect()}
+    assert got == {"view": 1, "cart": 1}
