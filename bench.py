@@ -232,6 +232,8 @@ BENCH_R6B = [
     "gr12_harmonic_centrality",
     "inc05_incremental_topk",
     "st08_session_paths",
+    "a33_quantile_sketch_checked",
+    "sim18_filtered_ann",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import query
@@ -624,3 +625,91 @@ def a29_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube(
         F.col("o_orderpriority").alias("priority"), F.col("o_orderstatus").alias("status")
     ).agg(F.count("*").alias("count"), F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+
+
+# --- a33: quantile sketch with a CHECKED rank-error bound ----------------------------
+
+QSK_ACCURACY = 100  # percentile_approx accuracy knob: rank error ≤ n/accuracy
+QSK_ENVELOPE = 5  # ≥5× the advertised bound, the a02/a28 convention
+
+
+@query(
+    "a33_quantile_sketch_checked",
+    oracle="""
+    WITH n AS (
+        SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT o_orderpriority AS priority, o_totalprice AS val,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT n.priority, n.n, r.val AS exact_median,
+           TRUE AS median_within_bound
+    FROM n JOIN ranked r ON r.priority = n.priority AND r.rn = (n.n + 1) // 2
+    ORDER BY n.priority
+    """,
+)
+def a33_quantile_sketch_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna-style quantile sketch) with a
+    CHECKED rank-error bound — the quantile member of the sketch family
+    (a02 HLL, a28 count-min, a29 HLL-union, a31 freq-items all carry
+    the same contract).
+
+    Exact quantiles need a per-group sort (ts19's order-statistic
+    selection); the sketch aggregates map-side into a bounded buffer
+    and merges — the 100 TB path. The raw estimate is engine-specific,
+    so the checked contract is the published guarantee: the value
+    percentile_approx returns at accuracy A must sit within n/A rank
+    positions of the true median. The query computes the estimate's
+    ACTUAL rank (one count of values ≤ estimate per group), asserts
+    |rank_le − n/2| ≤ {QSK_ENVELOPE}·n/{QSK_ACCURACY} + 1 in integer
+    cross-multiplied arithmetic, and emits the exact lower median
+    beside it; the oracle replays the exact legs with TRUE literals.
+    A sketch drifting past its bound FAILS the differential gate
+    instead of hiding behind rows-only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    approx = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.percentile_approx("o_totalprice", 0.5, QSK_ACCURACY).alias("est"),
+        F.count("*").alias("n"),
+    )
+    rank_le = (
+        orders.select(F.col("o_orderpriority").alias("priority"), "o_totalprice")
+        .join(F.broadcast(approx), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") <= F.col("est"), 1)).alias(
+                "rank_le"
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    exact_med = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("val"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .join(F.broadcast(approx.select("priority", "n")), "priority")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("priority", F.col("val").alias("exact_median"))
+    )
+    # |2·rank_le − n| ≤ 2·(ENVELOPE·n/ACCURACY + 1), cross-multiplied by
+    # ACCURACY to stay in BIGINT: ACC·|2·rank_le − n| ≤ 2·ENV·n + 2·ACC
+    bound_ok = (
+        QSK_ACCURACY * F.abs(2 * F.col("rank_le") - F.col("n"))
+        <= 2 * QSK_ENVELOPE * F.col("n") + 2 * QSK_ACCURACY
+    )
+    return (
+        approx.join(rank_le, "priority")
+        .join(exact_med, "priority")
+        .select(
+            "priority",
+            "n",
+            "exact_median",
+            bound_ok.alias("median_within_bound"),
+        )
+        .orderBy("priority")
+    )

@@ -1627,3 +1627,82 @@ def sim17_ivf_sq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_vec_id", F.desc("cos_sim"), "vec_id")
     )
+
+
+# --- sim18: filtered ANN (metadata predicate + IVF probe) -----------------------------
+
+SIM18_NPROBE = 5  # wider probe than sim03: the filter thins every cell
+SIM18_FILTER_MOD = 3  # predicate: vec_id % 3 == 0 ("only source-X vectors")
+
+
+@query(
+    "sim18_filtered_ann",
+    oracle=f"""
+    WITH pos AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, GENERATE_SERIES(1, 64) AS g(i)
+    ),
+    cent AS (
+        SELECT label, LIST(mean_val ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, AVG(val) AS mean_val FROM pos
+              GROUP BY label, pos)
+        GROUP BY label
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+    probed AS (
+        SELECT label
+        FROM cent, q
+        ORDER BY LIST_DOT_PRODUCT(centroid, qv) /
+                 (SQRT(LIST_DOT_PRODUCT(centroid, centroid)) *
+                  SQRT(LIST_DOT_PRODUCT(qv, qv))) DESC,
+                 label ASC
+        LIMIT {SIM18_NPROBE}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+    FROM embeddings e JOIN probed USING (label), q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND e.vec_id % {SIM18_FILTER_MOD} = 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def sim18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k under a metadata predicate — the
+    production retrieval mode every vector store names as a feature
+    ("only documents from this source/tenant/date range"). The naive
+    post-filter of an UNfiltered top-k under-returns (its k survivors
+    may all fail the predicate); the correct plan pushes the predicate
+    INTO the pruned scan and widens the probe to compensate for cell
+    thinning ({SIM18_NPROBE} cells vs sim03's 3 — production derives
+    this from the filter's selectivity estimate).
+
+    Plan shape: predicate and cell membership are BOTH scan-level
+    filters (at 100 TB: partition pruning on the cell key + row-group
+    pruning / pushdown on the metadata column — `pushed: True` in the
+    audit), then exact cosine + top-k on the survivors. Everything
+    else (centroid build, probe rule, fold-order cosine) is sim03's
+    oracle-replayed machinery.
+    """
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    probed = _ivf_probed_labels(embeddings, q, nprobe=SIM18_NPROBE)
+    cos = F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6)
+    return (
+        embeddings.join(F.broadcast(probed), "label")
+        .filter(
+            (F.col("vec_id") != QUERY_VEC_ID)
+            & (F.col("vec_id") % SIM18_FILTER_MOD == 0)
+        )
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

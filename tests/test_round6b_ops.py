@@ -431,3 +431,66 @@ def test_st08_session_gap_splits_paths(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     got = {r.path: r.n_sessions for r in QUERIES["st08_session_paths"](spark, str(tmp_path)).collect()}
     assert got == {"view": 1, "cart": 1}
+
+
+# ------------------------------------------------------------------
+# a33: checked quantile sketch
+# ------------------------------------------------------------------
+
+def test_a33_bound_check_is_sharp_not_vacuous(spark, tmp_path):
+    # 101 orders in one group, totalprice 1..101: exact lower median 51.
+    # The sketch at accuracy 100 must land within 5 rank positions + 1.
+    rows = [(i, 1, "O", float(i), "2024-01-01", "1-URGENT", "c", 0, "x") for i in range(1, 102)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string, o_clerk string,"
+        " o_shippriority int, o_comment string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority", "o_clerk", "o_shippriority", "o_comment",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    [r] = QUERIES["a33_quantile_sketch_checked"](spark, str(tmp_path)).collect()
+    assert (r.n, r.exact_median, r.median_within_bound) == (101, 51.0, True)
+
+
+def test_a33_rank_arithmetic_flags_a_drifted_estimate():
+    # the bound predicate itself (unit check, no Spark): at n=1000 and
+    # accuracy=100, envelope 5 → |rank_le − 500| ≤ 51 passes at 551,
+    # fails at 552
+    from chicago_business_owners_data_engineering_spark.operators.extended import (
+        QSK_ACCURACY,
+        QSK_ENVELOPE,
+    )
+
+    def ok(rank_le, n):
+        return QSK_ACCURACY * abs(2 * rank_le - n) <= 2 * QSK_ENVELOPE * n + 2 * QSK_ACCURACY
+
+    assert ok(551, 1000) and not ok(552, 1000)
+
+
+# ------------------------------------------------------------------
+# sim18: filtered ANN
+# ------------------------------------------------------------------
+
+def test_sim18_every_hit_satisfies_the_predicate(spark):
+    out = QUERIES["sim18_filtered_ann"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(out) <= 10
+    assert all(r.vec_id % 3 == 0 and r.vec_id != 0 for r in out)
+
+
+def test_sim18_beats_post_filtering_the_unfiltered_topk(spark):
+    # the naive plan (sim03's top-k, THEN filter) under-returns: of
+    # sim03's 10 unfiltered hits only ~1/3 pass vec_id % 3 == 0, while
+    # the pushed-down plan returns a full filtered top-k
+    sf = "/root/testdata/sf0.001"
+    unfiltered = QUERIES["sim03_ivf_topk"](spark, sf).collect()
+    post = [r for r in unfiltered if r.vec_id % 3 == 0]
+    pushed = QUERIES["sim18_filtered_ann"](spark, sf).collect()
+    assert len(pushed) > len(post)
+    # and pushed-down results are a superset of the survivors that fall
+    # in the same probed cells' score range (sanity: best post-filter
+    # hit appears in the pushed-down list)
+    if post:
+        assert post[0].vec_id in {r.vec_id for r in pushed}

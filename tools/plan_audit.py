@@ -113,6 +113,9 @@ EXPECTED_CARTESIAN = {
     # quantization-bounds broadcast onto the probed-cell scan (the
     # batch generalization of sim03's allow-listed shape)
     "sim17_ivf_sq_batch_topk",
+    # 1-row query vector broadcast onto centroids + probed cells
+    # (sim03's allow-listed shape with the metadata predicate pushed)
+    "sim18_filtered_ann",
 }
 
 
