@@ -234,6 +234,8 @@ BENCH_R6B = [
     "st08_session_paths",
     "a33_quantile_sketch_checked",
     "sim18_filtered_ann",
+    "u08_apply_in_arrow",
+    "st09_stickiness",
 ]
 
 

@@ -305,3 +305,67 @@ def u07_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("total_cents"), F.count("*").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "u08_apply_in_arrow",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_event_id
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def u08_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ARROW UDF (``applyInArrow``, Spark 4) — the zero-
+    pandas sibling of u03's grouped map: the whole group arrives as one
+    ``pyarrow.Table`` and the body runs vectorized ``pyarrow.compute``
+    kernels, skipping the Arrow→pandas→Arrow conversion a grouped
+    ``applyInPandas`` pays on both edges. The form for per-group logic
+    whose operations exist as Arrow kernels (sums, casts, sorts,
+    dictionary ops) — at 100 TB the conversion tax is real money.
+
+    The payload is integer-cents aggregation (ROUND half-away-from-zero
+    to mirror SQL ROUND — pyarrow defaults to half-to-even, the one
+    Arrow-vs-SQL trap in this cell), so the Python path carries a FULL
+    differential oracle (the u06/u07 discipline).
+
+    Parity: beyond-reference (completes the UDF matrix: u01 scalar
+    pandas, u02 grouped-agg, u03 grouped map pandas, u04 SQL, u05
+    UDTF, u06 Arrow scalar, u07 SCALAR_ITER, u08 Arrow grouped map).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..catalog import load_table
+
+    def per_group(table: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(table["value"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [table["event_type"][0].as_py()],
+                "total_cents": [pc.sum(cents).as_py()],
+                "n_events": [table.num_rows],
+                "first_event_id": [pc.min(table["event_id"]).as_py()],
+                "last_event_id": [pc.max(table["event_id"]).as_py()],
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInArrow(
+            per_group,
+            schema="event_type string, total_cents long, n_events long,"
+            " first_event_id long, last_event_id long",
+        )
+        .orderBy("event_type")
+    )

@@ -2007,3 +2007,69 @@ def st08_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(TOP_PATHS)
     )
+
+
+# --- st09: DAU/MAU stickiness --------------------------------------------------------
+
+
+@query(
+    "st09_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT STRFTIME(CAST(ts AS DATE), '%Y-%m') AS month,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM du GROUP BY month, day
+    ), mau AS (
+        SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM du GROUP BY month
+    )
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+           m.mau,
+           CAST((1000 * SUM(d.dau)) // (COUNT(*) * m.mau) AS BIGINT)
+               AS stickiness_milli
+    FROM dau d JOIN mau m ON d.month = m.month
+    GROUP BY d.month, m.mau
+    ORDER BY d.month
+    """,
+)
+def st09_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: avg daily actives over monthly
+    actives, the product-engagement ratio (a daily-habit product sits
+    near 1000‰, a monthly-chore one near 33‰). Completes the activity
+    ladder: ts18 measures the rolling WAU trend, st04 cohort retention,
+    this the month-grain habit strength.
+
+    The key subtlety both engines replay: DAU and MAU must come from
+    the SAME deduplicated (month, day, user) relation — one distinct
+    pass, two rollups (a user active 20 days counts once in MAU,
+    20× in ΣDAU). Stickiness is the integer per-mille floor of
+    ΣDAU/(days·MAU) — exact BIGINT cross-multiplication, no float
+    average-of-averages. Shuffle posture: one exchange on the dedup
+    key, then month-keyed (bounded) aggregates.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("month", "day").agg(F.count("*").alias("dau"))
+    mau = du.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("dau").alias("sum_dau"),
+            F.expr("(1000 * sum(dau)) div (count(*) * any_value(mau))").alias(
+                "stickiness_milli"
+            ),
+        )
+        .select("month", "n_days", "sum_dau", "mau", "stickiness_milli")
+        .orderBy("month")
+    )

@@ -494,3 +494,45 @@ def test_sim18_beats_post_filtering_the_unfiltered_topk(spark):
     # hit appears in the pushed-down list)
     if post:
         assert post[0].vec_id in {r.vec_id for r in pushed}
+
+
+# ------------------------------------------------------------------
+# u08: grouped-map Arrow UDF
+# ------------------------------------------------------------------
+
+def test_u08_rounds_half_away_from_zero_like_sql(spark, tmp_path):
+    # value 0.005 dollars = 0.5 cents: SQL ROUND gives 1; pyarrow's
+    # DEFAULT (half_to_even) would give 0 — the round_mode arg is
+    # load-bearing and this fixture pins it
+    rows = [
+        (1, "2024-03-01 10:00:00", 1, "view", 0.005, "{}"),
+        (2, "2024-03-01 10:01:00", 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["u08_apply_in_arrow"](spark, str(tmp_path)).collect()
+    assert (r.event_type, r.total_cents, r.n_events) == ("view", 101, 2)
+    assert (r.first_event_id, r.last_event_id) == (1, 2)
+
+
+# ------------------------------------------------------------------
+# st09: DAU/MAU stickiness
+# ------------------------------------------------------------------
+
+def test_st09_dau_and_mau_from_one_dedup_relation(spark, tmp_path):
+    rows = [
+        # March: user 1 active 2 days (twice on day 1 — dedup to once),
+        # user 2 active 1 day → ΣDAU = 3 over 2 days, MAU = 2
+        (1, "2024-03-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-03-01 11:00:00", 1, "view", 0.0, "{}"),
+        (3, "2024-03-02 10:00:00", 1, "view", 0.0, "{}"),
+        (4, "2024-03-02 10:00:00", 2, "view", 0.0, "{}"),
+        # April: one user, one day → stickiness 1000‰
+        (5, "2024-04-10 10:00:00", 3, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.month: (r.n_days, r.sum_dau, r.mau, r.stickiness_milli)
+        for r in QUERIES["st09_stickiness"](spark, str(tmp_path)).collect()
+    }
+    # March: 1000*3 // (2*2) = 750
+    assert got == {"2024-03": (2, 3, 2, 750), "2024-04": (1, 1, 1, 1000)}

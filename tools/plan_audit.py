@@ -34,6 +34,7 @@ EXPECTED_PYTHON = {
     "sim10_opq_topk",
     "u06_arrow_udf_bucket",  # the Arrow scalar-UDF demo IS the Python path
     "u07_pandas_iter_udf",  # the SCALAR_ITER pandas-UDF demo IS the Python path
+    "u08_apply_in_arrow",  # the grouped-map Arrow-UDF demo IS the Python path
 }
 EXPECTED_GLOBAL_WINDOW = {
     "o04_pagination",
@@ -141,7 +142,7 @@ def audit(plan: str) -> dict:
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)),
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]*\w", plan)),
-        "python": bool(re.search(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan)),
+        "python": bool(re.search(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|FlatMapGroupsInArrow|MapInPandas", plan)),
         "single_part_window": bool(re.search(r"Exchange SinglePartition", plan)),
         "scalar_agg": scalar_agg,
         "scalar_bcast": scalar_bcast,
