@@ -121,21 +121,17 @@ def sim02_near_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_probed_labels(embeddings: DataFrame, q: DataFrame, nprobe: int = 3) -> DataFrame:
-    """IVF coarse-probe: per-cell mean centroids → nearest ``nprobe``
-    cells to the query by centroid cosine. Shared by sim03 (pruned
-    top-k) and sim12 (pruned MMR candidate pool). ``q`` must carry one
-    row with a double-array column ``qv``.
-
-    Centroids via positional explode → groupBy(cell, pos) avg →
-    re-assemble: the explode is map-side and partial aggregation
-    collapses each task to ncells×dim tiny rows before the shuffle (the
-    measured-faster form — see sim03's docstring).
-    """
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-cell mean vectors: posexplode → groupBy(cell, dim) avg →
+    re-assemble by cell. The ONE centroid convention every IVF member
+    (sim03/sim12 via _ivf_probed_labels, sim16, sim17) shares — the
+    explode is map-side and partial aggregation collapses each task to
+    ncells×dim tiny rows before the shuffle (see sim03's docstring for
+    the measured-faster rationale). Returns (label, centroid)."""
     pos = embeddings.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
     )
-    centroid = (
+    return (
         pos.groupBy("label", "pos")
         .agg(F.avg("val").alias("mean_val"))
         .groupBy("label")
@@ -146,6 +142,15 @@ def _ivf_probed_labels(embeddings: DataFrame, q: DataFrame, nprobe: int = 3) -> 
             ).alias("centroid")
         )
     )
+
+
+def _ivf_probed_labels(embeddings: DataFrame, q: DataFrame, nprobe: int = 3) -> DataFrame:
+    """IVF coarse-probe: nearest ``nprobe`` cells to the query by
+    centroid cosine over the shared :func:`_centroids` relation.
+    Shared by sim03 (pruned top-k) and sim12 (pruned MMR candidate
+    pool). ``q`` must carry one row with a double-array column ``qv``.
+    """
+    centroid = _centroids(embeddings)
     return (
         centroid.crossJoin(F.broadcast(q))
         .select("label", cosine(F.col("centroid"), F.col("qv")).alias("cell_sim"))
@@ -1402,22 +1407,8 @@ def sim16_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         embeddings.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").cast("array<double>").alias("qv"))
     )
-    pos = embeddings.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
-    )
-    centroid = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("val").alias("mean_val"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
-                lambda s: s.mean_val,
-            ).alias("centroid")
-        )
-    )
     probed = (
-        centroid.crossJoin(F.broadcast(q))
+        _centroids(embeddings).crossJoin(F.broadcast(q))
         .filter(
             cosine(F.col("centroid"), F.col("qv"))
             >= F.lit(RANGE_CELL_FLOOR_MILLI) / F.lit(1000.0)
@@ -1564,17 +1555,7 @@ def sim17_ivf_sq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mx_arr"),
         )
     )
-    centroid = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("val").alias("mean_val"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
-                lambda s: s.mean_val,
-            ).alias("centroid")
-        )
-    )
+    centroid = _centroids(load_table(spark, sf_dir, "embeddings"))
     wq = Window.partitionBy("q_id")
     probe = (
         centroid.crossJoin(F.broadcast(qs))

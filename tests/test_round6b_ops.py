@@ -202,11 +202,6 @@ def test_ts19_exact_order_statistics(spark, tmp_path):
     # 11 'view' events → 10 gaps of 1..10 minutes (60..600 s):
     # p50 = value at rank (10+1)//2 = 5 → 300 s;
     # p90 = value at rank (9*10+9)//10 = 9 → 540 s; max = 600 s
-    rows, t = [], 0
-    for i in range(11):
-        rows.append((i, f"2024-03-01 10:{t // 60:02d}:{t % 60:02d}", 1, "view", 0.0, "{}"))
-        t += (i + 1) * 60
-    # make the minutes arithmetic valid (t grows past an hour): rebuild with epoch math
     import datetime
 
     base = datetime.datetime(2024, 3, 1, 10, 0, 0)
