@@ -236,6 +236,9 @@ BENCH_R6B = [
     "sim18_filtered_ann",
     "u08_apply_in_arrow",
     "st09_stickiness",
+    "f32_equiwidth_histogram",
+    "j14_nearest_event_join",
+    "tx21_source_vocab_jaccard",
 ]
 
 

@@ -658,3 +658,72 @@ def j13_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_error_overlaps"), F.asc("user_id"), F.asc("day"))
         .limit(50)
     )
+
+
+# --- j14: nearest-in-time join (asof direction='nearest') ----------------------------
+
+
+@query(
+    "j14_nearest_event_join",
+    oracle="""
+    SELECT event_id, user_id, nearest_order, nearest_date, gap_days
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey AS nearest_order,
+               o.o_orderdate AS nearest_date,
+               CAST(ABS(DATE_DIFF('day', CAST(e.ts AS DATE), o.o_orderdate))
+                    AS BIGINT) AS gap_days,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY ABS(DATE_DIFF('day', CAST(e.ts AS DATE),
+                                          o.o_orderdate)),
+                            o.o_orderdate ASC, o.o_orderkey ASC
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+    ) WHERE rn = 1
+    """,
+)
+def j14_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: each event matched to its customer's order
+    CLOSEST in time, either direction — pandas ``merge_asof
+    (direction='nearest')`` as a distributed plan. j08 is the backward
+    form ("state as of"); the nearest form is the attribution/feature
+    join ("which order is this event ABOUT") where an event may precede
+    its order. Ties (equidistant before/after) resolve to the EARLIER
+    date then the smaller key — deterministic where pandas is
+    first-encountered-wins.
+
+    Plan shape: one equi hash join on the customer key (both relations
+    shuffle once; per-customer candidate groups are order-count
+    bounded), then a per-event row_number. At warehouse scale the same
+    plan runs bucketed-by-custkey with zero extra exchange (S7's
+    layout); the window partitions on event_id so its sort is
+    candidate-group-local.
+
+    Parity: reference joins events to owners eagerly in pandas
+    (cbddl/src/etl/pipeline.py's merge); the time-nearest form is the
+    beyond-reference generalization of j08.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cand = events.select("event_id", "user_id", F.col("ts").cast("date").alias("eday")).join(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        F.col("o_custkey") == F.col("user_id"),
+    )
+    gap = F.abs(F.datediff(F.col("o_orderdate"), F.col("eday")))
+    w = Window.partitionBy("event_id").orderBy(
+        gap.asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("nearest_order"),
+            F.col("o_orderdate").alias("nearest_date"),
+            gap.cast("long").alias("gap_days"),
+        )
+    )

@@ -621,3 +621,86 @@ def f31_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "change_bps"
         ),
     ).orderBy("month")
+
+
+# --- f32: equi-width histogram -------------------------------------------------------
+
+HIST_BINS = 20
+
+
+@query(
+    "f32_equiwidth_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ), binned AS (
+        SELECT CAST(CASE WHEN mx > mn
+                         THEN LEAST({HIST_BINS} - 1,
+                                    FLOOR(((o_totalprice - mn) * {HIST_BINS}.0) /
+                                          (mx - mn)))
+                         ELSE 0 END
+                    AS BIGINT) AS bin,
+               mn, mx
+        FROM orders, b
+    )
+    SELECT bin,
+           ROUND(mn + (bin * (mx - mn)) / {HIST_BINS}.0, 6) AS lo,
+           ROUND(mn + ((bin + 1) * (mx - mn)) / {HIST_BINS}.0, 6) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned
+    GROUP BY bin, mn, mx
+    ORDER BY bin
+    """,
+)
+def f32_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: the profiling primitive
+    behind every distribution dashboard (and the bin spine dq04/dq08
+    consume). One 2-value aggregate broadcast onto the scan, the bin
+    id as a scan-fused LEAST/FLOOR projection, one bounded-key
+    aggregate — the same two-pass shape whatever the corpus size.
+    The max value lands in the LAST bin (LEAST clamp), the standard
+    closed-top convention; a constant column (mx == mn) degenerates to
+    a single bin 0 under ANSI mode instead of dividing by zero; bin
+    edges are derived from (mn, mx, bin) with one shared expression so
+    both engines emit identical doubles.
+
+    Parity: the reference bins owner counts with pandas value_counts
+    on hardcoded edges (cbddl/src/analytics/demographics_analyzer.py);
+    this is the data-derived generalization.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = orders.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(
+                    ((F.col("o_totalprice") - F.col("mn")) * float(HIST_BINS))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bin"),
+        "mn",
+        "mx",
+    )
+    return (
+        binned.groupBy("bin", "mn", "mx")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(
+                F.col("mn") + (F.col("bin") * (F.col("mx") - F.col("mn"))) / float(HIST_BINS), 6
+            ).alias("lo"),
+            F.round(
+                F.col("mn") + ((F.col("bin") + 1) * (F.col("mx") - F.col("mn"))) / float(HIST_BINS), 6
+            ).alias("hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )

@@ -1056,3 +1056,92 @@ def tx20_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows between unbounded preceding and current row)"
         ).alias("ttr_milli"),
     ).orderBy("bucket")
+
+
+# --- tx21: source-pair vocabulary Jaccard --------------------------------------------
+
+
+@query(
+    "tx21_source_vocab_jaccard",
+    oracle="""
+    WITH vocab AS MATERIALIZED (
+        SELECT DISTINCT source, word FROM (
+            SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+            FROM documents
+        ) WHERE LENGTH(word) >= 1
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM vocab GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM vocab a JOIN vocab b
+          ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, sa.n_types AS types_a,
+           sb.n_types AS types_b, i.n_inter,
+           CAST((1000 * i.n_inter) //
+                (sa.n_types + sb.n_types - i.n_inter) AS BIGINT)
+               AS jaccard_milli
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY jaccard_milli DESC, i.source_a, i.source_b
+    """,
+)
+def tx21_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair VOCABULARY similarity: Jaccard over each source's
+    word-type set — the lexical companion to tp20's document-level
+    overlap matrix (tp20 finds near-dup DOCS straddling two feeds;
+    this finds feeds that speak the same language even when no
+    document is shared — e.g. two scrapes of the same site family).
+    High vocab Jaccard + low tp20 overlap = paraphrase/mirror-family
+    candidates for the dedup budget.
+
+    Scale shape: the type sets come from one (source, word) dedup
+    (vocabulary-sized shuffle, the tx* posture); the intersection join
+    keys on the WORD, and per word the pair fan-out is C(sources-with-
+    word, 2) — bounded by the SOURCE count squared, never the corpus
+    (with very hot universal words the per-word group is still only
+    |sources| rows). Output is the source×source matrix; ratios are
+    integer per-mille of exact BIGINT counts.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    vocab = (
+        documents.select(
+            "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n_types"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_types").alias("types_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_types").alias("types_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "types_a",
+            "types_b",
+            "n_inter",
+            F.expr("(1000 * n_inter) div (types_a + types_b - n_inter)").alias(
+                "jaccard_milli"
+            ),
+        )
+        .orderBy(F.desc("jaccard_milli"), "source_a", "source_b")
+    )

@@ -531,3 +531,106 @@ def test_st09_dau_and_mau_from_one_dedup_relation(spark, tmp_path):
     }
     # March: 1000*3 // (2*2) = 750
     assert got == {"2024-03": (2, 3, 2, 750), "2024-04": (1, 1, 1, 1000)}
+
+
+# ------------------------------------------------------------------
+# f32: equi-width histogram
+# ------------------------------------------------------------------
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string, o_clerk string,"
+        " o_shippriority int, o_comment string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority", "o_clerk", "o_shippriority", "o_comment",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_f32_bins_edges_and_max_clamp(spark, tmp_path):
+    # values 0..100: width 5 per bin over 20 bins; the max (100) must
+    # clamp into bin 19, not a phantom bin 20
+    rows = [(i, 1, "O", float(i), "2024-01-01", "p", "c", 0, "x") for i in range(101)]
+    _write_orders(spark, tmp_path, rows)
+    got = {r.bin: (r.lo, r.hi, r.n) for r in QUERIES["f32_equiwidth_histogram"](spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(20))
+    assert got[0] == (0.0, 5.0, 5)      # 0,1,2,3,4
+    assert got[19] == (95.0, 100.0, 6)  # 95..99 plus the clamped 100
+    assert sum(n for _, _, n in got.values()) == 101
+
+
+def test_f32_degenerate_constant_column_is_one_bin(spark, tmp_path):
+    # all-equal values: (mx-mn)=0 would divide by zero under ANSI mode;
+    # the guarded contract is a single bin 0 spanning [mn, mn]
+    rows = [(i, 1, "O", 42.0, "2024-01-01", "p", "c", 0, "x") for i in range(5)]
+    _write_orders(spark, tmp_path, rows)
+    [r] = QUERIES["f32_equiwidth_histogram"](spark, str(tmp_path)).collect()
+    assert (r.bin, r.lo, r.hi, r.n) == (0, 42.0, 42.0, 5)
+
+
+# ------------------------------------------------------------------
+# j14: nearest-in-time join
+# ------------------------------------------------------------------
+
+def test_j14_nearest_picks_closest_and_breaks_ties_earlier(spark, tmp_path):
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            # customer 1: orders 3 days before and 3 days after the event
+            (100, 1, "O", 1.0, "2024-03-01", "p", "c", 0, "x"),
+            (101, 1, "O", 1.0, "2024-03-07", "p", "c", 0, "x"),
+            # and one far away
+            (102, 1, "O", 1.0, "2024-06-01", "p", "c", 0, "x"),
+        ],
+    )
+    _write_events(spark, tmp_path, [(1, "2024-03-04 10:00:00", 1, "view", 0.0, "{}")])
+    [r] = QUERIES["j14_nearest_event_join"](spark, str(tmp_path)).collect()
+    # 2024-03-01 and 2024-03-07 are both 3 days away → earlier date wins
+    assert (r.nearest_order, str(r.nearest_date), r.gap_days) == (100, "2024-03-01", 3)
+
+
+def test_j14_event_without_customer_orders_is_dropped(spark, tmp_path):
+    _write_orders(spark, tmp_path, [(100, 1, "O", 1.0, "2024-03-01", "p", "c", 0, "x")])
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-03-04 10:00:00", 1, "view", 0.0, "{}"),
+            (2, "2024-03-04 10:00:00", 99, "view", 0.0, "{}"),  # no orders
+        ],
+    )
+    out = QUERIES["j14_nearest_event_join"](spark, str(tmp_path)).collect()
+    assert [r.event_id for r in out] == [1]
+
+
+# ------------------------------------------------------------------
+# tx21: source-pair vocabulary Jaccard
+# ------------------------------------------------------------------
+
+def test_tx21_jaccard_from_hand_vocab(spark, tmp_path):
+    docs = [
+        (1, "apple banana cherry", "en", "srcA", 1),
+        (2, "banana cherry date", "en", "srcB", 1),
+        (3, "zebra", "en", "srcC", 1),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    got = {
+        (r.source_a, r.source_b): (r.types_a, r.types_b, r.n_inter, r.jaccard_milli)
+        for r in QUERIES["tx21_source_vocab_jaccard"](spark, str(tmp_path)).collect()
+    }
+    # A∩B = {banana, cherry} → 2/(3+3-2) = 500‰; C shares nothing (no row)
+    assert got == {("srcA", "srcB"): (3, 3, 2, 500)}
+
+
+def test_tx21_duplicate_words_count_once_per_source(spark, tmp_path):
+    docs = [
+        (1, "dup dup dup unique1", "en", "s1", 1),
+        (2, "dup", "en", "s2", 1),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    [r] = QUERIES["tx21_source_vocab_jaccard"](spark, str(tmp_path)).collect()
+    assert (r.types_a, r.types_b, r.n_inter, r.jaccard_milli) == (2, 1, 1, 500)
