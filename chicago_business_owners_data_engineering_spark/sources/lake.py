@@ -32,7 +32,19 @@ DATE_COL = "date"
 
 @dataclass
 class LakeStorage:
+    """``fmt`` selects the columnar file format for the whole lake:
+    ``parquet`` (default) or ``orc`` — both are native Spark sources
+    with identical partition-discovery, pruning, predicate-pushdown and
+    dynamic-overwrite semantics, so every method below is
+    format-agnostic (S3/S4 generalized; the reference is parquet-only,
+    storage_manager.py:136-158)."""
+
     root: str
+    fmt: str = "parquet"
+
+    def __post_init__(self) -> None:
+        if self.fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported lake format {self.fmt!r}")
 
     def _path(self, layer: str, name: str) -> str:
         if layer not in LAYERS:
@@ -84,7 +96,7 @@ class LakeStorage:
         path = self._path(layer, name)
         out.write.mode(mode).option("partitionOverwriteMode", "dynamic").partitionBy(
             DATE_COL
-        ).parquet(path)
+        ).format(self.fmt).save(path)
         return path
 
     def write_json(self, df: DataFrame, layer: str, name: str, date_key: str) -> str:
@@ -98,7 +110,7 @@ class LakeStorage:
     def read(self, spark: SparkSession, layer: str, name: str) -> DataFrame:
         """Read all partitions; the date column comes back via partition
         discovery (S4/S8) and filters on it prune directories."""
-        return spark.read.parquet(self._path(layer, name))
+        return spark.read.format(self.fmt).load(self._path(layer, name))
 
     def read_partition(
         self, spark: SparkSession, layer: str, name: str, date_key: str
@@ -261,8 +273,8 @@ def _compact_partition(
 ) -> int:
     part_path = f"{lake._path(layer, name)}/{DATE_COL}={date_key}"
     tmp_path = f"{lake._path(layer, name)}/.compact-{date_key}.tmp"
-    df = spark.read.parquet(part_path)
-    df.repartition(target_files).write.mode("overwrite").parquet(tmp_path)
+    df = spark.read.format(lake.fmt).load(part_path)
+    df.repartition(target_files).write.mode("overwrite").format(lake.fmt).save(tmp_path)
     fs, part_p, jvm = _fs(spark, part_path)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_path)
     fs.delete(part_p, True)

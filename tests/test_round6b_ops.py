@@ -634,3 +634,42 @@ def test_tx21_duplicate_words_count_once_per_source(spark, tmp_path):
     _write_documents(spark, tmp_path, docs)
     [r] = QUERIES["tx21_source_vocab_jaccard"](spark, str(tmp_path)).collect()
     assert (r.types_a, r.types_b, r.n_inter, r.jaccard_milli) == (2, 1, 1, 500)
+
+
+# ------------------------------------------------------------------
+# lake: ORC format tier
+# ------------------------------------------------------------------
+
+def test_lake_orc_round_trip_pruning_and_latest(spark, tmp_path):
+    from chicago_business_owners_data_engineering_spark.sources.lake import (
+        LakeStorage,
+    )
+
+    lake = LakeStorage(str(tmp_path / "lake"), fmt="orc")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    lake.write(df, "raw", "t", date_key="20240301")
+    lake.write(df.withColumn("id", df.id + 10), "raw", "t", date_key="20240302")
+    # full read sees both partitions via discovery
+    assert lake.read(spark, "raw", "t").count() == 4
+    # partition filter prunes at the ORC scan (PartitionFilters in plan)
+    pr = lake.read_partition(spark, "raw", "t", "20240302")
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and pr.count() == 2
+    assert {r.id for r in pr.collect()} == {11, 12}
+    # latest-partition metadata works identically to parquet
+    assert lake.latest_partition(spark, "raw", "t") == "20240302"
+    # compaction rewrites in the SAME format
+    n = lake.compact(spark, "raw", "t", "20240301", target_files=1)
+    assert n == {"20240301": 1}
+    assert lake.read(spark, "raw", "t").count() == 4
+
+
+def test_lake_rejects_unknown_format(tmp_path):
+    import pytest
+
+    from chicago_business_owners_data_engineering_spark.sources.lake import (
+        LakeStorage,
+    )
+
+    with pytest.raises(ValueError):
+        LakeStorage(str(tmp_path), fmt="avro")
