@@ -239,6 +239,7 @@ BENCH_R6B = [
     "f32_equiwidth_histogram",
     "j14_nearest_event_join",
     "tx21_source_vocab_jaccard",
+    "ml09_knn_classifier_eval",
 ]
 
 

@@ -1008,3 +1008,155 @@ def ml08_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- ml09: kNN classifier eval (label prediction by neighbor vote) ------------
+
+KNN_EVAL_K = 3
+
+
+@query(
+    "ml09_knn_classifier_eval",
+    oracle=KMEANS_TRAJECTORY_CTE
+    + KMEANS_PROBES_CTE
+    + f"""
+    , cpairs AS (
+        SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        FROM probes a JOIN probes b
+          ON a.probe = b.probe AND a.vec_id <> b.vec_id
+    ), nbr AS (
+        SELECT c.qid, c.nid,
+               LIST_DOT_PRODUCT(ea.v, eb.v) /
+               (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) *
+                SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))) AS cs
+        FROM cpairs c
+        JOIN emb ea ON ea.vec_id = c.qid
+        JOIN emb eb ON eb.vec_id = c.nid
+    ), topk AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cs DESC, nid ASC) AS rn
+            FROM nbr)
+        WHERE rn <= {KNN_EVAL_K}
+    ), votes AS (
+        SELECT t.qid, e.label AS pred_label, COUNT(*) AS c
+        FROM topk t JOIN embeddings e ON e.vec_id = t.nid
+        GROUP BY 1, 2
+    ), pred AS (
+        SELECT qid, pred_label FROM (
+            SELECT qid, pred_label,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY c DESC, pred_label ASC) AS rn
+            FROM votes)
+        WHERE rn = 1
+    )
+    SELECT e.label AS true_label, p.pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ml09_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier confusion matrix: predict each vector's label by
+    majority vote of its {KNN_EVAL_K} nearest blocked neighbors, tallied
+    against the true label — the "are these embeddings any good"
+    readout (Cover & Hart's 1-NN risk bound generalizes: if kNN can't
+    recover the labels, neither will a probe head). Completes the
+    embedding-eval triad: sim15 measures index RECALL, er05 blocking
+    quality, this measures label SEPARABILITY.
+
+    Neighbor generation is sim13's machinery verbatim (multi-probe
+    k-means blocking, salted in-cell join, fold-order cosine); the
+    vote and the confusion rollup add two bounded aggregates
+    (|labels|² output). Ties at the k-th rank break by (cs, nid) and
+    vote ties by smaller label — both engines replay the exact same
+    rules, so the matrix is hash-exact, not approximately equal.
+    Leave-one-out semantics come free: a vector never pairs with
+    itself (a.vec_id <> b.vec_id), so the vote never sees its own
+    label. Vectors with no blocked candidate (isolated cells) are
+    excluded from the matrix on both engines.
+
+    This registry form pins k=K for oracle comparability; the ml03/
+    sim13 scale rule applies unchanged — production corpora call
+    :func:`knn_classifier_eval` with k ∝ corpus size so cell width
+    (and the in-cell quadratic) stays constant.
+    """
+    return knn_classifier_eval(spark, sf_dir)
+
+
+def knn_classifier_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    n_probes: int = N_PROBES,
+    eval_k: int = KNN_EVAL_K,
+) -> DataFrame:
+    """Parameterized engine behind ml09 (same plan, tunable blocking).
+
+    ``k`` is THE scale knob (candidate pairs per cell ≈ (n/k)², hold
+    cell width constant by growing k with the corpus); ``eval_k`` is
+    the vote width.
+    """
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from .similarity import cosine
+
+    sides = kmeans_probes(spark, sf_dir, k=k, n_probes=n_probes)
+    SALTS = 8
+    a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
+    b = sides.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
+    ).alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.probe") == F.col("b.probe"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cs"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
+    topk = (
+        cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= eval_k)
+        .select("qid", "nid")
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("nid"), F.col("label").alias("pred_label")
+            ),
+            "nid",
+        )
+        .groupBy("qid", "pred_label")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("pred_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("qid", "pred_label")
+    )
+    return (
+        pred.join(
+            labels.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+            ),
+            "qid",
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
