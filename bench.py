@@ -240,6 +240,8 @@ BENCH_R6B = [
     "j14_nearest_event_join",
     "tx21_source_vocab_jaccard",
     "ml09_knn_classifier_eval",
+    "tp22_pack_efficiency",
+    "dd17_lsh_tuning_eval",
 ]
 
 

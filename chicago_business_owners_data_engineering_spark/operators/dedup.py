@@ -1739,3 +1739,165 @@ def dd16_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jw_milli"), F.asc("doc_a"), F.asc("doc_b"))
     )
+
+
+from .shared_oracles import _SHINGLE_CTES as _SHINGLE_CTES_LOCAL  # noqa: E402
+
+# --- dd17: LSH band-tuning eval -------------------------------------------------------
+
+DD17_NUM_HASHES = 12
+DD17_BAND_SIZES = (2, 3, 6)  # rows-per-band settings swept by the eval
+DD17_THRESHOLD = 0.5
+
+
+def _dd17_md5_slot_sql() -> str:
+    return (
+        "MIN(CAST(CONCAT('0x', SUBSTRING(MD5(CONCAT(g.i, '|', s.w)), 1, 15)) "
+        "AS BIGINT))"
+    )
+
+
+@query(
+    "dd17_lsh_tuning_eval",
+    oracle="WITH "
+    + _SHINGLE_CTES_LOCAL
+    + f"""
+    , slots AS MATERIALIZED (
+        SELECT s.doc_id, g.i AS slot, {_dd17_md5_slot_sql()} AS mh
+        FROM (SELECT doc_id, UNNEST(ws) AS w FROM sh) s,
+             GENERATE_SERIES(0, {DD17_NUM_HASHES - 1}) AS g(i)
+        GROUP BY s.doc_id, g.i
+    ), bands AS MATERIALIZED (
+        SELECT rr.r, s.doc_id, s.slot // rr.r AS band_id,
+               MD5(ARRAY_TO_STRING(LIST(s.mh ORDER BY s.slot), ',')) AS bh
+        FROM slots s
+        CROSS JOIN (SELECT UNNEST({list(DD17_BAND_SIZES)}) AS r) rr
+        GROUP BY rr.r, s.doc_id, s.slot // rr.r
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.r = b.r AND a.band_id = b.band_id AND a.bh = b.bh
+         AND a.doc_id < b.doc_id
+    ), truep AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+              (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws)))
+              >= {DD17_THRESHOLD}
+    ), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truep)
+    SELECT c.r AS band_size,
+           CAST({DD17_NUM_HASHES} // c.r AS BIGINT) AS n_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           nt.n_true,
+           CAST(COUNT(t.doc_a) AS BIGINT) AS n_caught,
+           CAST((1000 * COUNT(t.doc_a)) // nt.n_true AS BIGINT) AS recall_milli,
+           CAST((1000 * COUNT(t.doc_a)) // COUNT(*) AS BIGINT) AS precision_milli
+    FROM cand c
+    LEFT JOIN truep t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    CROSS JOIN nt
+    GROUP BY c.r, nt.n_true
+    ORDER BY band_size
+    """,
+)
+def dd17_lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning sweep: candidate volume, recall and precision of
+    MinHash banding at three rows-per-band settings — the measured
+    S-curve (P[collide] = 1−(1−s^r)^b, Leskovec/Rajaraman/Ullman
+    ch. 3) that decides the index's (b, r) in production. sim15 is
+    this eval for the IVF index, er05 for ER blocking; dd17 completes
+    the triad for the dedup index itself: small r = recall-heavy and
+    candidate-flooded, big r = cheap and leaky, and the right knob is
+    a measurement, not a guess.
+
+    The signature here is an md5-derived minhash (slot i = min over
+    shingles of a 60-bit md5 integer) — deliberately NOT the engine's
+    xxhash64 production path, because md5 is the one hash both engines
+    evaluate bit-identically, which makes candidate COUNTS (not just
+    verified survivors) hash-exact against the oracle. The true-pair
+    leg is the family's exact shingle-Jaccard on the shared contract.
+    Everything downstream of the per-doc signature is bounded: bands
+    are |docs|·(Σ 12/r) rows, the bucket join collides on band keys
+    (never all-pairs), and the rollup is 3 rows.
+    """
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    def _slot(idx: int):
+        # NB: must be a ONE-argument lambda — a second parameter (even
+        # defaulted) makes pyspark bind transform's (element, index)
+        # form and the array index silently replaces the slot constant
+        pref = f"{idx}|"
+        return F.array_min(
+            F.transform(
+                F.col("ws"),
+                lambda w: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(pref), w)), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ).alias(f"mh{idx}")
+
+    slot_cols = [_slot(i) for i in range(DD17_NUM_HASHES)]
+    per_doc = docs.select("doc_id", "ws", *slot_cols).persist()
+    try:
+        band_frames = []
+        for r in DD17_BAND_SIZES:
+            n_bands = DD17_NUM_HASHES // r
+            for b in range(n_bands):
+                bh = F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+                    )
+                )
+                band_frames.append(
+                    per_doc.select(
+                        F.lit(r).alias("r"),
+                        "doc_id",
+                        F.lit(b).alias("band_id"),
+                        bh.alias("bh"),
+                    )
+                )
+        bands = band_frames[0]
+        for bf in band_frames[1:]:
+            bands = bands.unionByName(bf)
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.r") == F.col("b.r"))
+                & (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.r").alias("r"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        truep = minhash_lsh_pairs(docs, "doc_id", "ws", threshold=DD17_THRESHOLD).select(
+            "doc_a", "doc_b", F.lit(1).alias("is_true")
+        )
+        nt = truep.agg(F.count("*").alias("n_true"))
+        out = (
+            cand.join(truep, ["doc_a", "doc_b"], "left")
+            .crossJoin(F.broadcast(nt))
+            .groupBy(F.col("r").alias("band_size"), "n_true")
+            .agg(
+                F.count("*").alias("n_candidates"),
+                F.count("is_true").alias("n_caught"),
+            )
+            .select(
+                "band_size",
+                F.expr(f"{DD17_NUM_HASHES} div band_size").alias("n_bands"),
+                "n_candidates",
+                "n_true",
+                "n_caught",
+                F.expr("(1000 * n_caught) div n_true").alias("recall_milli"),
+                F.expr("(1000 * n_caught) div n_candidates").alias("precision_milli"),
+            )
+            .orderBy("band_size")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        per_doc.unpersist()
+    return out

@@ -2073,3 +2073,63 @@ def st09_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "n_days", "sum_dau", "mau", "stickiness_milli")
         .orderBy("month")
     )
+
+
+# --- tp22: packing-efficiency audit --------------------------------------------------
+
+
+@query(
+    "tp22_pack_efficiency",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                           - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((1000 * SUM(n_tokens)) //
+                (COUNT(DISTINCT bin_id) * {PACK_BUDGET}) AS BIGINT)
+               AS fill_permille,
+           CAST(COUNT(CASE WHEN n_tokens > {PACK_BUDGET} THEN 1 END) AS BIGINT)
+               AS n_oversize
+    FROM packed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tp22_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit for tp05's greedy packer: per shard,
+    bins produced, average fill rate against the {PACK_BUDGET}-token
+    budget, and how many documents individually exceed the budget
+    (each forces a straddle/truncation downstream — the docs a
+    chunking pass, tp02, should split first). The fill number is what
+    decides whether a packer change pays: wasted context = (1000 −
+    fill_permille)‰ of every training batch at 100 TB.
+
+    Composes tp05's bin assignment (same window, same shard key — one
+    exchange) with a shard-level rollup; everything integer, the
+    fill ratio an exact BIGINT cross-multiplication.
+    """
+    packed = tp05_sequence_packing(spark, sf_dir)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr(
+                f"(1000 * sum(n_tokens)) div (count(distinct bin_id) * {PACK_BUDGET})"
+            ).alias("fill_permille"),
+            F.count(F.when(F.col("n_tokens") > PACK_BUDGET, 1)).alias(
+                "n_oversize"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -718,3 +718,45 @@ def test_ml09_vote_tie_breaks_to_smaller_label(spark, tmp_path):
     a = sorted(map(tuple, QUERIES["ml09_knn_classifier_eval"](spark, str(tmp_path)).collect()))
     b = sorted(map(tuple, QUERIES["ml09_knn_classifier_eval"](spark, str(tmp_path)).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------------
+# tp22: packing efficiency
+# ------------------------------------------------------------------
+
+def test_tp22_fill_rate_and_oversize_from_hand_corpus(spark, tmp_path):
+    # lang 'en': docs of 100/100/100 tokens in doc_id order with
+    # PACK_BUDGET=256 → bins: cum-before 0,100,200 → bin 0,0,0 →
+    # 1 bin, 300 tokens, fill 1171‰ (greedy packer overfills the last
+    # started bin — the audit shows >1000 when docs straddle)
+    def doc(i, n, lang):
+        return (i, " ".join(["w"] * n), lang, "s", n)
+
+    rows = [doc(0, 100, "en"), doc(1, 100, "en"), doc(2, 100, "en"),
+            doc(10, 300, "xl")]  # single oversize doc
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r.lang: (r.n_docs, r.n_bins, r.total_tokens, r.fill_permille, r.n_oversize)
+        for r in QUERIES["tp22_pack_efficiency"](spark, str(tmp_path)).collect()
+    }
+    assert got["en"] == (3, 1, 300, 1171, 0)
+    assert got["xl"] == (1, 1, 300, 1171, 1)
+
+
+# ------------------------------------------------------------------
+# dd17: LSH band-tuning eval
+# ------------------------------------------------------------------
+
+def test_dd17_recall_monotone_in_band_count_and_certified_complete(spark):
+    # on the real sf0.001 corpus: smaller bands (more of them) can only
+    # collide MORE — candidates and recall are monotone nonincreasing
+    # in band_size; every row's caught ≤ true; precision ≤ 1000
+    rows = QUERIES["dd17_lsh_tuning_eval"](spark, "/root/testdata/sf0.001").collect()
+    assert [r.band_size for r in rows] == [2, 3, 6]
+    cands = [r.n_candidates for r in rows]
+    recalls = [r.recall_milli for r in rows]
+    assert cands[0] >= cands[1] >= cands[2]
+    assert recalls[0] >= recalls[1] >= recalls[2]
+    for r in rows:
+        assert r.n_caught <= r.n_true and r.precision_milli <= 1000
+        assert r.n_bands * r.band_size == 12
