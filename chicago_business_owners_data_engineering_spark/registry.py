@@ -58,9 +58,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # After r06 the never-sampled residue is 41 of the pre-r6 registry plus
 # the 22 new round-6 queries (opt*, ab03, ts15-ts18, mb01, st05/st06,
 # tx18/tx19, dq16/dq17, sim16, j13, dd16, wh05, u07, f30, mon04, f31)
-# plus the 18 tail-session queries (st07, tp21, tx20, mb02, ts19, gov03,
+# plus the 20 tail-session queries (st07, tp21, tx20, mb02, ts19, gov03,
 # sim17, gr12, inc05, st08, a33, sim18, u08, st09, f32, j14, tx21,
-# ml09) — the round-7 rotation pool (~81 oracle-backed candidates; compute the
+# ml09, tp22, dd17) — the round-7 rotation pool (~83 oracle-backed
+# candidates; compute the
 # exact list with tools/rotation.py from the union of
 # CORRECTNESS_r0*.json keys).
 _R06_FRONT = (
