@@ -366,6 +366,11 @@ def f23_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- f25: sequence-gap detection (gaps and islands) -----------------------------
 
+# 4096-key shards, 4096 shards per supershard: the one global window
+# runs over n / 2^24 summary rows.
+F25_SHARD_BITS = 12
+F25_SUPER_BITS = 12
+
 
 @query(
     "f25_id_gap_islands",
@@ -391,40 +396,89 @@ def f25_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it the "which key ranges contain no finalized orders" audit,
     non-trivial on any corpus where the full key space is dense).
 
-    One LEAD over the ordered key: a gap exists exactly where the next
-    key skips ahead, and (k+1, next−1) delimits it — no self-join, no
-    generate_series materialization of the id space (the naive form
-    materializes max(id) rows to anti-join; this form's output is
-    proportional to the number of GAPS). All integers.
+    Sharded gap scan, three levels, no global window over the keys:
 
-    Scale shape: the global ORDER BY window is the documented
-    trade-off — at 100 TB the same LEAD runs per id-shard (orders are
-    ingested in key ranges, so gaps cannot span shards except at
-    boundaries, which a 1-row-per-shard min/max pass closes); the
-    fixture's single window is the post-aggregation posture (key
-    relation, not fact payload).
+    1. shard = k >> SHARD_BITS; per-shard LEAD finds every gap whose
+       endpoints fall in the same 2^SHARD_BITS-wide id range (the
+       window is PARTITIONED — parallel across the cluster).
+    2. one (lo, hi) summary row per non-empty shard; a per-SUPERSHARD
+       LEAD over those rows finds gaps between consecutive non-empty
+       shards (again partitioned; empty shards are closed for free
+       because only non-empty shards emit summary rows).
+    3. one (lo, hi) row per non-empty supershard — n / 2^(SHARD_BITS +
+       SUPER_BITS) rows, ≈ n/16.7M — closed by one bounded global
+       LEAD (the post-aggregation posture: at 10^12 keys this relation
+       is ~60k skinny rows).
+
+    A gap exists exactly where the next key (or next unit's min) skips
+    ahead; (k+1, next−1) delimits it — no self-join, no
+    generate_series materialization of the id space (output stays
+    proportional to the number of GAPS). All integers.
 
     Parity: beyond-reference (audit extension of dq02's existence
     checks; seed cbddl/src/etl/pipeline.py:205-267).
     """
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
-    w = Window.orderBy("k")
-    ks = orders.select(F.col("o_orderkey").alias("k")).withColumn(
-        "nxt", F.lead("k").over(w)
-    )
+    ks = orders.select(F.col("o_orderkey").alias("k"))
     return (
-        ks.filter(F.col("nxt") > F.col("k") + 1)
-        .select(
-            (F.col("k") + 1).alias("gap_start"),
-            (F.col("nxt") - 1).alias("gap_end"),
-            (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
-        )
+        sharded_gap_scan(ks)
         .orderBy(F.desc("gap_len"), "gap_start")
         .limit(50)
+    )
+
+
+def sharded_gap_scan(ks: DataFrame) -> DataFrame:
+    """All (gap_start, gap_end, gap_len) missing ranges in column ``k``
+    via the 3-level sharded scan documented on f25_id_gap_islands.
+    """
+    from pyspark.sql import Window
+
+    def gaps(df: DataFrame, lo: str, hi: str, w) -> DataFrame:
+        out = df.withColumn("nxt_lo", F.lead(lo).over(w))
+        return out.filter(F.col("nxt_lo") > F.col(hi) + 1).select(
+            (F.col(hi) + 1).alias("gap_start"),
+            (F.col("nxt_lo") - 1).alias("gap_end"),
+        )
+
+    # Level 0: gaps interior to one shard (partitioned window).
+    sharded = ks.withColumn("shard", F.shiftright("k", F25_SHARD_BITS))
+    w0 = Window.partitionBy("shard").orderBy("hi")
+    inner = gaps(
+        sharded.withColumnRenamed("k", "hi").withColumn("lo", F.col("hi")),
+        "lo",
+        "hi",
+        w0,
+    )
+
+    # Level 1: gaps between consecutive non-empty shards, partitioned
+    # by supershard (one summary row per non-empty shard).
+    shard_summary = sharded.groupBy("shard").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    with_super = shard_summary.withColumn(
+        "super", F.shiftright("shard", F25_SUPER_BITS)
+    )
+    w1 = Window.partitionBy("super").orderBy("shard")
+    between_shards = gaps(with_super, "lo", "hi", w1)
+
+    # Level 2: gaps between consecutive non-empty supershards — the
+    # only global window, over an n/2^24-row bounded summary relation.
+    super_summary = with_super.groupBy("super").agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")
+    )
+    w2 = Window.orderBy("super")
+    between_supers = gaps(super_summary, "lo", "hi", w2)
+
+    return (
+        inner.unionByName(between_shards)
+        .unionByName(between_supers)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+        )
     )
 
 

@@ -1,0 +1,59 @@
+"""Round-7 fixtures: the sharded gap scan (f25's engine core) proven
+against a pure-Python reference on key sets crafted to cross every
+shard/supershard boundary, plus a randomized panel."""
+
+from __future__ import annotations
+
+import random
+
+from chicago_business_owners_data_engineering_spark.operators.scalars import (
+    F25_SHARD_BITS,
+    F25_SUPER_BITS,
+    sharded_gap_scan,
+)
+
+SHARD = 1 << F25_SHARD_BITS
+SUPER = SHARD << F25_SUPER_BITS
+
+
+def _expected_gaps(keys):
+    ks = sorted(set(keys))
+    out = []
+    for a, b in zip(ks, ks[1:]):
+        if b > a + 1:
+            out.append((a + 1, b - 1, b - a - 1))
+    return out
+
+
+def _run(spark, keys):
+    ks = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in sharded_gap_scan(ks).collect()
+    )
+    return got
+
+
+def test_gap_scan_crosses_all_three_levels(spark):
+    keys = [
+        10, 12,                 # interior gap 11..11 (level 0)
+        SHARD - 1, 2 * SHARD + 8,  # spans the empty shard 1 (level 1)
+        SUPER + 5,              # spans the supershard boundary (level 2)
+        SUPER + 5 + SHARD * 3,  # another level-1 gap in supershard 1
+    ]
+    assert _run(spark, keys) == sorted(_expected_gaps(keys))
+
+
+def test_gap_scan_adjacent_and_duplicate_keys_emit_nothing(spark):
+    # consecutive runs and duplicates are not gaps; a single key has none
+    assert _run(spark, [5, 6, 7, 7, 8]) == []
+    assert _run(spark, [SUPER]) == []
+    # two keys straddling a supershard boundary with no hole between
+    assert _run(spark, [SUPER - 1, SUPER]) == []
+
+
+def test_gap_scan_randomized_panel_matches_python_reference(spark):
+    rng = random.Random(7)
+    # sparse draw over 3 supershards guarantees boundary-spanning gaps
+    keys = sorted(rng.sample(range(3 * SUPER), 400))
+    assert _run(spark, keys) == sorted(_expected_gaps(keys))

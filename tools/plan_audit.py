@@ -62,8 +62,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "mon04_error_budget",
     # lag window over the post-aggregation MONTHLY grain (≤N months)
     "f31_mom_change",
-    # LEAD over the filtered KEY relation (not fact payload); the
-    # docstring documents the per-shard form at scale
+    # sharded 3-level gap scan (r7): levels 0/1 are partitioned
+    # windows; the ONLY global LEAD runs over the n/2^24-row
+    # supershard summary relation — bounded post-aggregation posture
     "f25_id_gap_islands",
     # lower-median order statistics over the ≤ 366-row daily relation
     "ts13_seasonal_anomaly",
