@@ -1748,6 +1748,9 @@ from .shared_oracles import _SHINGLE_CTES as _SHINGLE_CTES_LOCAL  # noqa: E402
 DD17_NUM_HASHES = 12
 DD17_BAND_SIZES = (2, 3, 6)  # rows-per-band settings swept by the eval
 DD17_THRESHOLD = 0.5
+# the same threshold as an exact rational for the prefix-filter
+# true-pair leg (float prefix math would drop borderline pairs)
+DD17_T_NUM, DD17_T_DEN = 1, 2
 
 
 def _dd17_md5_slot_sql() -> str:
@@ -1814,13 +1817,21 @@ def dd17_lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 production path, because md5 is the one hash both engines
     evaluate bit-identically, which makes candidate COUNTS (not just
     verified survivors) hash-exact against the oracle. The true-pair
-    leg is the family's exact shingle-Jaccard on the shared contract.
+    leg is EXACT: jaccard_join_prefix (AllPairs prefix filtering,
+    provably identical to the brute-force all-pairs scan — dd12 pins
+    the bit-parity vs the same oracle shape), so recall_milli measures
+    the banding against ground truth, not against another LSH run.
+    Docs with an empty shingle set are excluded before banding —
+    exactly as the oracle's UNNEST produces no slot rows for them
+    (otherwise every empty doc pair collides on md5('') bands).
     Everything downstream of the per-doc signature is bounded: bands
     are |docs|·(Σ 12/r) rows, the bucket join collides on band keys
     (never all-pairs), and the rollup is 3 rows.
     """
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
-    docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+    docs = documents.select(
+        "doc_id", _shingle_set(F.col("text")).alias("ws")
+    ).filter(F.size("ws") > 0)
     def _slot(idx: int):
         # NB: must be a ONE-argument lambda — a second parameter (even
         # defaulted) makes pyspark bind transform's (element, index)
@@ -1874,9 +1885,9 @@ def dd17_lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        truep = minhash_lsh_pairs(docs, "doc_id", "ws", threshold=DD17_THRESHOLD).select(
-            "doc_a", "doc_b", F.lit(1).alias("is_true")
-        )
+        truep = jaccard_join_prefix(
+            docs, "doc_id", "ws", t_num=DD17_T_NUM, t_den=DD17_T_DEN
+        ).select("doc_a", "doc_b", F.lit(1).alias("is_true"))
         nt = truep.agg(F.count("*").alias("n_true"))
         out = (
             cand.join(truep, ["doc_a", "doc_b"], "left")

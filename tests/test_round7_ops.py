@@ -57,3 +57,52 @@ def test_gap_scan_randomized_panel_matches_python_reference(spark):
     # sparse draw over 3 supershards guarantees boundary-spanning gaps
     keys = sorted(rng.sample(range(3 * SUPER), 400))
     assert _run(spark, keys) == sorted(_expected_gaps(keys))
+
+
+# ------------------------------------------------------------------
+# dd17: short-doc corpus differential (the ADVICE r6 scenario — docs
+# shorter than the shingle width must band identically on both
+# engines, and the true-pair leg must be exact)
+# ------------------------------------------------------------------
+
+def test_dd17_short_doc_corpus_matches_oracle(spark, tmp_path):
+    import duckdb
+
+    from chicago_business_owners_data_engineering_spark.registry import (
+        get_oracles,
+        get_queries,
+    )
+
+    rows = [
+        # two identical 1-word docs: same whole-text shingle, a REAL
+        # J=1.0 pair — must be a candidate AND a true pair
+        (1, "hello", "en", "web", 5),
+        (2, "hello", "en", "web", 5),
+        # a 2-word doc that shares nothing
+        (3, "two words", "en", "web", 9),
+        # a borderline near-dup pair: 4-gram overlap J >= 0.5
+        (4, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (5, "alpha beta gamma delta zeta", "en", "web", 27),
+        # an unrelated long doc
+        (6, "one two three four five six seven", "en", "web", 33),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = (
+        get_queries()["dd17_lsh_tuning_eval"](spark, str(tmp_path))
+        .orderBy("band_size")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(get_oracles()["dd17_lsh_tuning_eval"]).fetchall()
+
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    # the exact leg must see both planted true pairs at every band size
+    assert all(r.n_true == 2 for r in got)
