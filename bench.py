@@ -338,17 +338,19 @@ def main() -> None:
     # {min, median, runs} per query so noise is visible in the artifact
     # itself; ``value_min`` (sum of mins) is the continuity metric
     # comparable to the best-of-N values recorded in BENCH_r01–r04.
-    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, dict]]:
+    def run_set(
+        names: list[str], n_runs: int = 3
+    ) -> tuple[dict[str, float], dict[str, dict]]:
         timings: dict[str, float] = {}
         stats: dict[str, dict] = {}
         for name in names:
             fn = registry.QUERIES[name]
             samples = []
-            for _ in range(3):
+            for _ in range(n_runs):
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 samples.append(time.time() - t0)
-            med = sorted(samples)[1]
+            med = sorted(samples)[len(samples) // 2]
             timings[name] = round(med, 3)
             stats[name] = {
                 "median": round(med, 3),
@@ -357,7 +359,11 @@ def main() -> None:
             }
         return timings, stats
 
-    timings, stats = run_set(BENCH_QUERIES)
+    # Headline set: 5 runs. The r07 drift probe (PERF.md) showed
+    # sub-second queries still dropping through rep 5-7 (C2 JIT tiers)
+    # with 2-5× run-to-run spread on this box — median-of-3 medians
+    # land on a warmup rep often enough to fake a 2%/round drift.
+    timings, stats = run_set(BENCH_QUERIES, n_runs=5)
     extended, ext_stats = run_set(BENCH_EXTENDED)
     r3, r3_stats = run_set(BENCH_R3)
     r3b, r3b_stats = run_set(BENCH_R3B)

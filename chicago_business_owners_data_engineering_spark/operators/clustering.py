@@ -700,8 +700,7 @@ def dbscan_density_dedup(
 
 # --- ml05: fastText-shaped linear quality classifier -------------------------
 
-FT_BUCKETS = 64  # hashed-token parameter-table size
-FT_KEEP_MICRO = 50_000_000  # decision threshold on the micro-unit score
+from .shared_oracles import FT_BUCKETS, FT_KEEP_MICRO  # noqa: E402
 
 
 @query(

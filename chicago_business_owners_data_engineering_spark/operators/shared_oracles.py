@@ -8,6 +8,20 @@ class fixed in round 3). Anything here must stay import-pure: no
 registry, no pyspark, just strings.
 """
 
+# fastText-shaped classifier constants (clustering.py re-exports) and
+# the curation-pipeline gate thresholds (plans/curation_pipeline.py
+# re-imports) — here so plans/pipeline_report.py can build its oracle
+# string at decoration time without importing any operator module (a
+# module-level operator import there closes a worker-side cycle:
+# multimodal -> registry -> pipeline_report -> curation_pipeline ->
+# multimodal).
+FT_BUCKETS = 64  # hashed-token parameter-table size
+FT_KEEP_MICRO = 50_000_000  # decision threshold on the micro-unit score
+CURATION_MIN_TOKENS = 5
+CURATION_MAX_DUP_TOKEN_FRAC = 0.6
+CURATION_MAX_TOP_TOKEN_FRAC = 0.3
+CURATION_FT_MIN_MICRO = 35_000_000
+
 # K-means trajectory constants — shared by the embedding-space family
 # (ml01-ml04, sim12-sim14). Import-pure ints; clustering.py re-exports
 # them as K / DIM / N_PROBES for its engine code.

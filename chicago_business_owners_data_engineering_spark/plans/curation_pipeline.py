@@ -48,14 +48,22 @@ from ..catalog import load_table
 from ..operators.dedup import _shingle_set, components_from_pairs, neardup_edges
 from ..operators.multimodal import SHARD_BUDGET_BYTES, shard_id_over
 
-MIN_TOKENS = 5
-MAX_DUP_TOKEN_FRAC = 0.6
-MAX_TOP_TOKEN_FRAC = 0.3
+# Gate thresholds live in shared_oracles (import-pure) so
+# plans/pipeline_report.py can cite them in its oracle SQL without
+# importing this module at decoration time.
+from ..operators.shared_oracles import (  # noqa: E402
+    CURATION_MAX_DUP_TOKEN_FRAC as MAX_DUP_TOKEN_FRAC,
+    CURATION_MAX_TOP_TOKEN_FRAC as MAX_TOP_TOKEN_FRAC,
+    CURATION_MIN_TOKENS as MIN_TOKENS,
+)
+
 # Model-gate floor: a LOW bar relative to ml05's demo decision point
 # (50M ≈ the corpus median) — the pipeline's job is removing the
 # clearly-bad tail (~p05 of the fixture distribution), not halving the
 # corpus on a coin-flip score.
-FT_PIPELINE_MIN_MICRO = 35_000_000
+from ..operators.shared_oracles import (  # noqa: E402
+    CURATION_FT_MIN_MICRO as FT_PIPELINE_MIN_MICRO,
+)
 # Containment-dedup threshold as a rational (integer cross-multiplied
 # comparisons — see containment_join_prefix).
 CONTAIN_T_NUM, CONTAIN_T_DEN = 7, 10

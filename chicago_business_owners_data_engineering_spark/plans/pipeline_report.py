@@ -1,0 +1,211 @@
+"""The composed curation funnel as a CHECKED registry query.
+
+``run_curation_pipeline`` (plans/curation_pipeline.py) is the flagship
+end-to-end job — it writes a curated corpus and a dataset card, so the
+e2e test owns it. This module exposes the same stage chain as a
+read-only registry entry whose dataset card is verified row-for-row
+against a DuckDB replay of every stage: gate → model gate → exact
+dedup → near dedup → mixture → split. The one flagship stage omitted
+here is the containment sweep (dd13 verifies that machinery on its
+own; its oracle tripled the statement size for zero new coverage).
+
+Engine shape: ONE job. Each stage's survivor id-set left-joins back
+onto the raw id spine with a literal flag, and a single aggregate
+computes the whole funnel — no per-stage .count() jobs, no caches; the
+gate shuffle is shared across flag branches via ReusedExchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Constants only, and only from the import-pure shared_oracles module:
+# a module-level import of curation_pipeline (or any operator module)
+# here closes a worker-side circular import — a Python worker
+# unpickling a multimodal UDF imports multimodal -> registry -> this
+# module -> curation_pipeline -> multimodal (partially initialized).
+# The stage helpers are imported lazily inside the query body.
+from ..operators.shared_oracles import (
+    CURATION_FT_MIN_MICRO as FT_PIPELINE_MIN_MICRO,
+    CURATION_MAX_DUP_TOKEN_FRAC as MAX_DUP_TOKEN_FRAC,
+    CURATION_MAX_TOP_TOKEN_FRAC as MAX_TOP_TOKEN_FRAC,
+    CURATION_MIN_TOKENS as MIN_TOKENS,
+    FT_BUCKETS,
+)
+from ..registry import query
+
+_MD5_DOC = "CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+_MD5_SPLIT = (
+    "CAST(CONCAT('0x', SUBSTRING(MD5(CONCAT('split:', CAST(doc_id AS VARCHAR))), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+_TP23_ORACLE = f"""
+    WITH RECURSIVE tokc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id, tok
+    ), stats AS (
+        SELECT doc_id, SUM(c) AS n_tokens,
+               1 - COUNT(*) * 1.0 / SUM(c) AS dup_frac,
+               MAX(c) * 1.0 / SUM(c) AS top_frac
+        FROM tokc GROUP BY doc_id
+    ), gated AS (
+        SELECT d.doc_id, d.text, d.source, d.n_chars
+        FROM documents d JOIN stats s USING (doc_id)
+        WHERE s.n_tokens >= {MIN_TOKENS}
+          AND s.dup_frac <= {MAX_DUP_TOKEN_FRAC}
+          AND s.top_frac <= {MAX_TOP_TOKEN_FRAC}
+    ), wt AS (
+        SELECT range AS bucket,
+               CAST(CONCAT('0x', SUBSTRING(MD5(CAST(range AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 101 AS w
+        FROM RANGE({FT_BUCKETS})
+    ), feat AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 8)) AS BIGINT)
+                   % {FT_BUCKETS} AS bucket
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+              FROM gated)
+    ), scorep AS (
+        SELECT f.doc_id, (1000000 * SUM(w.w)) // COUNT(*) AS score_micro
+        FROM feat f JOIN wt w USING (bucket) GROUP BY f.doc_id
+    ), modeled AS (
+        SELECT g.* FROM gated g JOIN scorep s USING (doc_id)
+        WHERE s.score_micro >= {FT_PIPELINE_MIN_MICRO}
+    ), exact AS (
+        SELECT m.* FROM modeled m
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM modeled GROUP BY text) k
+        USING (doc_id)
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN LEN(t) >= 3
+                    THEN LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
+                                        FOR i IN RANGE(1, LEN(t) - 1)])
+                    ELSE [LOWER(text)] END AS ws
+        FROM (SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS t FROM exact)
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+              (LEN(a.ws) + LEN(b.ws) - LEN(LIST_INTERSECT(a.ws, b.ws))) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON r.node = e.src
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), members AS (
+        SELECT c.component, c.doc_id, e.n_chars FROM comp c JOIN exact e USING (doc_id)
+    ), canonical AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM members) WHERE rn = 1
+    ), near AS (
+        SELECT * FROM exact WHERE doc_id NOT IN (
+            SELECT doc_id FROM members
+            WHERE doc_id NOT IN (SELECT doc_id FROM canonical))
+    ), mixed AS (
+        SELECT * FROM near
+        WHERE {_MD5_DOC} < CASE
+            WHEN source IN ('src0', 'src1', 'src2') THEN 25
+            WHEN source IN ('src3', 'src4', 'src5') THEN 50
+            ELSE 90 END
+    ), splits AS (
+        SELECT *, CASE WHEN {_MD5_SPLIT} < 80 THEN 'train'
+                       WHEN {_MD5_SPLIT} < 90 THEN 'valid'
+                       ELSE 'test' END AS split
+        FROM mixed
+    )
+    SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS docs FROM documents
+    UNION ALL SELECT '1_gated', CAST(COUNT(*) AS BIGINT) FROM gated
+    UNION ALL SELECT '2_model_gate', CAST(COUNT(*) AS BIGINT) FROM modeled
+    UNION ALL SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact
+    UNION ALL SELECT '4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM near
+    UNION ALL SELECT '5_mixture', CAST(COUNT(*) AS BIGINT) FROM mixed
+    UNION ALL SELECT '6_train', CAST(COUNT(*) FILTER (split = 'train') AS BIGINT) FROM splits
+    UNION ALL SELECT '6_valid', CAST(COUNT(*) FILTER (split = 'valid') AS BIGINT) FROM splits
+    UNION ALL SELECT '6_test', CAST(COUNT(*) FILTER (split = 'test') AS BIGINT) FROM splits
+    ORDER BY stage
+"""
+
+
+@query("tp23_pipeline_report", oracle=_TP23_ORACLE)
+def tp23_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card for the composed curation funnel — every stage of
+    the §2.11 flagship (minus the containment sweep, dd13-checked on
+    its own) replayed and counted in ONE read-only job.
+
+    The near-dedup stage runs the production MinHash-LSH edge path
+    while the oracle derives components from brute-force exact
+    Jaccard — so a green row here re-certifies end-to-end that the
+    band parameters lose no component structure (the dd06 contract),
+    now composed UNDER the gates and exact dedup rather than over the
+    raw table.
+
+    Scale shape: stage survivor id-sets left-join the raw id spine
+    with literal flags; one aggregate emits the whole funnel, and the
+    split distribution comes from conditional sums in the SAME
+    aggregate — 9 card rows, zero driver-side loops, no caching
+    (identical stage subplans dedupe via ReusedExchange).
+    """
+    from .curation_pipeline import (
+        assign_splits,
+        dedup_exact,
+        dedup_near,
+        gate_model,
+        gate_quality,
+        sample_mixture,
+    )
+
+    documents = load_table(spark, sf_dir, "documents")
+    g = gate_quality(documents)
+    m = gate_model(g)
+    e = dedup_exact(m)
+    n = dedup_near(e)
+    x = sample_mixture(n)
+    s = assign_splits(x)
+
+    def ids(df: DataFrame, flag: str) -> DataFrame:
+        return df.select("doc_id", F.lit(1).alias(flag))
+
+    flags = (
+        documents.select("doc_id")
+        .join(ids(g, "f_gate"), "doc_id", "left")
+        .join(ids(m, "f_model"), "doc_id", "left")
+        .join(ids(e, "f_exact"), "doc_id", "left")
+        .join(ids(n, "f_near"), "doc_id", "left")
+        .join(ids(x, "f_mix"), "doc_id", "left")
+        .join(s.select("doc_id", "split"), "doc_id", "left")
+    )
+
+    def tally(col) -> F.Column:
+        return F.coalesce(F.sum(col), F.lit(0)).cast("long")
+
+    row = flags.agg(
+        F.count("*").alias("c_raw"),
+        tally("f_gate").alias("c_gate"),
+        tally("f_model").alias("c_model"),
+        tally("f_exact").alias("c_exact"),
+        tally("f_near").alias("c_near"),
+        tally("f_mix").alias("c_mix"),
+        tally(F.when(F.col("split") == "train", 1)).alias("c_train"),
+        tally(F.when(F.col("split") == "valid", 1)).alias("c_valid"),
+        tally(F.when(F.col("split") == "test", 1)).alias("c_test"),
+    )
+    return row.selectExpr(
+        "stack(9, "
+        "'0_raw', c_raw, '1_gated', c_gate, '2_model_gate', c_model, "
+        "'3_exact_dedup', c_exact, '4_near_dedup', c_near, '5_mixture', c_mix, "
+        "'6_train', c_train, '6_valid', c_valid, '6_test', c_test"
+        ") AS (stage, docs)"
+    ).orderBy("stage")

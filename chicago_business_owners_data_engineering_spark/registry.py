@@ -216,6 +216,9 @@ def _import_operator_modules() -> None:
         extended,
     )
     from .functions import udfs  # noqa: F401
+    # last: composes stage helpers from plans.curation_pipeline over
+    # operator modules above (clustering's FT constants at decoration)
+    from .plans import pipeline_report  # noqa: F401
 
 
 def _rotate_front(front: tuple[str, ...], strict: bool = True) -> bool:
