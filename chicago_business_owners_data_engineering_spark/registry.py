@@ -52,18 +52,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # sampled the aggregate/dedup/curation families; round 4 fronted the
 # join/window/sort/graph/setop/monitoring families; round 5 fronted the
 # TPC-H-shaped olap queries, training-data pipeline ops, warehouse
-# plans, entity resolution and scalar functions; round 6 fronts the
-# largest never-driver-sampled families (tx*, ts*, dq*, f*, sim*, mm*,
-# u*, p09) — exactly 50 never-driver-sampled, oracle-backed queries.
-# After r06 the never-sampled residue is 41 of the pre-r6 registry plus
-# the 22 new round-6 queries (opt*, ab03, ts15-ts18, mb01, st05/st06,
-# tx18/tx19, dq16/dq17, sim16, j13, dd16, wh05, u07, f30, mon04, f31)
-# plus the 20 tail-session queries (st07, tp21, tx20, mb02, ts19, gov03,
-# sim17, gr12, inc05, st08, a33, sim18, u08, st09, f32, j14, tx21,
-# ml09, tp22, dd17) — the round-7 rotation pool (~83 oracle-backed
-# candidates; compute the
-# exact list with tools/rotation.py from the union of
-# CORRECTNESS_r0*.json keys).
+# plans, entity resolution and scalar functions; round 6 fronted the
+# tx*/ts*/dq*/f*/sim*/mm*/u* families. Round 7 fronts 49 of the ~83
+# still-never-driver-sampled oracle-backed queries (largest families
+# first, per tools/rotation.py) plus the new tp23 composed funnel;
+# the ~33-query residue (u06-u08, j08/j13/j14, ab*, mon02/mon03,
+# gov*, tp20-tp22, opt*, mb*, skew*, mm03/mm05, dq16/dq17, gr12,
+# wh05, bf01, er05, a19/a30/a33, tx19-tx21, dd14-dd17 leftovers)
+# is round 8's front.
+_R07_FRONT = (
+    # event-stream analytics (entire family never driver-sampled)
+    "st01_sessionization",
+    "st02_last_touch_attribution",
+    "st03_funnel_conversion",
+    "st04_cohort_retention",
+    "st05_rfm_segments",
+    "st06_cohort_ltv",
+    "st07_markov_transitions",
+    "st08_session_paths",
+    "st09_stickiness",
+    # scalar-function tail
+    "f21_grouping_sets",
+    "f23_parameterized_sql",
+    "f25_id_gap_islands",
+    "f30_unpivot_metrics",
+    "f31_mom_change",
+    "f32_equiwidth_histogram",
+    # time series tail
+    "ts15_seasonal_strength",
+    "ts16_peak_concurrency",
+    "ts17_autocorrelation",
+    "ts18_rolling_wau",
+    "ts19_interarrival",
+    # incremental maintenance (entire family)
+    "inc01_incremental_rollup",
+    "inc02_incremental_components",
+    "inc03_incremental_distinct",
+    "inc04_incremental_neardup_probe",
+    "inc05_incremental_topk",
+    # similarity / ANN tail
+    "sim12_ivf_mmr_rerank",
+    "sim14_pq_knn_join",
+    "sim16_range_search",
+    "sim17_ivf_sq_batch_topk",
+    "sim18_filtered_ann",
+    # embedding-space ML tail
+    "ml04_density_dedup",
+    "ml05_fasttext_quality",
+    "ml06_threshold_sweep",
+    "ml08_reliability_bins",
+    "ml09_knn_classifier_eval",
+    # dedup tail
+    "dd13_containment_join",
+    "dd14_ngram_novelty",
+    "dd15_simhash_hamming_pairs",
+    "dd16_weighted_jaccard_pairs",
+    "dd17_lsh_tuning_eval",
+    # aggregate tail
+    "a18_word_frequency",
+    "a19_suffix_frequency",
+    "a30_grouped_string_agg",
+    "a33_quantile_sketch_checked",
+    # text tail
+    "tx18_lexical_diversity",
+    "tx19_langid_confusion",
+    "tx20_heaps_curve",
+    "tx21_source_vocab_jaccard",
+    # UDAF demo
+    "u02_entropy_udaf",
+    # new this round: the composed curation funnel
+    "tp23_pipeline_report",
+)
+
+# Round-6 front, kept for provenance (driver-green in CORRECTNESS_r06).
 _R06_FRONT = (
     # text analysis: quality, lang-id, PII, TF-IDF, BM25, BPE, TextRank
     "tx01_quality_score",
@@ -252,13 +313,13 @@ def _rotate_front(front: tuple[str, ...], strict: bool = True) -> bool:
 
 
 _import_operator_modules()
-_ROTATED = _rotate_front(_R06_FRONT, strict=False)
+_ROTATED = _rotate_front(_R07_FRONT, strict=False)
 
 
 def _ensure_rotated() -> None:
     global _ROTATED
     if not _ROTATED:
-        _ROTATED = _rotate_front(_R06_FRONT, strict=True)
+        _ROTATED = _rotate_front(_R07_FRONT, strict=True)
 
 
 def get_queries() -> dict[str, QueryFn]:
