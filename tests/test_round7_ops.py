@@ -106,3 +106,86 @@ def test_dd17_short_doc_corpus_matches_oracle(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(w) for w in want]
     # the exact leg must see both planted true pairs at every band size
     assert all(r.n_true == 2 for r in got)
+
+
+# ------------------------------------------------------------------
+# rows-only hardening (VERDICT r6 #6): golden tests that pin the
+# mm02/mm06 stub semantics EXACTLY (the oracle can't reach them), and
+# a second u03 equivalence fixture over planted edge cases.
+# ------------------------------------------------------------------
+
+def _stub_dims(payload: bytes):
+    # independent re-derivation of decode_media's documented formula —
+    # if the stub drifts, the golden rows below must fail
+    h = 0
+    for byt in payload[:64]:
+        h = (h * 131 + byt) % 100000
+    return 64 + h % 1024, 64 + (h // 7) % 1024, 1 + h % 32
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i + 1, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_mm02_golden_rows(spark, tmp_path):
+    import hashlib
+
+    from chicago_business_owners_data_engineering_spark.operators.multimodal import (
+        mm02_decode_features,
+    )
+
+    texts = ["hello world", "x", "a" * 200]
+    _write_docs(spark, tmp_path, texts)
+    got = {r["doc_id"]: r for r in mm02_decode_features(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+    for i, t in enumerate(texts, start=1):
+        payload = t.encode()
+        w, h, nf = _stub_dims(payload)
+        r = got[i]
+        assert (
+            r["media_type"], r["byte_len"], r["width"], r["height"],
+            r["n_frames"], r["checksum"],
+        ) == ("text", len(payload), w, h, nf, hashlib.md5(payload).hexdigest())
+
+
+def test_mm06_golden_rows(spark, tmp_path):
+    from chicago_business_owners_data_engineering_spark.operators.multimodal import (
+        RESIZE_BOX,
+        mm06_resize_batch,
+    )
+
+    texts = ["hello world", "a" * 500]
+    _write_docs(spark, tmp_path, texts)
+    got = {r["doc_id"]: r for r in mm06_resize_batch(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(texts, start=1):
+        payload = t.encode()
+        w, h, _ = _stub_dims(payload)
+        scale = min(RESIZE_BOX / w, RESIZE_BOX / h, 1.0)
+        out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+        r = got[i]
+        assert (r["width"], r["height"], r["out_width"], r["out_height"]) == (
+            w, h, out_w, out_h
+        )
+        assert bytes(r["resized"]) == payload[: out_w * out_h]
+
+
+def test_u03_second_fixture_edge_cases(spark):
+    from chicago_business_owners_data_engineering_spark.functions.udfs import (
+        leadership_score_apply_in_pandas,
+    )
+
+    rows = [
+        (1, "view"), (1, "view"), (1, "buy"), (1, "buy"),  # 4 events, 2 types
+        (2, "view"),                                        # singleton group
+        (3, None), (3, "buy"),                              # null event_type
+    ]
+    events = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["user_id"]: (r["n_events"], r["diversity_score"])
+        for r in leadership_score_apply_in_pandas(events).collect()
+    }
+    # hand-computed: nunique drops nulls on both the pandas and native side
+    assert got == {1: (4, 0.5), 2: (1, 1.0), 3: (2, 0.5)}

@@ -388,6 +388,21 @@ def _ml04_scaled(spark: SparkSession, sf_dir: str):
     return dbscan_density_dedup(spark, sf_dir, k=max(8, n // 250), cos_threshold=0.5)
 
 
+def _ml09_scaled_k(spark: SparkSession, sf_dir: str):
+    """ml09's engine with k ∝ corpus size (constant ~250-vector cell
+    width) — the production knob its docstring promises. 10× measured
+    0.91 with assignment cost dominating; the ml03 100× lesson (732 s
+    fixed-k vs 41.8 s scaled) says only the second decade shows
+    whether the in-cell quadratic or the linear assignment wins."""
+    from chicago_business_owners_data_engineering_spark.catalog import load_table
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        knn_classifier_eval,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return knn_classifier_eval(spark, sf_dir, k=max(8, n // 250))
+
+
 def _tx15_wide(spark: SparkSession, sf_dir: str):
     """tx15's engine with the word charset widened to admit the
     fixture's shard-tagged tokens (``word_3``). The registry pin
@@ -410,7 +425,15 @@ EXTRA_PROBES = {
     "sim14_pqjoin_scaledk": _sim14_scaled_k,
     "ml04_density_scaledk": _ml04_scaled,
     "tx15_bpe_widecharset": _tx15_wide,
+    "ml09_knneval_scaledk": _ml09_scaled_k,
 }
+
+# Round-7 100× additions (VERDICT r6 #5): promote ml09's scaled-k twin
+# through the second decade.
+PROBE100_R7: tuple[str, ...] = (
+    "q01_pricing_summary",  # control
+    "ml09_knneval_scaledk",
+)
 
 
 def _timed_count(
