@@ -297,8 +297,8 @@ def _rotate_front(front: tuple[str, ...], strict: bool = True) -> bool:
     initialized, so its queries aren't registered yet — they land when
     the outer import resumes, AFTER this body finishes. Raising here
     would poison the whole package import; instead the body defers and
-    every accessor re-applies the rotation (strictly) once all 247
-    names exist.
+    every accessor re-applies the rotation (strictly) once every
+    registered name exists.
     """
     missing = [n for n in front if n not in QUERIES]
     if missing:

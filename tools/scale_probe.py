@@ -177,6 +177,10 @@ PROBE_QUERIES: tuple[str, ...] = (
     "f31_mom_change",  # monthly rollup + bounded lag window — linear check
     "gov01_pseudonymize",  # scan-fused masking projection — linear check
     "gov02_erasure_audit",  # three conditional-count scans — linear check
+    # round-7 additions
+    "f25_id_gap_islands",  # 3-level sharded gap scan — partitioned-window linear check
+    "dd17_lsh_tuning_eval",  # band sweep + exact prefix-join true leg — collision check
+    "tp23_pipeline_report",  # composed funnel card — end-to-end linear check
 )
 
 # The 100× set: the top-10 most expensive registry queries by the
