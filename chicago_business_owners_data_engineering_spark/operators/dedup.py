@@ -1829,9 +1829,16 @@ def dd17_lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs), and the rollup is 3 rows.
     """
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
-    docs = documents.select(
-        "doc_id", _shingle_set(F.col("text")).alias("ws")
-    ).filter(F.size("ws") > 0)
+    # The shingled relation feeds the 12 minhash slot builds AND the
+    # exact true-pair leg's five internal consumers (df counts, prefix,
+    # both verify fetches — the dd16 stoks lesson); localCheckpoint
+    # materializes the shingle arrays once instead of re-deriving them
+    # per consumer.
+    docs = (
+        documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
+        .filter(F.size("ws") > 0)
+        .localCheckpoint(eager=True)
+    )
     def _slot(idx: int):
         # NB: must be a ONE-argument lambda — a second parameter (even
         # defaulted) makes pyspark bind transform's (element, index)
