@@ -245,6 +245,12 @@ BENCH_R6B = [
 ]
 
 
+# Round-7 additions (same freezing rationale).
+BENCH_R7 = [
+    "tp23_pipeline_report",
+]
+
+
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:
     """Time the full warehouse CLI (ingestion → warehouse → analytics).
 
@@ -371,6 +377,7 @@ def main() -> None:
     r4, r4_stats = run_set(BENCH_R4)
     r6, r6_stats = run_set(BENCH_R6)
     r6b, r6b_stats = run_set(BENCH_R6B)
+    r7, r7_stats = run_set(BENCH_R7)
     e2e = run_pipeline_e2e(sf_dir)
     vec = run_vector_e2e(sf_dir)
 
@@ -414,6 +421,7 @@ def main() -> None:
     emit("round4_queries_total_runtime", r4, r4_stats)
     emit("round6_queries_total_runtime", r6, r6_stats)
     emit("round6_tail_queries_total_runtime", r6b, r6b_stats)
+    emit("round7_queries_total_runtime", r7, r7_stats)
     stage_detail = e2e.pop("warehouse_stages", {})
     validation_flag = e2e.pop("warehouse_validation", "passed")
     emit(
