@@ -248,6 +248,9 @@ BENCH_R6B = [
 # Round-7 additions (same freezing rationale).
 BENCH_R7 = [
     "tp23_pipeline_report",
+    "tp24_epoch_budget",
+    "tx22_rank_decay",
+    "sim19_source_centroid_drift",
 ]
 
 

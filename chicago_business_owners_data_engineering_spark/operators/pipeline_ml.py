@@ -2133,3 +2133,123 @@ def tp22_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- tp24: epoch budgeting under a repetition cap -------------------------------
+
+# Budget = TP24_BUDGET_X × corpus tokens (scale-free: the knob is the
+# oversampling factor, not an absolute count); repetition capped at
+# TP24_CAP_MILLI/1000 epochs per source (the data-constrained-scaling
+# regime: repeating data beyond ~4 epochs returns ~nothing, so budget
+# past the cap is STRANDED and must move to fresh sources).
+TP24_BUDGET_X = 3
+TP24_CAP_MILLI = 4000
+
+
+@query(
+    "tp24_epoch_budget",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                    AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), weighted AS (
+        SELECT source, tokens,
+               CASE WHEN source IN ('src0', 'src1', 'src2') THEN 25
+                    WHEN source IN ('src3', 'src4', 'src5') THEN 50
+                    ELSE 90 END AS weight
+        FROM per_source
+    ), tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS t_all,
+               CAST(SUM(weight * tokens) AS BIGINT) AS wt_all
+        FROM weighted
+    ), alloc AS (
+        SELECT w.source, w.tokens, CAST(w.weight AS BIGINT) AS weight,
+               ({TP24_BUDGET_X} * tot.t_all * w.weight * w.tokens) // tot.wt_all
+                   AS alloc_tokens
+        FROM weighted w CROSS JOIN tot
+    )
+    SELECT source, tokens, weight, alloc_tokens,
+           LEAST((1000 * alloc_tokens) // tokens, {TP24_CAP_MILLI})
+               AS epochs_milli,
+           LEAST(alloc_tokens, ({TP24_CAP_MILLI} * tokens) // 1000)
+               AS granted_tokens,
+           alloc_tokens - LEAST(alloc_tokens, ({TP24_CAP_MILLI} * tokens) // 1000)
+               AS stranded_tokens
+    FROM alloc
+    ORDER BY source
+    """,
+)
+def tp24_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch budgeting under a repetition cap — the
+    data-constrained-scaling planner (Muennighoff et al. 2023: repeated
+    epochs decay in value; pipelines cap repetition at ~4 epochs and
+    must know how much of the token budget that cap STRANDS on small
+    high-weight sources).
+
+    Budget = {TP24_BUDGET_X}× the corpus token count, allocated
+    ∝ weight·tokens (tp08's mixture weights), then clipped at
+    {TP24_CAP_MILLI}/1000 epochs per source. ``stranded_tokens`` is
+    the audit signal: budget the cap prevents spending — the amount a
+    re-allocation pass (or new data acquisition) must cover.
+
+    Every quantity is an exact BIGINT: token counts are whitespace
+    arithmetic (tp09's shuffle-free length trick), the allocation is
+    one integer cross-multiplication over a 1-row total, and the
+    cap/min/subtraction chain never touches a float — Spark ``div``
+    and DuckDB ``//`` agree on nonnegative operands.
+
+    Scale shape: one source-keyed aggregate (map-side partials), a
+    1-row total broadcast back onto the |sources|-row relation —
+    no window, no explode, no second scan of the corpus.
+
+    Parity: beyond-reference (§2.11 mandate — mixture planning;
+    composes with tp08/tp09/tp15).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 25)
+        .when(F.col("source").isin("src3", "src4", "src5"), 50)
+        .otherwise(90)
+    ).cast("long")
+    per_source = (
+        documents.select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tokens"))
+        .withColumn("weight", weight)
+    )
+    tot = per_source.agg(
+        F.sum("tokens").alias("t_all"),
+        F.sum(F.col("weight") * F.col("tokens")).alias("wt_all"),
+    )
+    cap_tokens = F.expr(f"({TP24_CAP_MILLI} * tokens) div 1000")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            "weight",
+            F.expr(
+                f"({TP24_BUDGET_X} * t_all * weight * tokens) div wt_all"
+            ).alias("alloc_tokens"),
+        )
+        .select(
+            "source",
+            "tokens",
+            "weight",
+            "alloc_tokens",
+            F.least(
+                F.expr("(1000 * alloc_tokens) div tokens"),
+                F.lit(TP24_CAP_MILLI).cast("long"),
+            ).alias("epochs_milli"),
+            F.least(F.col("alloc_tokens"), cap_tokens).alias("granted_tokens"),
+            (
+                F.col("alloc_tokens") - F.least(F.col("alloc_tokens"), cap_tokens)
+            ).alias("stranded_tokens"),
+        )
+        .orderBy("source")
+    )

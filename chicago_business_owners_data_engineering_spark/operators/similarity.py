@@ -1687,3 +1687,125 @@ def sim18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# --- sim19: per-source embedding-centroid drift ------------------------------------
+
+SIM19_GRID = 1024  # fixed quantization grid: q = floor(x*1024 + 0.5)
+SIM19_DIMS = 64
+
+
+@query(
+    "sim19_source_centroid_drift",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id AS vec_id, source FROM documents
+    ), e AS (
+        SELECT emb.vec_id, g.dim,
+               CAST(FLOOR(CAST(emb.embedding[g.dim + 1] AS DOUBLE)
+                          * {SIM19_GRID} + 0.5) AS BIGINT) + {SIM19_GRID} AS qp
+        FROM embeddings emb
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {SIM19_DIMS})) AS dim) g
+    ), per AS (
+        SELECT s.source, e.dim,
+               (1000 * CAST(SUM(e.qp) AS BIGINT)) // ({SIM19_GRID} * COUNT(*))
+                   - 1000 AS m
+        FROM e JOIN src s USING (vec_id) GROUP BY s.source, e.dim
+    ), gcent AS (
+        SELECT dim,
+               (1000 * CAST(SUM(qp) AS BIGINT)) // ({SIM19_GRID} * COUNT(*))
+                   - 1000 AS m
+        FROM e GROUP BY dim
+    ), agg AS (
+        SELECT p.source,
+               CAST(SUM(p.m * g.m) AS BIGINT) AS dot,
+               CAST(SUM(p.m * p.m) AS BIGINT) AS na2,
+               CAST(SUM(g.m * g.m) AS BIGINT) AS nb2
+        FROM per p JOIN gcent g USING (dim) GROUP BY p.source
+    ), cnt AS (
+        SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM src s JOIN embeddings emb ON emb.vec_id = s.vec_id
+        GROUP BY s.source
+    )
+    SELECT a.source, c.n_vecs, a.dot, a.na2, a.nb2,
+           CASE WHEN a.na2 * a.nb2 = 0 THEN NULL
+                ELSE (1000 * a.dot * a.dot) // (a.na2 * a.nb2) END AS cos2_milli
+    FROM agg a JOIN cnt c USING (source)
+    ORDER BY a.source
+    """,
+)
+def sim19_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift vs the corpus centroid —
+    the monitoring pass that catches a source whose embedding
+    distribution moved (new crawler, model version skew, poisoned
+    shard) before it contaminates retrieval or dedup downstream.
+
+    Exactness across engines is the whole design: raw float means are
+    fold-order-dependent, so components are snapped to a fixed
+    1/{SIM19_GRID} grid first (one IEEE multiply + floor — bit-equal
+    everywhere, the sim06 discipline with a GLOBAL grid so means are
+    comparable across vectors), offset nonnegative so the per-dim
+    integer-milli mean's ``div`` truncates identically on both
+    engines, then un-offset. Drift is reported as exact integers: the
+    dot product and squared norms of the (milli-unit) centroid pair,
+    plus cos²·1000 via one cross-multiplied division — sign readable
+    from ``dot``; no sqrt, no float accumulation, NULL-guarded
+    denominator.
+
+    Scale shape: one posexplode of the vector table (map-side), one
+    (source, dim)-keyed aggregate, a {SIM19_DIMS}-row global-centroid
+    aggregate broadcast back onto it, and a |sources|-row rollup —
+    linear in vectors, no pairwise anything.
+
+    Parity: beyond-reference (embedding-ops mandate; monitoring seed
+    cbddl/src/monitoring/pipeline_monitor.py:75-117 drift alerts).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    src = documents.select(F.col("doc_id").alias("vec_id"), "source")
+    e = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        (
+            F.floor(F.col("x").cast("double") * SIM19_GRID + 0.5).cast("long")
+            + SIM19_GRID
+        ).alias("qp"),
+    )
+    mean_milli = F.expr(f"(1000 * sum(qp)) div ({SIM19_GRID} * count(*))") - 1000
+    per = (
+        e.join(src, "vec_id")
+        .groupBy("source", "dim")
+        .agg(mean_milli.alias("m"))
+    )
+    glob = e.groupBy("dim").agg(mean_milli.alias("gm"))
+    agg = (
+        per.join(F.broadcast(glob), "dim")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("m") * F.col("gm")).alias("dot"),
+            F.sum(F.col("m") * F.col("m")).alias("na2"),
+            F.sum(F.col("gm") * F.col("gm")).alias("nb2"),
+        )
+    )
+    cnt = (
+        src.join(embeddings.select("vec_id"), "vec_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    denom = F.col("na2") * F.col("nb2")
+    return (
+        agg.join(cnt, "source")
+        .select(
+            "source",
+            "n_vecs",
+            "dot",
+            "na2",
+            "nb2",
+            F.when(denom == 0, F.lit(None).cast("long"))
+            .otherwise(F.expr("(1000 * dot * dot) div (na2 * nb2)"))
+            .alias("cos2_milli"),
+        )
+        .orderBy("source")
+    )

@@ -1145,3 +1145,79 @@ def tx21_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard_milli"), "source_a", "source_b")
     )
+
+
+# --- tx22: Zipf rank-decay curve -------------------------------------------------
+
+TX22_MAX_RANK = 256  # probe ranks 1, 2, 4, ..., 256 (needs top 512)
+
+
+@query(
+    "tx22_rank_decay",
+    oracle=f"""
+    WITH c AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+              FROM documents)
+        WHERE LENGTH(word) >= 3
+        GROUP BY word
+    ), top AS (
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS r
+        FROM c
+        QUALIFY r <= {2 * TX22_MAX_RANK}
+    )
+    SELECT a.r AS rank, a.cnt AS cnt, b.cnt AS cnt_2x,
+           (1000 * b.cnt) // a.cnt AS decay_milli
+    FROM top a JOIN top b ON b.r = 2 * a.r
+    WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256)
+    ORDER BY rank
+    """,
+)
+def tx22_rank_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-decay curve: count(2r)/count(r) per-mille at doubling
+    ranks — the corpus-health fingerprint a log-log slope fit gives,
+    WITHOUT floats (a Zipfian corpus with exponent s shows a flat
+    curve near 2^-s·1000 ≈ 500‰; template/boilerplate corpora bow it,
+    and a sudden cliff marks a truncated vocabulary). Same tokenization
+    contract as a18 (lowercased whitespace words, length ≥ 3).
+
+    Integer-exact by construction: counts are BIGINTs, the decay ratio
+    is one cross-multiplied ``div``, and ranks come from a total order
+    (count DESC, word ASC) both engines replay identically — no
+    ln()/log-fit whose libm last-ulp would break the driver hash
+    (ts10's sufficient-stats fit covers the float-regression cell).
+
+    Scale shape: the vocabulary aggregate is the only real shuffle;
+    the global ordering touches ONLY the top {2 * TX22_MAX_RANK} rows
+    via TakeOrdered (per-partition top-k, no single-partition sort of
+    the vocab), and the rank window runs over that bounded relation.
+
+    Parity: beyond-reference (frequency analytics seed
+    cbddl/src/analytics/demographics_analyzer.py:71-96 value_counts).
+    """
+    documents = spread_scan(load_table(spark, sf_dir, "documents"))
+    counts = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(2 * TX22_MAX_RANK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = top.withColumn("r", F.row_number().over(w))
+    probe_ranks = [1 << i for i in range(9)]  # 1..256
+    a = ranked.filter(F.col("r").isin(probe_ranks)).alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(b, F.col("b.r") == 2 * F.col("a.r"))
+        .select(
+            F.col("a.r").alias("rank"),
+            F.col("a.cnt").alias("cnt"),
+            F.col("b.cnt").alias("cnt_2x"),
+            F.expr("(1000 * b.cnt) div a.cnt").alias("decay_milli"),
+        )
+        .orderBy("rank")
+    )

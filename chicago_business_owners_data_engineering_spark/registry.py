@@ -58,8 +58,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # first, per tools/rotation.py) plus the new tp23 composed funnel;
 # the ~33-query residue (u06-u08, j08/j13/j14, ab*, mon02/mon03,
 # gov*, tp20-tp22, opt*, mb*, skew*, mm03/mm05, dq16/dq17, gr12,
-# wh05, bf01, er05, a19/a30/a33, tx19-tx21, dd14-dd17 leftovers)
-# is round 8's front.
+# wh05, bf01, er05, a19/a30/a33, tx19-tx21, dd14-dd17 leftovers,
+# plus the round-7 tail trio tp24/tx22/sim19) is round 8's front.
+# (a19/a30/a33, tx19-tx21, dd14-dd17 are IN this front; the residue
+# comment above lists families, tools/rotation.py gives exact names.)
 _R07_FRONT = (
     # event-stream analytics (entire family never driver-sampled)
     "st01_sessionization",

@@ -189,3 +189,93 @@ def test_u03_second_fixture_edge_cases(spark):
     }
     # hand-computed: nunique drops nulls on both the pandas and native side
     assert got == {1: (4, 0.5), 2: (1, 1.0), 3: (2, 0.5)}
+
+
+# ------------------------------------------------------------------
+# round-7 tail operators: planted fixtures pinning the semantic
+# contracts the oracle can't isolate (cap binding, drift extremes)
+# ------------------------------------------------------------------
+
+def test_tp24_cap_strands_budget_on_small_high_weight_source(spark, tmp_path):
+    from chicago_business_owners_data_engineering_spark.operators.pipeline_ml import (
+        TP24_BUDGET_X,
+        TP24_CAP_MILLI,
+        tp24_epoch_budget,
+    )
+
+    # src9 (weight 90): tiny (10 tokens) -> allocation ~10.5 epochs of
+    # itself, far past the cap; src0 (weight 25): big (1000 tokens)
+    rows = [(1, " ".join(["a"] * 10), "en", "src9", 20)] + [
+        (2 + i, " ".join(["b"] * 100), "en", "src0", 200) for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["source"]: r for r in tp24_epoch_budget(spark, str(tmp_path)).collect()}
+    t0, t9 = got["src0"], got["src9"]
+    assert (t9["tokens"], t0["tokens"]) == (10, 1000)
+    # hand-replay of the integer allocation
+    t_all, wt_all = 1010, 90 * 10 + 25 * 1000
+    for t, w in ((t0, 25), (t9, 90)):
+        alloc = TP24_BUDGET_X * t_all * w * t["tokens"] // wt_all
+        assert t["alloc_tokens"] == alloc
+        cap_tok = TP24_CAP_MILLI * t["tokens"] // 1000
+        assert t["granted_tokens"] == min(alloc, cap_tok)
+        assert t["stranded_tokens"] == alloc - min(alloc, cap_tok)
+        assert t["epochs_milli"] == min(1000 * alloc // t["tokens"], TP24_CAP_MILLI)
+    # src9 dominates the weighted pool -> its allocation exceeds 3 epochs
+    # of itself and the cap must bind, stranding budget
+    assert t9["epochs_milli"] == TP24_CAP_MILLI
+    assert t9["stranded_tokens"] > 0
+    # budget conservation: total allocation == sum of grants + strands
+    assert sum(r["alloc_tokens"] for r in got.values()) == sum(
+        r["granted_tokens"] + r["stranded_tokens"] for r in got.values()
+    )
+
+
+def test_sim19_single_source_corpus_has_unit_alignment(spark, tmp_path):
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        SIM19_DIMS,
+        sim19_source_centroid_drift,
+    )
+
+    docs = [(i, "doc %d" % i, "en", "only", 5) for i in range(4)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    vecs = [(i, [0.25] * SIM19_DIMS) for i in range(4)]
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    [r] = sim19_source_centroid_drift(spark, str(tmp_path)).collect()
+    # one source == the corpus: centroids identical, cos^2 = 1.000
+    assert r["source"] == "only" and r["n_vecs"] == 4
+    assert r["dot"] == r["na2"] == r["nb2"] > 0
+    assert r["cos2_milli"] == 1000
+
+
+def test_sim19_opposed_sources_have_negative_dot(spark, tmp_path):
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        SIM19_DIMS,
+        sim19_source_centroid_drift,
+    )
+
+    docs = [(0, "a", "en", "up", 1), (1, "b", "en", "up", 1),
+            (2, "c", "en", "down", 1)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    vecs = [(0, [0.4] * SIM19_DIMS), (1, [0.4] * SIM19_DIMS),
+            (2, [-0.4] * SIM19_DIMS)]
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {r["source"]: r for r in
+           sim19_source_centroid_drift(spark, str(tmp_path)).collect()}
+    # corpus centroid leans "up" (2 of 3 vectors): the down-source's
+    # centroid opposes it -> negative dot; the up-source aligns
+    assert got["down"]["dot"] < 0
+    assert got["up"]["dot"] > 0 and got["up"]["cos2_milli"] == 1000
