@@ -181,6 +181,9 @@ PROBE_QUERIES: tuple[str, ...] = (
     "f25_id_gap_islands",  # 3-level sharded gap scan — partitioned-window linear check
     "dd17_lsh_tuning_eval",  # band sweep + exact prefix-join true leg — collision check
     "tp23_pipeline_report",  # composed funnel card — end-to-end linear check
+    "tp24_epoch_budget",  # source rollup + 1-row total broadcast — linear check
+    "tx22_rank_decay",  # vocab agg + TakeOrdered-512 — linear check
+    "sim19_source_centroid_drift",  # posexplode + keyed aggregates — linear check
 )
 
 # The 100× set: the top-10 most expensive registry queries by the
