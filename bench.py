@@ -251,6 +251,8 @@ BENCH_R7 = [
     "tp24_epoch_budget",
     "tx22_rank_decay",
     "sim19_source_centroid_drift",
+    "a34_weighted_median",
+    "wh06_partition_skew_audit",
 ]
 
 

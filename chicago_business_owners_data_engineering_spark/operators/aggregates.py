@@ -557,3 +557,85 @@ def a30_grouped_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- a34: exact weighted median -------------------------------------------------
+
+
+@query(
+    "a34_weighted_median",
+    oracle="""
+    WITH per_val AS (
+        SELECT l_returnflag AS returnflag,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ), cum AS (
+        SELECT returnflag, qty, w,
+               CAST(SUM(w) OVER (PARTITION BY returnflag ORDER BY qty)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY returnflag) AS BIGINT) AS tw
+        FROM per_val
+    )
+    SELECT returnflag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN qty END) AS BIGINT)
+               AS w_median_qty,
+           CAST(MIN(tw) AS BIGINT) AS total_w_cents
+    FROM cum GROUP BY returnflag
+    ORDER BY returnflag
+    """,
+)
+def a34_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT revenue-weighted median quantity per return flag — the
+    "what order size carries half the money" statistic (a33's sketch
+    answers the approximate form; this is the exact small-domain
+    companion: when the VALUE domain is bounded — quantities,
+    ratings, bucketed sizes — the exact weighted median costs one
+    value-keyed aggregate, no sketch needed).
+
+    Weighted median = smallest value whose cumulative weight reaches
+    half the total, decided by the integer cross-multiplication
+    ``2·cum ≥ total`` (no halving division). Weights are exact price
+    CENTS (floor(x·100 + 0.5) — bit-identical on both engines);
+    quantities are integer-valued by construction and cast exactly.
+
+    Scale shape: the only data-sized exchange is the (flag, qty)
+    aggregate — the domain relation it produces is |flags|·|distinct
+    qty| rows (~350 here, bounded at any corpus size), and the
+    cumulative windows partition by flag over that bounded relation.
+
+    Parity: beyond-reference (distributional analytics seed
+    cbddl/src/analytics/demographics_analyzer.py:120-141 describe()).
+    """
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    per_val = (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            cents.alias("c"),
+        )
+        .groupBy("returnflag", "qty")
+        .agg(F.sum("c").alias("w"))
+    )
+    w_cum = Window.partitionBy("returnflag").orderBy("qty")
+    w_all = Window.partitionBy("returnflag")
+    cum = per_val.select(
+        "returnflag",
+        "qty",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.groupBy("returnflag")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("qty"))).alias(
+                "w_median_qty"
+            ),
+            F.min("tw").alias("total_w_cents"),
+        )
+        .orderBy("returnflag")
+    )

@@ -781,3 +781,85 @@ def wh05_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"), F.sum("cents").alias("total_cents"))
         .orderBy("status")
     )
+
+
+# --- wh06: shuffle-partition skew audit ------------------------------------------
+
+WH06_BUCKETS = 32
+WH06_HOT_MILLI = 1500  # flag buckets carrying >= 1.5x their fair share
+
+
+@query(
+    "wh06_partition_skew_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(CONCAT('0x', SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {WH06_BUCKETS} AS bucket,
+               l_orderkey
+        FROM lineitem
+    ), per AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+        FROM b GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM per
+    )
+    SELECT p.bucket, p.n_rows, p.n_keys,
+           ({WH06_BUCKETS} * 1000 * p.n_rows) // tot.t AS load_milli,
+           ({WH06_BUCKETS} * 1000 * p.n_rows) // tot.t >= {WH06_HOT_MILLI}
+               AS is_hot
+    FROM per p CROSS JOIN tot
+    ORDER BY p.bucket
+    """,
+)
+def wh06_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew audit: simulate the {WH06_BUCKETS}-way
+    hash partitioning of the fact table on its join key and report
+    each bucket's load relative to fair share — the pre-flight check
+    that tells you whether a key needs salting (skew01/skew02's
+    remedies) or AQE skew-join splitting BEFORE the 100 TB shuffle
+    runs, not after one straggler task blows the stage.
+
+    ``load_milli`` = 1000 × bucket_rows / fair_share, an exact BIGINT
+    cross-multiplication; ``is_hot`` flags ≥ {WH06_HOT_MILLI}‰ (1.5×
+    fair share — the conventional AQE skew threshold shape). The
+    bucketing hash is the repo's md5 bucket (engine-replayable in the
+    oracle), standing in for the engine's internal hash partitioner:
+    what is being audited is the KEY DISTRIBUTION, which any uniform
+    hash exposes identically.
+
+    Scale shape: one bucket-keyed aggregate with map-side partials
+    ({WH06_BUCKETS} groups), a 1-row total broadcast back onto it —
+    the audit costs one scan regardless of corpus size.
+
+    Parity: beyond-reference (scale-operations mandate; remedy twins
+    skew01_salted_agg / skew02_salted_join).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % WH06_BUCKETS
+    )
+    per = (
+        lineitem.select(bucket.alias("bucket"), "l_orderkey")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_keys"),
+        )
+    )
+    tot = per.agg(F.sum("n_rows").alias("t"))
+    load = F.expr(f"({WH06_BUCKETS} * 1000 * n_rows) div t")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_keys",
+            load.alias("load_milli"),
+            (load >= WH06_HOT_MILLI).alias("is_hot"),
+        )
+        .orderBy("bucket")
+    )

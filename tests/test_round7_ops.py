@@ -279,3 +279,56 @@ def test_sim19_opposed_sources_have_negative_dot(spark, tmp_path):
     # centroid opposes it -> negative dot; the up-source aligns
     assert got["down"]["dot"] < 0
     assert got["up"]["dot"] > 0 and got["up"]["cos2_milli"] == 1000
+
+
+def test_a34_weighted_median_hand_fixture(spark, tmp_path):
+    from chicago_business_owners_data_engineering_spark.operators.aggregates import (
+        a34_weighted_median,
+    )
+
+    # flag A: qty 1 (weight 1.00), qty 10 (weight 98.99), qty 20 (0.02):
+    # half of 100.01 is reached at qty 10. flag B: all weight on qty 5.
+    rows = [
+        (1, 1, "A", 1.0, 1.00),
+        (2, 2, "A", 10.0, 98.99),
+        (3, 3, "A", 20.0, 0.02),
+        (4, 4, "B", 5.0, 7.77),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_returnflag string, "
+        "l_quantity double, l_extendedprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {r["returnflag"]: r for r in a34_weighted_median(spark, str(tmp_path)).collect()}
+    assert got["A"]["w_median_qty"] == 10
+    assert got["A"]["total_w_cents"] == 100 + 9899 + 2
+    assert got["B"]["w_median_qty"] == 5 and got["B"]["total_w_cents"] == 777
+
+
+def test_wh06_flags_planted_hot_key(spark, tmp_path):
+    from chicago_business_owners_data_engineering_spark.plans.warehouse import (
+        WH06_BUCKETS,
+        wh06_partition_skew_audit,
+    )
+
+    # one mega-key (600 rows) + 600 unique keys: the mega-key's bucket
+    # must carry >= 1.5x fair share and flag hot
+    rows = [(7, i, "A", 1.0, 1.0) for i in range(600)] + [
+        (1000 + i, i, "A", 1.0, 1.0) for i in range(600)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_returnflag string, "
+        "l_quantity double, l_extendedprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = wh06_partition_skew_audit(spark, str(tmp_path)).collect()
+    assert len(out) <= WH06_BUCKETS
+    assert sum(r["n_rows"] for r in out) == 1200
+    hot = [r for r in out if r["is_hot"]]
+    assert hot, "the mega-key bucket must flag hot"
+    assert max(r["load_milli"] for r in out) >= 1500
+    # every bucket's key count is consistent (mega-key adds 1 key, 600 rows)
+    mega = max(out, key=lambda r: r["n_rows"])
+    assert mega["n_rows"] >= 600 and mega["is_hot"]

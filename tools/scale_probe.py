@@ -184,6 +184,8 @@ PROBE_QUERIES: tuple[str, ...] = (
     "tp24_epoch_budget",  # source rollup + 1-row total broadcast — linear check
     "tx22_rank_decay",  # vocab agg + TakeOrdered-512 — linear check
     "sim19_source_centroid_drift",  # posexplode + keyed aggregates — linear check
+    "a34_weighted_median",  # bounded value-domain aggregate + windows — linear check
+    "wh06_partition_skew_audit",  # 32-bucket rollup + 1-row total — linear check
 )
 
 # The 100× set: the top-10 most expensive registry queries by the
