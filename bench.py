@@ -366,6 +366,12 @@ def main() -> None:
             stats[name] = {
                 "median": round(med, 3),
                 "min": round(min(samples), 3),
+                # max ≈ the cold first rep. Queries that persist()
+                # intermediates (dd17) hit Spark's CacheManager on reps
+                # 2+ (identical logical plans reuse the cached
+                # relation), so their median reflects warm reuse; max
+                # keeps the uncached cost visible in the artifact.
+                "max": round(max(samples), 3),
                 "runs": len(samples),
             }
         return timings, stats

@@ -1048,6 +1048,7 @@ def jaccard_join_prefix(
     set_col: str = "ws",
     t_num: int = 4,
     t_den: int = 5,
+    reuse: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (AllPairs).
 
@@ -1098,6 +1099,15 @@ def jaccard_join_prefix(
         .filter(F.col("rn") <= p)
         .select("doc_id", "sz", "token")
     )
+    if reuse:
+        # The prefix relation feeds BOTH sides of the candidate
+        # self-join; without caching, the df join + per-doc window
+        # shuffle run twice (Spark's exchange reuse does not unify the
+        # two aliased subplans here). Lazy persist: materializes on the
+        # caller's first action, lineage preserved. Opt-in because the
+        # cache is session-scoped — multi-consumer callers (dd17's
+        # tuning eval) want it, single-shot callers may not.
+        prefix = prefix.persist()
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -1831,13 +1841,19 @@ def dd17_lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = spread_scan(load_table(spark, sf_dir, "documents"))
     # The shingled relation feeds the 12 minhash slot builds AND the
     # exact true-pair leg's five internal consumers (df counts, prefix,
-    # both verify fetches — the dd16 stoks lesson); localCheckpoint
-    # materializes the shingle arrays once instead of re-deriving them
-    # per consumer.
+    # both verify fetches — the dd16 stoks lesson). Lazy persist()
+    # (NOT eager localCheckpoint): materialization happens on the first
+    # ACTION, so plan-only consumers (plan audits, .explain()) stay
+    # free, and lineage is preserved — an executor loss recomputes the
+    # lost blocks instead of failing the job, which localCheckpoint
+    # cannot do. Cache lifetime is session-scoped by design: the
+    # registry contract returns a lazy DataFrame, so there is no safe
+    # point inside this function to unpersist after the caller's
+    # action.
     docs = (
         documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
         .filter(F.size("ws") > 0)
-        .localCheckpoint(eager=True)
+        .persist()
     )
     def _slot(idx: int):
         # NB: must be a ONE-argument lambda — a second parameter (even
@@ -1854,68 +1870,77 @@ def dd17_lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{idx}")
 
     slot_cols = [_slot(i) for i in range(DD17_NUM_HASHES)]
-    per_doc = docs.select("doc_id", "ws", *slot_cols).persist()
-    try:
-        band_frames = []
-        for r in DD17_BAND_SIZES:
-            n_bands = DD17_NUM_HASHES // r
-            for b in range(n_bands):
-                bh = F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
-                    )
+    per_doc = docs.select("doc_id", *slot_cols)
+    # All 13 (r, band_id) keys for all three band-size settings in ONE
+    # explode over the 12-slot signature row — one pass over per_doc
+    # instead of a 13-way union of projections (each of which would
+    # re-scan the signature relation on both sides of the self-join).
+    band_structs = []
+    for r in DD17_BAND_SIZES:
+        for b in range(DD17_NUM_HASHES // r):
+            bh = F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
                 )
-                band_frames.append(
-                    per_doc.select(
-                        F.lit(r).alias("r"),
-                        "doc_id",
-                        F.lit(b).alias("band_id"),
-                        bh.alias("bh"),
-                    )
+            )
+            band_structs.append(
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.lit(b).alias("band_id"),
+                    bh.alias("bh"),
                 )
-        bands = band_frames[0]
-        for bf in band_frames[1:]:
-            bands = bands.unionByName(bf)
-        cand = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.r") == F.col("b.r"))
-                & (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            .select(
-                F.col("a.r").alias("r"),
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    # Lazy persist: the bucket self-join scans this relation twice;
+    # caching it avoids recomputing 12 minhash mins + 13 md5s per doc
+    # on the second side. Same fault-tolerance rationale as `docs`.
+    bands = (
+        per_doc.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.r").alias("r"), "bb.band_id", "bb.bh")
+        .persist()
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        truep = jaccard_join_prefix(
-            docs, "doc_id", "ws", t_num=DD17_T_NUM, t_den=DD17_T_DEN
-        ).select("doc_a", "doc_b", F.lit(1).alias("is_true"))
-        nt = truep.agg(F.count("*").alias("n_true"))
-        out = (
-            cand.join(truep, ["doc_a", "doc_b"], "left")
-            .crossJoin(F.broadcast(nt))
-            .groupBy(F.col("r").alias("band_size"), "n_true")
-            .agg(
-                F.count("*").alias("n_candidates"),
-                F.count("is_true").alias("n_caught"),
-            )
-            .select(
-                "band_size",
-                F.expr(f"{DD17_NUM_HASHES} div band_size").alias("n_bands"),
-                "n_candidates",
-                "n_true",
-                "n_caught",
-                F.expr("(1000 * n_caught) div n_true").alias("recall_milli"),
-                F.expr("(1000 * n_caught) div n_candidates").alias("precision_milli"),
-            )
-            .orderBy("band_size")
+        .select(
+            F.col("a.r").alias("r"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        out = out.localCheckpoint(eager=True)
-    finally:
-        per_doc.unpersist()
-    return out
+        .distinct()
+    )
+    # Consumed twice (the recall left-join and the n_true scalar);
+    # persisting avoids re-running the whole prefix-filter join for the
+    # 1-row count. Lazy, same rationale as above.
+    truep = (
+        jaccard_join_prefix(
+            docs, "doc_id", "ws", t_num=DD17_T_NUM, t_den=DD17_T_DEN, reuse=True
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+        .persist()
+    )
+    nt = truep.agg(F.count("*").alias("n_true"))
+    return (
+        cand.join(truep, ["doc_a", "doc_b"], "left")
+        .crossJoin(F.broadcast(nt))
+        .groupBy(F.col("r").alias("band_size"), "n_true")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.count("is_true").alias("n_caught"),
+        )
+        .select(
+            "band_size",
+            F.expr(f"{DD17_NUM_HASHES} div band_size").alias("n_bands"),
+            "n_candidates",
+            "n_true",
+            "n_caught",
+            F.expr("(1000 * n_caught) div n_true").alias("recall_milli"),
+            F.expr("(1000 * n_caught) div n_candidates").alias("precision_milli"),
+        )
+        .orderBy("band_size")
+    )

@@ -1692,7 +1692,17 @@ def sim18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sim19: per-source embedding-centroid drift ------------------------------------
 
 SIM19_GRID = 1024  # fixed quantization grid: q = floor(x*1024 + 0.5)
-SIM19_DIMS = 64
+SIM19_DIMS = 64  # testdata embedding width (fixtures only — both the
+# engine and the oracle derive the dim range from each row's actual
+# array length, so a malformed-width vector shifts BOTH sides the same
+# way instead of silently diverging)
+# Component saturation bound: components are clamped to [-CLAMP, CLAMP]
+# BEFORE quantizing, identically on both engines, so the nonnegativity
+# offset (CLAMP·GRID) holds for ANY input instead of silently breaking
+# truncating-div parity when a component drifts below -1.0005 (the
+# round-7 ADVICE finding). Unit-normalized embeddings never touch the
+# clamp; a malformed vector saturates deterministically on both sides.
+SIM19_CLAMP = 2
 
 
 @query(
@@ -1702,19 +1712,21 @@ SIM19_DIMS = 64
         SELECT doc_id AS vec_id, source FROM documents
     ), e AS (
         SELECT emb.vec_id, g.dim,
-               CAST(FLOOR(CAST(emb.embedding[g.dim + 1] AS DOUBLE)
-                          * {SIM19_GRID} + 0.5) AS BIGINT) + {SIM19_GRID} AS qp
-        FROM embeddings emb
-        CROSS JOIN (SELECT UNNEST(RANGE(0, {SIM19_DIMS})) AS dim) g
+               CAST(FLOOR(LEAST(GREATEST(CAST(emb.embedding[g.dim + 1] AS DOUBLE),
+                                         -{SIM19_CLAMP}.0), {SIM19_CLAMP}.0)
+                          * {SIM19_GRID} + 0.5) AS BIGINT)
+                   + {SIM19_CLAMP * SIM19_GRID} AS qp
+        FROM embeddings emb,
+        LATERAL (SELECT UNNEST(RANGE(0, LEN(emb.embedding))) AS dim) g
     ), per AS (
         SELECT s.source, e.dim,
                (1000 * CAST(SUM(e.qp) AS BIGINT)) // ({SIM19_GRID} * COUNT(*))
-                   - 1000 AS m
+                   - {SIM19_CLAMP * 1000} AS m
         FROM e JOIN src s USING (vec_id) GROUP BY s.source, e.dim
     ), gcent AS (
         SELECT dim,
                (1000 * CAST(SUM(qp) AS BIGINT)) // ({SIM19_GRID} * COUNT(*))
-                   - 1000 AS m
+                   - {SIM19_CLAMP * 1000} AS m
         FROM e GROUP BY dim
     ), agg AS (
         SELECT p.source,
@@ -1753,7 +1765,7 @@ def sim19_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator.
 
     Scale shape: one posexplode of the vector table (map-side), one
-    (source, dim)-keyed aggregate, a {SIM19_DIMS}-row global-centroid
+    (source, dim)-keyed aggregate, a dim-count-row global-centroid
     aggregate broadcast back onto it, and a |sources|-row rollup —
     linear in vectors, no pairwise anything.
 
@@ -1763,17 +1775,23 @@ def sim19_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     embeddings = load_table(spark, sf_dir, "embeddings")
     src = documents.select(F.col("doc_id").alias("vec_id"), "source")
+    clamp = F.least(
+        F.greatest(F.col("x").cast("double"), F.lit(-float(SIM19_CLAMP))),
+        F.lit(float(SIM19_CLAMP)),
+    )
     e = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select(
         "vec_id",
         "dim",
         (
-            F.floor(F.col("x").cast("double") * SIM19_GRID + 0.5).cast("long")
-            + SIM19_GRID
+            F.floor(clamp * SIM19_GRID + 0.5).cast("long")
+            + SIM19_CLAMP * SIM19_GRID
         ).alias("qp"),
     )
-    mean_milli = F.expr(f"(1000 * sum(qp)) div ({SIM19_GRID} * count(*))") - 1000
+    mean_milli = F.expr(
+        f"(1000 * sum(qp)) div ({SIM19_GRID} * count(*))"
+    ) - SIM19_CLAMP * 1000
     per = (
         e.join(src, "vec_id")
         .groupBy("source", "dim")

@@ -27,6 +27,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Single source of truth for the registry-size regression floor
+# (tests/test_oracle_harness.py asserts get_queries() >= this). Bump it
+# whenever queries are added so a silent registration drop of even one
+# query fails CI.
+EXPECTED_MIN_QUERIES = 310
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as a named engine query, with optional oracle SQL.
@@ -53,15 +59,88 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # join/window/sort/graph/setop/monitoring families; round 5 fronted the
 # TPC-H-shaped olap queries, training-data pipeline ops, warehouse
 # plans, entity resolution and scalar functions; round 6 fronted the
-# tx*/ts*/dq*/f*/sim*/mm*/u* families. Round 7 fronts 49 of the ~83
-# still-never-driver-sampled oracle-backed queries (largest families
-# first, per tools/rotation.py) plus the new tp23 composed funnel;
-# the ~33-query residue (u06-u08, j08/j13/j14, ab*, mon02/mon03,
-# gov*, tp20-tp22, opt*, mb*, skew*, mm03/mm05, dq16/dq17, gr12,
-# wh05, bf01, er05, a19/a30/a33, tx19-tx21, dd14-dd17 leftovers,
-# plus the round-7 tail trio tp24/tx22/sim19) is round 8's front.
-# (a19/a30/a33, tx19-tx21, dd14-dd17 are IN this front; the residue
-# comment above lists families, tools/rotation.py gives exact names.)
+# tx*/ts*/dq*/f*/sim*/mm*/u* families; round 7 fronted 49 more plus
+# tp23. Round 8 fronts the ENTIRE remaining never-driver-sampled pool
+# (41 queries: 37 oracle-backed + the 4 documented rows-only entries)
+# so every registry family has hard driver evidence after this round,
+# plus fillers to pad the 50-query sample window. The pool is computed
+# mechanically — `python tools/rotation.py` is the single source of
+# truth (registry minus the union of CORRECTNESS_r01..r07 keys); no
+# hand-maintained residue list exists on purpose.
+_R08_FRONT = (
+    # training-data pipeline ops
+    "tp20_source_overlap_matrix",
+    "tp21_stable_eval_panel",
+    "tp22_pack_efficiency",
+    "tp24_epoch_budget",
+    # join tail: as-of / interval / nearest-in-time
+    "j08_asof_join",
+    "j13_interval_overlap_join",
+    "j14_nearest_event_join",
+    # experimentation
+    "ab01_experiment_readout",
+    "ab02_srm_check",
+    "ab03_cuped_readout",
+    # monitoring
+    "mon02_slo_burn_rate",
+    "mon03_freshness_lag",
+    "mon04_error_budget",
+    # governance
+    "gov01_pseudonymize",
+    "gov02_erasure_audit",
+    "gov03_retention_sweep",
+    # UDF surfaces
+    "u06_arrow_udf_bucket",
+    "u07_pandas_iter_udf",
+    "u08_apply_in_arrow",
+    # optimizer-rule demonstrations
+    "opt01_or_join_rule",
+    "opt02_fused_counts_rule",
+    # warehouse tail
+    "wh05_cdc_apply",
+    "wh06_partition_skew_audit",
+    # market basket
+    "mb01_market_basket",
+    "mb02_frequent_triples",
+    # skew mitigation
+    "skew01_salted_agg",
+    "skew02_salted_join",
+    # multimodal (incl. the 2 rows-only codec stubs, documented)
+    "mm03_frame_sample_plan",
+    "mm05_shard_manifest",
+    "mm02_decode_features",
+    "mm06_resize_batch",
+    # data-quality tail
+    "dq16_format_conformance",
+    "dq17_row_invariants",
+    # graph tail
+    "gr12_harmonic_centrality",
+    # bloom prefilter
+    "bf01_bloom_join_prefilter",
+    # entity-resolution tail
+    "er05_blocking_quality",
+    # round-7 tail trio
+    "tx22_rank_decay",
+    "sim19_source_centroid_drift",
+    "a34_weighted_median",
+    # remaining rows-only entries (OPQ rotation, applyInPandas demo)
+    "sim10_opq_topk",
+    "u03_apply_in_pandas_scores",
+    # ---- fillers to 50: data-shape-sensitive re-checks (already
+    # driver-green at least once; re-sampling guards tie-break and
+    # threshold behavior). Swapped for new round-8 queries as they land.
+    "dd04_minhash_lsh_pairs",
+    "sim03_ivf_topk",
+    "o04_pagination",
+    "f32_equiwidth_histogram",
+    "a09_topk_counts",
+    "dd17_lsh_tuning_eval",
+    "ml06_threshold_sweep",
+    "o06_topk_per_group",
+    "tp23_pipeline_report",
+)
+
+# Round-7 front, kept for provenance (driver-green in CORRECTNESS_r07).
 _R07_FRONT = (
     # event-stream analytics (entire family never driver-sampled)
     "st01_sessionization",
@@ -315,13 +394,13 @@ def _rotate_front(front: tuple[str, ...], strict: bool = True) -> bool:
 
 
 _import_operator_modules()
-_ROTATED = _rotate_front(_R07_FRONT, strict=False)
+_ROTATED = _rotate_front(_R08_FRONT, strict=False)
 
 
 def _ensure_rotated() -> None:
     global _ROTATED
     if not _ROTATED:
-        _ROTATED = _rotate_front(_R07_FRONT, strict=True)
+        _ROTATED = _rotate_front(_R08_FRONT, strict=True)
 
 
 def get_queries() -> dict[str, QueryFn]:

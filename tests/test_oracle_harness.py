@@ -116,8 +116,8 @@ def test_registry_rotation_survives_operator_module_first_import():
         "import chicago_business_owners_data_engineering_spark.plans.warehouse as w\n"
         "from chicago_business_owners_data_engineering_spark import registry\n"
         "q = registry.get_queries()\n"
-        "assert len(q) >= 247, len(q)\n"
-        "assert list(q)[: len(registry._R07_FRONT)] == list(registry._R07_FRONT)\n"
+        "assert len(q) >= registry.EXPECTED_MIN_QUERIES, len(q)\n"
+        "assert list(q)[: len(registry._R08_FRONT)] == list(registry._R08_FRONT)\n"
         "print('ok')\n"
     )
     out = subprocess.run(

@@ -281,6 +281,52 @@ def test_sim19_opposed_sources_have_negative_dot(spark, tmp_path):
     assert got["up"]["dot"] > 0 and got["up"]["cos2_milli"] == 1000
 
 
+def test_sim19_malformed_vector_saturates_identically(spark, tmp_path):
+    """ADVICE r7: a component below -1.0005 used to break truncating-div
+    vs flooring-// parity (negative qp), and a non-64-width vector used
+    to shift the oracle's means silently. Both engines now clamp to
+    [-SIM19_CLAMP, SIM19_CLAMP] and derive the dim range from the
+    actual array length — a malformed vector must still hash-match."""
+    import duckdb
+
+    from chicago_business_owners_data_engineering_spark.operators.similarity import (
+        SIM19_DIMS,
+    )
+    from chicago_business_owners_data_engineering_spark.registry import (
+        get_oracles,
+        get_queries,
+    )
+
+    docs = [(i, "d%d" % i, "en", "poisoned" if i == 0 else "clean", 2)
+            for i in range(4)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    bad = [-3.25] * (SIM19_DIMS // 2) + [7.5] * (SIM19_DIMS // 2)
+    vecs = [(0, bad)] + [(i, [0.125] * SIM19_DIMS) for i in range(1, 4)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = (
+        get_queries()["sim19_source_centroid_drift"](spark, str(tmp_path))
+        .orderBy("source")
+        .collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    want = con.execute(get_oracles()["sim19_source_centroid_drift"]).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
+    # saturation is visible: the poisoned source's centroid pins at the
+    # clamp (-2000 / +2000 milli per half), so its drift vs the clean
+    # corpus centroid must register (cos2 far from 1000)
+    by_src = {r["source"]: r for r in got}
+    assert by_src["poisoned"]["cos2_milli"] < 1000
+
+
 def test_a34_weighted_median_hand_fixture(spark, tmp_path):
     from chicago_business_owners_data_engineering_spark.operators.aggregates import (
         a34_weighted_median,

@@ -225,6 +225,21 @@ PROBE100_R6: tuple[str, ...] = (
     "tx15_bpe_widecharset",
 )
 
+# Round-8 100× additions (VERDICT r7 #3): the eight round-7 operators
+# previously probed at 10× only. The ml03/ml09 precedent: fixed knobs
+# can hide quadratics below 10×; the two-decade span makes a quadratic
+# term 10× louder.
+PROBE100_R8: tuple[str, ...] = (
+    "a34_weighted_median",
+    "wh06_partition_skew_audit",
+    "tp24_epoch_budget",
+    "tx22_rank_decay",
+    "sim19_source_centroid_drift",
+    "f25_id_gap_islands",
+    "dd17_lsh_tuning_eval",
+    "tp23_pipeline_report",
+)
+
 # One stride per key family — shared by every table that references the
 # family, so cross-table joins keep matching inside a shard and never
 # match across shards.
