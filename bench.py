@@ -255,6 +255,18 @@ BENCH_R7 = [
     "wh06_partition_skew_audit",
 ]
 
+BENCH_R8 = [
+    "f33_variant_json",
+    "f34_try_arithmetic",
+    "f35_collated_group",
+    "j15_lateral_topk",
+    "a35_percentile_disc",
+    "a36_grouped_mode",
+    "st10_session_window_native",
+    "tp25_curriculum_phases",
+    "wh07_snapshot_diff",
+]
+
 
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:
     """Time the full warehouse CLI (ingestion → warehouse → analytics).
@@ -389,6 +401,7 @@ def main() -> None:
     r6, r6_stats = run_set(BENCH_R6)
     r6b, r6b_stats = run_set(BENCH_R6B)
     r7, r7_stats = run_set(BENCH_R7)
+    r8, r8_stats = run_set(BENCH_R8)
     e2e = run_pipeline_e2e(sf_dir)
     vec = run_vector_e2e(sf_dir)
 
@@ -433,6 +446,7 @@ def main() -> None:
     emit("round6_queries_total_runtime", r6, r6_stats)
     emit("round6_tail_queries_total_runtime", r6b, r6b_stats)
     emit("round7_queries_total_runtime", r7, r7_stats)
+    emit("round8_queries_total_runtime", r8, r8_stats)
     stage_detail = e2e.pop("warehouse_stages", {})
     validation_flag = e2e.pop("warehouse_validation", "passed")
     emit(

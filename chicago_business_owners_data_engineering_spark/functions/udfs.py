@@ -337,35 +337,45 @@ def u08_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas, u02 grouped-agg, u03 grouped map pandas, u04 SQL, u05
     UDTF, u06 Arrow scalar, u07 SCALAR_ITER, u08 Arrow grouped map).
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from ..catalog import load_table
-
-    def per_group(table: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(table["value"], pa.scalar(100.0)),
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return pa.table(
-            {
-                "event_type": [table["event_type"][0].as_py()],
-                "total_cents": [pc.sum(cents).as_py()],
-                "n_events": [table.num_rows],
-                "first_event_id": [pc.min(table["event_id"]).as_py()],
-                "last_event_id": [pc.max(table["event_id"]).as_py()],
-            }
-        )
 
     events = load_table(spark, sf_dir, "events")
     return (
         events.select("event_type", "event_id", "value")
         .groupBy("event_type")
         .applyInArrow(
-            per_group,
-            schema="event_type string, total_cents long, n_events long,"
-            " first_event_id long, last_event_id long",
+            arrow_cents_rollup,
+            schema=ARROW_CENTS_ROLLUP_SCHEMA,
         )
         .orderBy("event_type")
+    )
+
+
+# Shared by u08 (batch) and the streaming foreachBatch twin
+# (tests/test_round8_ops.py): both paths run the SAME Arrow kernel, so
+# batch/streaming parity is structural, not re-implemented.
+ARROW_CENTS_ROLLUP_SCHEMA = (
+    "event_type string, total_cents long, n_events long,"
+    " first_event_id long, last_event_id long"
+)
+
+
+def arrow_cents_rollup(table):
+    """u08's per-group pyarrow payload (see u08_apply_in_arrow)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(
+        pc.round(pc.multiply(table["value"], pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "event_type": [table["event_type"][0].as_py()],
+            "total_cents": [pc.sum(cents).as_py()],
+            "n_events": [table.num_rows],
+            "first_event_id": [pc.min(table["event_id"]).as_py()],
+            "last_event_id": [pc.max(table["event_id"]).as_py()],
+        }
     )

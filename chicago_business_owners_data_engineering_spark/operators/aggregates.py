@@ -639,3 +639,108 @@ def a34_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+@query(
+    "a35_percentile_disc",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+               CUME_DIST() OVER (PARTITION BY l_returnflag
+                                 ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cd
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cd >= 0.25 THEN cents END) AS BIGINT) AS p25_cents,
+           CAST(MIN(CASE WHEN cd >= 0.5  THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cd >= 0.75 THEN cents END) AS BIGINT) AS p75_cents
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a35_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (``percentile_disc``) of line price
+    per return flag — the SQL:2003 inverse-distribution aggregate that
+    a33's sketch approximates. Discrete semantics return an ACTUAL
+    element (the smallest value whose cumulative distribution reaches
+    p), so on integer cents the result is engine-independent — no
+    interpolation arithmetic to diverge. The oracle spells out that
+    standard definition with a CUME_DIST window rather than trusting
+    DuckDB's quantile_disc index convention.
+
+    Scale shape: Spark plans percentile_disc as a partial/final typed
+    aggregate over the group's value multiset — one shuffle on the
+    5-value flag domain; no global sort.
+
+    Parity: extends A10's scalar stats (cbddl pandas .describe()) with
+    the exact-quantile cell; a33 carries the sketch twin.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("__a35_cents")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p25_cents,
+               CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p50_cents,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS p75_cents
+        FROM __a35_cents GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "a36_grouped_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY COUNT(*) DESC, o.o_orderpriority ASC
+               ) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    )
+    SELECT c_mktsegment AS mktsegment,
+           o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM counts WHERE rn = 1 ORDER BY mktsegment
+    """,
+)
+def a36_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped MODE: the most frequent order priority per
+    market segment through Spark 3.4+'s ``mode(col, deterministic)``
+    aggregate — ties resolve to the LOWEST value, which is what makes
+    the result a total function of the data (the default
+    nondeterministic mode would hash-flake on any tied segment).
+
+    The mode count is re-derived by a join back onto the (segment,
+    priority) rollup so both engines report the same (value, count)
+    pair; the oracle spells the deterministic rule out as
+    ROW_NUMBER OVER (count DESC, value ASC).
+
+    Parity: A8's value_counts / idxmax family
+    (cbddl/src/analytics/demographics_analyzer.py top-category
+    tabulations) as the single-call SQL aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    modes = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.mode("o_orderpriority", True).alias("mode_priority")
+    )
+    counts = joined.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("o_orderpriority").alias("mode_priority"),
+    ).agg(F.count("*").alias("mode_count"))
+    return (
+        modes.join(counts, ["mktsegment", "mode_priority"])
+        .select("mktsegment", "mode_priority", "mode_count")
+        .orderBy("mktsegment")
+    )

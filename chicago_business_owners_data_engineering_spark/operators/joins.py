@@ -727,3 +727,57 @@ def j14_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.cast("long").alias("gap_days"),
         )
     )
+
+
+@query(
+    "j15_lateral_topk",
+    oracle="""
+    SELECT s.c_mktsegment AS mktsegment, l.orderkey, l.cents
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) s
+    JOIN LATERAL (
+        SELECT o.o_orderkey AS orderkey,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = s.c_mktsegment
+        ORDER BY cents DESC, orderkey
+        LIMIT 3
+    ) l ON TRUE
+    ORDER BY mktsegment, cents DESC, orderkey
+    """,
+)
+def j15_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: top-3 orders by value per market
+    segment, written as the SQL-standard ``JOIN LATERAL (... ORDER BY
+    ... LIMIT k)`` instead of the window-function idiom (o06's shape).
+
+    The point is the API cell: Spark 3.4+ plans a correlated lateral
+    subquery with ORDER BY + LIMIT as DomainJoin → rewritten to a
+    partitioned TakeOrdered per correlation key — the same physical
+    shape as row_number ≤ k, so the declarative form costs nothing at
+    scale while composing better (arbitrary correlated predicates, no
+    manual rank column). Price in integer cents with an orderkey
+    tie-break, so the top-3 frontier is a total function of the data.
+
+    Parity: beyond-reference (the reference's per-group top-k is a
+    pandas groupby-head; this is its SQL-standard correlated form).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    customer.createOrReplaceTempView("__j15_customer")
+    orders.createOrReplaceTempView("__j15_orders")
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment AS mktsegment, l.orderkey, l.cents
+        FROM (SELECT DISTINCT c_mktsegment FROM __j15_customer) s
+        JOIN LATERAL (
+            SELECT o.o_orderkey AS orderkey,
+                   CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM __j15_orders o JOIN __j15_customer c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = s.c_mktsegment
+            ORDER BY cents DESC, orderkey
+            LIMIT 3
+        ) l
+        ORDER BY mktsegment, cents DESC, orderkey
+        """
+    )

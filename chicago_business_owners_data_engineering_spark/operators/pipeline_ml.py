@@ -2253,3 +2253,166 @@ def tp24_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "st10_session_window_native",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, value,
+               -- session_window merge rule (pinned by fixture test):
+               -- an event at EXACTLY prev+gap still merges — Spark
+               -- treats the window's upper bound as inclusive for
+               -- merging — so a new session starts only when
+               -- ts > prev + gap, at full timestamp precision (NOT
+               -- truncated-seconds date_diff, which is where this
+               -- differs from st01's rule on sub-second gaps)
+               CAST(SUM(CASE WHEN prev IS NULL
+                             OR ts > prev + INTERVAL {SESSION_GAP_S} SECOND
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def st10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE ``session_window`` batch
+    aggregate — the declarative twin of st01's three-window
+    gaps-and-islands build. One groupBy plans a single
+    UpdatingSessionsExec + merging aggregate: the gap logic lives in
+    the engine, the 100 TB plan is one user-keyed shuffle (no lag /
+    flag / running-sum window chain), and the SAME expression runs
+    unchanged under ``readStream`` with a watermark — which is the real
+    reason the cell matters.
+
+    Boundary semantics are pinned by fixture test: an event at EXACTLY
+    prev+gap still merges (Spark's merge treats the window bound as
+    inclusive — new session only when ts > prev+gap), measured at full
+    timestamp precision, where st01's DATE_DIFF('second') rule
+    truncates sub-second gaps. session_end here is last_event_ts + gap
+    (the window's upper bound), not the last event time.
+
+    Parity: reference sessionization
+    (cbddl/src/big_data/streaming_processor.py windowed aggregations);
+    st01 is the manual form, this is the engine-native cell.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "tp25_curriculum_phases",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_words,
+               (1000 * LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))))
+                   // LEN(STRING_SPLIT(LOWER(text), ' ')) AS score
+        FROM documents
+    ), buckets AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS tok
+        FROM scored GROUP BY score
+    ), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM buckets),
+    cum AS (
+        SELECT score, n_docs, tok,
+               CAST(SUM(n_docs) OVER (ORDER BY score DESC) AS BIGINT) AS cum_ge
+        FROM buckets
+    )
+    SELECT CAST((4 * c.cum_ge + t.n - 1) // t.n AS BIGINT) AS phase,
+           CAST(SUM(c.n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(c.tok) AS BIGINT) AS token_sum,
+           CAST(MIN(c.score) AS BIGINT) AS score_min,
+           CAST(MAX(c.score) AS BIGINT) AS score_max
+    FROM cum c CROSS JOIN tot t
+    GROUP BY phase ORDER BY phase
+    """,
+)
+def tp25_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: the corpus partitioned into 4
+    quality-ordered training phases (highest lexical diversity first),
+    with per-phase doc and token budgets — the ordering pass a staged
+    pretraining run consumes.
+
+    A global NTILE over (score, doc_id) would need one total sort of
+    the corpus; instead the quality signal is an INTEGER milli-score on
+    a bounded domain (0..1000), so phases come from a cumulative count
+    over at most 1001 score buckets (a34's weighted-median discipline):
+    per-score rollup -> descending cumulative -> phase = ceil(4·cum/n)
+    in pure integer arithmetic. Equal-score docs land in the SAME phase
+    by construction — the deterministic tie policy NTILE lacks — and
+    the per-doc phase assignment is a broadcast-join of ≤1001 rows.
+
+    Parity: beyond-reference (LLM-pipeline mandate; composes tx01's
+    quality family with tp15/tp24's budget discipline).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    scored = documents.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.expr(
+            "(1000 * size(array_distinct(split(lower(text), ' '))))"
+            " div size(split(lower(text), ' '))"
+        ).alias("score"),
+    )
+    buckets = scored.groupBy("score").agg(
+        F.count("*").alias("n_docs"), F.sum("n_words").alias("tok")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.select(
+        "score", "n_docs", "tok", F.sum("n_docs").over(w).alias("cum_ge")
+    )
+    tot = buckets.agg(F.sum("n_docs").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(4 * cum_ge + n - 1) div n").alias("phase"),
+            "n_docs",
+            "tok",
+            "score",
+        )
+        .groupBy("phase")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("tok").alias("token_sum"),
+            F.min("score").alias("score_min"),
+            F.max("score").alias("score_max"),
+        )
+        .orderBy("phase")
+    )

@@ -758,3 +758,166 @@ def f32_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "f33_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(SUM(CASE WHEN JSON_EXTRACT(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f33_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` ingests the raw ``props`` JSON once into the binary
+    VARIANT encoding, then ``variant_get`` path extraction runs typed
+    and shredded (no per-access re-parse, unlike get_json_object which
+    re-parses the string for every path). ``try_variant_get`` on an
+    absent path yields NULL instead of erroring — the schema-drift
+    tolerance a 100 TB event lake needs when producers add fields.
+
+    Scale shape: pure projection + one keyed aggregate; parse cost is
+    linear and shuffle carries only (type, long, long) triples.
+
+    Parity: beyond-reference (f18's JSON decode generalized to the
+    VARIANT cell); oracle extracts the same paths with DuckDB's JSON
+    functions over the identical strings.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # try_parse_json: malformed props become a NULL variant (every
+    # extraction NULLs out) instead of failing the job — strictly more
+    # tolerant than the oracle, which presumes valid JSON; the fixture
+    # test pins the malformed-row behavior engine-side.
+    v = F.try_parse_json(F.col("props"))
+    return (
+        events.select(
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.missing", "long").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "f34_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           -- FLOOR: Spark's long cast truncates, DuckDB's rounds
+           CASE WHEN CAST(FLOOR(o_totalprice) AS BIGINT) - 100000 = 0 THEN NULL
+                ELSE ROUND(o_totalprice / (CAST(FLOOR(o_totalprice) AS BIGINT) - 100000), 6)
+           END AS safe_ratio,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-date'
+                         ELSE STRFTIME(o_orderdate, '%Y-%m-%d') END
+                    AS TIMESTAMP) AS parsed_ts
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def f34_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface (``try_divide`` /
+    ``try_to_timestamp``): malformed rows become NULL instead of
+    failing the job — under ANSI SQL mode (Spark 4's default) a single
+    bad row would otherwise kill a 100 TB pass, and pre-filtering every
+    denominator/format by hand is the brittle alternative.
+
+    The fixture plants both failure classes deterministically: a zero
+    denominator wherever the integer part of o_totalprice equals the
+    100000 sentinel, and an unparseable date string on every third
+    order. Ratio rounded to 6dp on both engines (same double division);
+    the valid timestamps parse identically (ISO yyyy-MM-dd).
+
+    Parity: beyond-reference (ANSI-mode survival kit for F11's
+    arithmetic family).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_totalprice").cast("long") - 100000
+    date_str = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return (
+        orders.filter(F.col("o_orderkey") <= 200)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.try_divide(F.col("o_totalprice"), denom), 6).alias(
+                "safe_ratio"
+            ),
+            F.try_to_timestamp(date_str).alias("parsed_ts"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "f35_collated_group",
+    oracle="""
+    SELECT LOWER(brand_mixed) AS brand_key,
+           MIN(brand_mixed) AS brand_canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_brand)
+                    ELSE LOWER(p_brand) END AS brand_mixed
+        FROM part
+    )
+    GROUP BY LOWER(brand_mixed)
+    ORDER BY brand_key
+    """,
+)
+def f35_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4's COLLATION support:
+    the group key is ``collate(x, 'UTF8_LCASE')`` — comparison
+    semantics move into the string TYPE, so every downstream equality,
+    join, or DISTINCT on that column is case-insensitive without
+    scattering lower() through the pipeline (and without losing the
+    original casing, which lower() destroys).
+
+    Mixed case is synthesized deterministically (even part keys upper,
+    odd lower) because the fixture's brands are uniformly cased. The
+    emitted representative is the BINARY min of the raw strings —
+    min/max over a collated column may return either case variant of
+    equal keys, so the canonical pick must not depend on collation.
+    The oracle replays with LOWER()-key grouping, which is equivalent
+    for this ASCII domain.
+
+    Parity: F1's normalize family (cbddl ingestion str.upper()) as the
+    type-level cell.
+    """
+    part = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper(F.col("p_brand"))
+    ).otherwise(F.lower(F.col("p_brand")))
+    return (
+        part.select(mixed.alias("brand_mixed"))
+        .groupBy(
+            F.collate(F.col("brand_mixed"), "UTF8_LCASE").alias("brand_coll")
+        )
+        .agg(
+            F.min(F.collate(F.col("brand_mixed"), "UTF8_BINARY")).alias(
+                "brand_canonical"
+            ),
+            F.count("*").alias("n_parts"),
+        )
+        .select(
+            F.lower("brand_canonical").alias("brand_key"),
+            "brand_canonical",
+            "n_parts",
+        )
+        .orderBy("brand_key")
+    )

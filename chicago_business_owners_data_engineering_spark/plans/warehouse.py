@@ -863,3 +863,83 @@ def wh06_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "wh07_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY o_custkey
+    ), b AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+           a.rev_cents AS rev_a_cents,
+           b.rev_cents AS rev_b_cents,
+           CAST(COALESCE(b.rev_cents, 0) - COALESCE(a.rev_cents, 0) AS BIGINT) AS delta_cents,
+           CASE WHEN a.custkey IS NULL THEN 'added'
+                WHEN b.custkey IS NULL THEN 'removed'
+                WHEN a.rev_cents = b.rev_cents THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+    ORDER BY custkey
+    """,
+)
+def wh07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit: the keyed added/removed/changed/unchanged
+    classification between two derived warehouse snapshots (per-customer
+    revenue in 1995 vs 1996) — the validation pass a CDC apply (wh05) or
+    a backfill owes its operator before publishing, answering "what did
+    this refresh actually change?" row by row.
+
+    One FULL OUTER JOIN on the snapshot key; revenue in integer cents
+    (the er03 rule — never hash a float SUM of money) so both the
+    values and the equality classification are engine-exact. At scale
+    both sides shuffle once on custkey and the join reuses that
+    partitioning; diff output is bounded by churn, not table size.
+
+    Parity: reference's pipeline validation counts
+    (cbddl/src/etl/pipeline.py record-count checks) upgraded to a
+    keyed, value-exact diff.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.sum(cents).alias("rev_cents"))
+        )
+
+    a = snap("1995-01-01", "1996-01-01").alias("a")
+    b = snap("1996-01-01", "1997-01-01").alias("b")
+    return (
+        a.join(b, F.col("a.custkey") == F.col("b.custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.custkey"), F.col("b.custkey")).alias("custkey"),
+            F.col("a.rev_cents").alias("rev_a_cents"),
+            F.col("b.rev_cents").alias("rev_b_cents"),
+            (
+                F.coalesce(F.col("b.rev_cents"), F.lit(0))
+                - F.coalesce(F.col("a.rev_cents"), F.lit(0))
+            ).alias("delta_cents"),
+            F.when(F.col("a.custkey").isNull(), "added")
+            .when(F.col("b.custkey").isNull(), "removed")
+            .when(F.col("a.rev_cents") == F.col("b.rev_cents"), "unchanged")
+            .otherwise("changed")
+            .alias("change_type"),
+        )
+        .orderBy("custkey")
+    )

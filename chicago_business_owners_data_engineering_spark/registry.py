@@ -31,7 +31,7 @@ ORACLES: dict[str, str] = {}
 # (tests/test_oracle_harness.py asserts get_queries() >= this). Bump it
 # whenever queries are added so a silent registration drop of even one
 # query fails CI.
-EXPECTED_MIN_QUERIES = 310
+EXPECTED_MIN_QUERIES = 319
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -126,18 +126,17 @@ _R08_FRONT = (
     # remaining rows-only entries (OPQ rotation, applyInPandas demo)
     "sim10_opq_topk",
     "u03_apply_in_pandas_scores",
-    # ---- fillers to 50: data-shape-sensitive re-checks (already
-    # driver-green at least once; re-sampling guards tie-break and
-    # threshold behavior). Swapped for new round-8 queries as they land.
-    "dd04_minhash_lsh_pairs",
-    "sim03_ivf_topk",
-    "o04_pagination",
-    "f32_equiwidth_histogram",
-    "a09_topk_counts",
-    "dd17_lsh_tuning_eval",
-    "ml06_threshold_sweep",
-    "o06_topk_per_group",
-    "tp23_pipeline_report",
+    # ---- the 9 round-8 additions (new API cells + pipeline ops),
+    # each landed with oracle + fixture test the same session
+    "f33_variant_json",
+    "f34_try_arithmetic",
+    "f35_collated_group",
+    "j15_lateral_topk",
+    "a35_percentile_disc",
+    "a36_grouped_mode",
+    "st10_session_window_native",
+    "tp25_curriculum_phases",
+    "wh07_snapshot_diff",
 )
 
 # Round-7 front, kept for provenance (driver-green in CORRECTNESS_r07).
