@@ -530,17 +530,38 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--keep-fixture", default=None, help="persist fixture here instead of a temp dir")
+    ap.add_argument(
+        "--reuse-fixture",
+        action="store_true",
+        help="skip the build when --keep-fixture already holds every table "
+        "(pre-build the fixture in a contended window, probe in a quiet one)",
+    )
     ap.add_argument("--queries", default=None, help="comma-separated override of PROBE_QUERIES")
+    ap.add_argument(
+        "--build-only",
+        action="store_true",
+        help="build the fixture and exit (pair with --keep-fixture)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
     fixture = args.keep_fixture or tempfile.mkdtemp(prefix="scale_probe_sfx_")
     names = tuple(args.queries.split(",")) if args.queries else PROBE_QUERIES
     try:
-        t0 = time.time()
-        build_fixture(spark, args.base, fixture, args.factor)
-        build_s = round(time.time() - t0, 1)
+        all_tables = [*COPIED_TABLES, *REPLICATED_TABLES]
+        complete = all(
+            os.path.exists(os.path.join(fixture, f"{t}.parquet", "_SUCCESS"))
+            for t in all_tables
+        )
+        if args.reuse_fixture and complete:
+            build_s = 0.0
+        else:
+            t0 = time.time()
+            build_fixture(spark, args.base, fixture, args.factor)
+            build_s = round(time.time() - t0, 1)
         print(json.dumps({"fixture": fixture, "factor": args.factor, "build_sec": build_s}), flush=True)
+        if args.build_only:
+            return
 
         records = []
         for name in names:
