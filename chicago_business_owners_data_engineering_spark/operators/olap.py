@@ -601,7 +601,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice), 4) AS total_price
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -617,16 +618,24 @@ def skew01_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     only covers *joins*, so skewed aggs still need this pattern when
     partial aggregation alone can't absorb the skew (e.g. after a
     preceding shuffle already co-located the hot key).
+
+    The sum is INTEGER CENTS (er03's money rule): a salted two-stage
+    float SUM folds in a different order than the oracle's single SUM,
+    and at sf0.1 volume (~1e10 totals) the double's low bits land
+    exactly at a ROUND(,4) boundary — the r08 sf0.1 differential sweep
+    caught precisely that (0.9498 vs .95). Integer cents make the
+    decomposition exact at any scale and any fold order.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     salted = lineitem.withColumn(
         "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
     )
     partial = salted.groupBy("l_returnflag", "salt").agg(
-        F.count("*").alias("pn"), F.sum("l_extendedprice").alias("ps")
+        F.count("*").alias("pn"), F.sum(cents).alias("ps")
     )
     return partial.groupBy("l_returnflag").agg(
-        F.sum("pn").alias("n_lines"), F.round(F.sum("ps"), 4).alias("total_price")
+        F.sum("pn").alias("n_lines"), F.sum("ps").alias("total_cents")
     )
 
 
