@@ -60,13 +60,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # TPC-H-shaped olap queries, training-data pipeline ops, warehouse
 # plans, entity resolution and scalar functions; round 6 fronted the
 # tx*/ts*/dq*/f*/sim*/mm*/u* families; round 7 fronted 49 more plus
-# tp23. Round 8 fronts the ENTIRE remaining never-driver-sampled pool
-# (41 queries: 37 oracle-backed + the 4 documented rows-only entries)
-# so every registry family has hard driver evidence after this round,
-# plus fillers to pad the 50-query sample window. The pool is computed
-# mechanically — `python tools/rotation.py` is the single source of
-# truth (registry minus the union of CORRECTNESS_r01..r07 keys); no
-# hand-maintained residue list exists on purpose.
+# tp23; round 8 fronted the last 41 never-sampled queries plus the 9
+# round-8 additions, closing the external-proof gap: EVERY registry
+# query now has at least one driver-verified correctness row.
+#
+# From round 9 on the rotation optimizes EVIDENCE FRESHNESS: the front
+# is the 50 queries with the OLDEST driver evidence (ascending
+# last-sampled round, then name — `python tools/rotation.py` derives it
+# mechanically from the CORRECTNESS_r*.json record). The r09 front is
+# exactly the r01/r02/r03-era sample: the aggregate, filter-predicate,
+# similarity and dedup families whose code has since been refactored
+# (dedup reworks r7-r8, salted-agg integer-cents fix r8) without
+# external re-verification.
+_R09_FRONT = (
+    # last sampled r01
+    "a28_countmin_heavy_hitters",
+    "a29_cube",
+    "dq02_constraint_checks",
+    "dq03_volume_anomaly",
+    "p01_projection",
+    "p02_flag_filter",
+    "p03_point_lookup",
+    "p04_ci_substring",
+    "p05_regex_predicate",
+    "p06_null_drop",
+    "p08_batch_scoped",
+    # last sampled r02
+    "dq01_quality_profile",
+    "sim01_bruteforce_topk",
+    "sim02_near_dup_vectors",
+    "sim03_ivf_topk",
+    "sim04_centroid_norms",
+    "sim05_hyperplane_lsh",
+    "sim07_batch_topk",
+    "sim08_hybrid_search",
+    # last sampled r03
+    "a01_dataset_summary",
+    "a02_approx_distinct",
+    "a03_conditional_counts",
+    "a04_conditional_distinct",
+    "a05_orders_per_customer",
+    "a06_grouped_multi_agg",
+    "a07_bool_or_per_group",
+    "a08_value_counts",
+    "a09_topk_counts",
+    "a10_scalar_stats",
+    "a11_round_avg_by_group",
+    "a14_duplicate_count",
+    "a15_null_profile",
+    "a16_shannon_entropy",
+    "a16b_grouped_entropy",
+    "a17_gini_simpson",
+    "a20_keyword_buckets",
+    "a21_distinct_projection",
+    "a23_correlation",
+    "a24_pct_of_total",
+    "a25_map_value_counts",
+    "a25_quantiles",
+    "a26_rollup",
+    "a27_pivot",
+    "a29_hll_sketch_union",
+    "a31_freq_items",
+    "dd01_exact_dup_groups",
+    "dd02_exact_dedup_rows",
+    "dd03_jaccard_pairs",
+    "dd04_minhash_lsh_pairs",
+    "dd05_simhash",
+)
+
+# Round-8 front, kept for provenance (driver-green in CORRECTNESS_r08).
 _R08_FRONT = (
     # training-data pipeline ops
     "tp20_source_overlap_matrix",
@@ -393,13 +455,13 @@ def _rotate_front(front: tuple[str, ...], strict: bool = True) -> bool:
 
 
 _import_operator_modules()
-_ROTATED = _rotate_front(_R08_FRONT, strict=False)
+_ROTATED = _rotate_front(_R09_FRONT, strict=False)
 
 
 def _ensure_rotated() -> None:
     global _ROTATED
     if not _ROTATED:
-        _ROTATED = _rotate_front(_R08_FRONT, strict=True)
+        _ROTATED = _rotate_front(_R09_FRONT, strict=True)
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -117,7 +117,7 @@ def test_registry_rotation_survives_operator_module_first_import():
         "from chicago_business_owners_data_engineering_spark import registry\n"
         "q = registry.get_queries()\n"
         "assert len(q) >= registry.EXPECTED_MIN_QUERIES, len(q)\n"
-        "assert list(q)[: len(registry._R08_FRONT)] == list(registry._R08_FRONT)\n"
+        "assert list(q)[: len(registry._R09_FRONT)] == list(registry._R09_FRONT)\n"
         "print('ok')\n"
     )
     out = subprocess.run(

@@ -1,12 +1,23 @@
-"""Compute the next registry-rotation front: the oracle-backed queries
-the external driver has never sampled, grouped by family.
+"""Compute the next registry-rotation front.
 
 The driver's correctness gate samples the FIRST 50 registered queries
-each round (CORRECTNESS_r{N}.json); each round's rotation fronts 50
-never-yet-sampled oracle-backed queries so driver-verified evidence
-spreads across the whole registry. This tool derives the candidate pool
-mechanically so the next round's _R{N}_FRONT can't drift from the
-actual evidence record.
+each round (CORRECTNESS_r{N}.json). Rounds 1-8 rotated 50
+never-yet-sampled queries to the front each round; after round 8 the
+never-sampled pool is EMPTY (every registry query has at least one hard
+driver-verified correctness row).
+
+From round 9 on the rotation optimizes for EVIDENCE FRESHNESS instead:
+every query is ranked by the round it was last driver-sampled
+(staleness), and the front is the 50 queries with the OLDEST evidence.
+This is the standing invariant: code under r01-front queries has been
+refactored for 7+ rounds without re-verification by the external
+harness; fronting the stalest 50 each round re-validates the whole
+registry on a ~6-round clock.
+
+Ordering within the front is deterministic: ascending last-sampled
+round, then query name — so the suggested _R{N}_FRONT can be
+reproduced mechanically from the CORRECTNESS_r*.json evidence record
+alone and can't drift from it.
 
 Usage:
     python tools/rotation.py [--limit 50]
@@ -25,6 +36,19 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def last_sampled_rounds() -> dict[str, int]:
+    """Map query name -> latest round with a driver correctness row."""
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:  # skips CORRECTNESS_LOCAL_* and CORRECTNESS_SF01
+            continue
+        rnd = int(m.group(1))
+        for name in json.load(open(f)):
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=50)
@@ -34,36 +58,31 @@ def main() -> None:
 
     queries = registry.get_queries()
     oracles = registry.get_oracles()
+    last = last_sampled_rounds()
 
-    sampled: set[str] = set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        if "LOCAL" in f:
-            continue
-        sampled.update(json.load(open(f)).keys())
+    never = [n for n in queries if n not in last]
+    staleness = sorted(queries, key=lambda n: (last.get(n, 0), n))
 
-    pool = [n for n in queries if n not in sampled and n in oracles]
-    rows_only = [n for n in queries if n not in sampled and n not in oracles]
-
-    fam = defaultdict(list)
-    for n in pool:
-        fam[re.match(r"[a-z]+", n).group()].append(n)
+    by_round = defaultdict(list)
+    for n in queries:
+        by_round[last.get(n, 0)].append(n)
 
     print(f"registry={len(queries)} oracle-backed={len(oracles)} "
-          f"driver-sampled={len(sampled & set(queries))} "
-          f"never-sampled-pool={len(pool)} rows-only-unsampled={len(rows_only)}")
+          f"never-sampled={len(never)}")
+    print("evidence age histogram (last-sampled round -> #queries):")
+    for rnd in sorted(by_round):
+        label = "never" if rnd == 0 else f"r{rnd:02d}"
+        print(f"  {label}: {len(by_round[rnd])}")
     print()
-    for k in sorted(fam, key=lambda k: -len(fam[k])):
-        print(f"{k:6s} {len(fam[k]):3d}  {' '.join(sorted(fam[k]))}")
-    print()
-    # Largest-family-first greedy pick of the next front
-    pick: list[str] = []
-    for k in sorted(fam, key=lambda k: -len(fam[k])):
-        for n in sorted(fam[k]):
-            if len(pick) < args.limit:
-                pick.append(n)
-    print(f"suggested _R_NEXT_FRONT ({len(pick)}):")
+
+    pick = staleness[: args.limit]
+    if never:
+        # Never-sampled queries (new registrations) always sort first
+        # via last.get(n, 0) == 0, so they are auto-fronted.
+        print(f"never-sampled (auto-fronted): {sorted(never)}")
+    print(f"suggested _R_NEXT_FRONT ({len(pick)}), stalest first:")
     for n in pick:
-        print(f'    "{n}",')
+        print(f'    "{n}",  # last r{last.get(n, 0):02d}')
 
 
 if __name__ == "__main__":
