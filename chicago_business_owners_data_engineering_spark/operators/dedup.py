@@ -1535,14 +1535,18 @@ def dd15_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-production step, completing dd05 the way dd04→dd06 completes
     MinHash). Reference seed: cbddl/src/etl/pipeline.py:296 dedup keys.
     """
-    # Materialize the fingerprints ONCE: the 60-fold vote projection is
+    # Cache the fingerprints ONCE: the 60-fold vote projection is
     # a huge expression tree, and the band self-join would otherwise
     # inline it on BOTH sides (8 copies after the band explode) — the
     # unrolled-plan trap every iterative op here guards against.
+    # Lazy persist() (NOT eager localCheckpoint, dd17's pattern):
+    # plan-only consumers pay nothing, and lineage survives executor
+    # loss. Only the fixpoint loops (components_propagation) genuinely
+    # need checkpoint truncation; this is a single-pass self-join.
     fp = (
         dd05_simhash(spark, sf_dir)
         .select("doc_id", "simhash")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     bands = fp.select(
         "doc_id",
@@ -1670,11 +1674,14 @@ def dd16_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     # The exploded shingle relation feeds FIVE consumers (df counts,
     # doc totals, band minima, and both intersection legs) — without a
-    # checkpoint Spark re-explodes the corpus per consumer (the dd15
-    # lesson); localCheckpoint materializes it once.
+    # cache Spark re-explodes the corpus per consumer (the dd15
+    # lesson). Lazy persist() (dd17's pattern, NOT eager
+    # localCheckpoint): materialization waits for the first action, so
+    # plan-only consumers stay free, and lineage survives executor
+    # loss — this is a DAG, not a fixpoint loop needing truncation.
     stoks = documents.select(
         "doc_id", F.explode(_shingle_set(F.col("text"))).alias("sg")
-    ).localCheckpoint(eager=True)
+    ).persist()
     n = stoks.agg(F.countDistinct("doc_id").alias("n_docs"))
     wt = (
         stoks.groupBy("sg")
@@ -1682,9 +1689,9 @@ def dd16_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("sg", F.expr("(n_docs * 1000) div df").alias("w"))
     )
-    wtoks = stoks.join(wt, "sg").select("doc_id", "sg", "w").localCheckpoint(
-        eager=True
-    )
+    # Feeds doc totals + both intersection legs; lazy for the same
+    # reasons as stoks above.
+    wtoks = stoks.join(wt, "sg").select("doc_id", "sg", "w").persist()
     doc_sum = wtoks.groupBy("doc_id").agg(F.sum("w").alias("total_w"))
     # All four band minima in ONE doc-keyed aggregate (map-side
     # partials) instead of exploding the shingle relation ×4: A/B-

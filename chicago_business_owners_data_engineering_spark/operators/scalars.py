@@ -763,13 +763,23 @@ def f32_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f33_variant_json",
     oracle="""
+    -- json_valid guard: Spark's try_parse_json turns a malformed props
+    -- string into a NULL variant (all extractions NULL); DuckDB's
+    -- JSON_EXTRACT would instead ERROR the whole oracle, turning a
+    -- would-be diff into an undiagnosable gate failure. The guard makes
+    -- the oracle mirror the NULL-out semantics exactly.
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props) THEN JSON_EXTRACT(props, '$.k') END AS jk,
+               CASE WHEN json_valid(props) THEN JSON_EXTRACT(props, '$.missing') END AS jm
+        FROM events
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-           CAST(MAX(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
-           CAST(SUM(CASE WHEN JSON_EXTRACT(props, '$.missing') IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-    FROM events
+           CAST(SUM(CAST(jk AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(jk AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(SUM(CASE WHEN jm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM j
     GROUP BY event_type
     ORDER BY event_type
     """,
