@@ -267,6 +267,17 @@ BENCH_R8 = [
     "wh07_snapshot_diff",
 ]
 
+# Zero-code-change drift control (VERDICT r8 #6). PERF.md has used the
+# frozen r4 group total as the host-state control since r06, but only
+# narratively — the committed BENCH_r0N.json could not distinguish host
+# drift from a real regression on its own. The headline line now
+# carries control_s (the r4 group total, minus any member whose CODE
+# changed after r4) and headline_over_control; compare the RATIO across
+# rounds, not raw totals. Members edited later must be added here the
+# same commit (r9: dd15's eager localCheckpoint became a lazy persist;
+# ts09/dd14/ml08 gained lint waivers only — zero code change).
+CONTROL_EXCLUDED = {"dd15_simhash_hamming_pairs"}
+
 
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:
     """Time the full warehouse CLI (ingestion → warehouse → analytics).
@@ -461,12 +472,23 @@ def main() -> None:
     # value_min = sum of per-query mins (continuity with the best-of-N
     # totals recorded in BENCH_r01-r04). Per-query numbers are on the
     # `headline_queries_detail` line directly above.
+    control_s = round(
+        sum(v for k, v in r4.items() if k not in CONTROL_EXCLUDED), 3
+    )
+    headline_value = round(sum(timings.values()), 3)
     headline = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": headline_value,
         "value_min": round(sum(s["min"] for s in stats.values()), 3),
         "unit": "sec",
         "sf": sf,
+        # same-process host-drift control: the frozen r4 group total.
+        # Compare headline_over_control across rounds — it cancels the
+        # uniform host-state inflation PERF.md documents (the r4 group
+        # drifted 58.4→91.2 s across r6-r8 sessions with zero code
+        # change while per-query medians held).
+        "control_s": control_s,
+        "headline_over_control": round(headline_value / control_s, 4),
     }
     line = json.dumps(headline)
     emitted.append(line)

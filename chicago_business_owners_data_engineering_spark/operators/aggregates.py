@@ -168,7 +168,8 @@ def a05_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         COUNT(*) AS n_lines,
         MIN(l_returnflag) AS first_flag,
         STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers,
-        ROUND(SUM(l_extendedprice), 4) AS total_price
+        CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS total_price_cents
     FROM lineitem
     GROUP BY l_orderkey
     """,
@@ -190,7 +191,8 @@ def a06_grouped_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.sort_array(F.collect_list(F.col("l_linenumber").cast("string"))), ","
         ).alias("line_numbers"),
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        # integer cents (skew01's rule): exact at any fold order
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("total_price_cents"),
     )
 
 

@@ -176,17 +176,26 @@ def a25_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a26_rollup",
     oracle="""
     SELECT c_mktsegment AS mktsegment, c_nationkey AS nationkey,
-           COUNT(*) AS count, ROUND(SUM(c_acctbal), 4) AS total_bal
+           COUNT(*) AS count,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
     FROM customer
     GROUP BY ROLLUP (c_mktsegment, c_nationkey)
     """,
 )
 def a26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (segment, nation) → subtotal → grand total."""
+    """ROLLUP hierarchy totals (segment, nation) → subtotal → grand total.
+
+    Balance total is integer cents (skew01's money rule): the rollup's
+    grand-total row folds the whole table in one group, exactly where a
+    float SUM's fold order diverges first at scale.
+    """
     customer = load_table(spark, sf_dir, "customer")
     return customer.rollup(
         F.col("c_mktsegment").alias("mktsegment"), F.col("c_nationkey").alias("nationkey")
-    ).agg(F.count("*").alias("count"), F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
+    ).agg(
+        F.count("*").alias("count"),
+        F.sum(F.floor(F.col("c_acctbal") * 100)).alias("total_bal_cents"),
+    )
 
 
 @query(
@@ -605,7 +614,9 @@ def dq03_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a29_cube",
     oracle="""
     SELECT o_orderpriority AS priority, o_orderstatus AS status,
-           COUNT(*) AS count, ROUND(SUM(o_totalprice), 4) AS total_price
+           COUNT(*) AS count,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_price_cents
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -624,7 +635,10 @@ def a29_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube(
         F.col("o_orderpriority").alias("priority"), F.col("o_orderstatus").alias("status")
-    ).agg(F.count("*").alias("count"), F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+    ).agg(
+        F.count("*").alias("count"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_price_cents"),
+    )
 
 
 # --- a33: quantile sketch with a CHECKED rank-error bound ----------------------------

@@ -201,7 +201,8 @@ def p09_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
            ROUND(COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*), 2)
                AS error_rate_pct,
-           ROUND(SUM(value), 4) AS total_value
+           -- centi-units (skew01's integer rule): exact at any fold order
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_value_v100
     FROM events
     GROUP BY 1
     """,
@@ -224,7 +225,7 @@ def ts01_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             errors.alias("n_errors"),
             F.round(errors * 100.0 / F.count("*"), 2).alias("error_rate_pct"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.floor(F.col("value") * 100)).alias("total_value_v100"),
         )
     )
 

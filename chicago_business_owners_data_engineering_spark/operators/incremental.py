@@ -45,8 +45,12 @@ def _monthly_partials(lineitem: DataFrame) -> DataFrame:
     return lineitem.groupBy(
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
     ).agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_price"),
+        # INTEGER partial state (skew01's money rule): BIGINT partials
+        # merge exactly in any order, so merge ≡ recompute is an
+        # identity, not a tolerance — float partials made the invariant
+        # hold only to last-ulp noise.
+        F.sum(F.floor("l_quantity")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_price_cents"),
         F.count("*").alias("n_items"),
     )
 
@@ -55,10 +59,12 @@ def _monthly_partials(lineitem: DataFrame) -> DataFrame:
     "inc01_incremental_rollup",
     oracle=f"""
     SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)), 4) AS avg_price
     FROM lineitem
     GROUP BY 1
     ORDER BY ship_month
@@ -85,16 +91,20 @@ def inc01_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ship_month")
         .agg(
             F.sum("sum_qty").alias("sum_qty"),
-            F.sum("sum_price").alias("sum_price"),
+            F.sum("sum_price_cents").alias("sum_price_cents"),
             F.sum("n_items").alias("n_items"),
         )
     )
     return merged.select(
         "ship_month",
-        F.round("sum_qty", 2).alias("sum_qty"),
-        F.round("sum_price", 2).alias("sum_price"),
+        "sum_qty",
+        "sum_price_cents",
         "n_items",
-        F.round(F.col("sum_price") / F.col("n_items"), 4).alias("avg_price"),
+        # one division of exact integers — fold-order-proof finalizer
+        F.round(
+            F.col("sum_price_cents").cast("double") / (F.lit(100.0) * F.col("n_items")),
+            4,
+        ).alias("avg_price"),
     ).orderBy("ship_month")
 
 
@@ -158,7 +168,7 @@ def bloom_probe(bloom_col: Column, key: Column) -> Column:
     oracle="""
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+           CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem l
     WHERE l.l_orderkey IN (
         SELECT o_orderkey FROM orders
@@ -202,7 +212,7 @@ def bf01_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(F.floor("l_quantity")).alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )

@@ -89,7 +89,10 @@ def j02_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j03_multiway_star_join",
     oracle="""
     SELECT n.n_name AS nation, r.r_name AS region,
-           COUNT(*) AS num_customers, ROUND(SUM(c.c_acctbal), 4) AS total_acctbal
+           COUNT(*) AS num_customers,
+           -- integer cents: exact at any fold order (skew01's rule)
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_acctbal_cents
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -112,7 +115,7 @@ def j03_multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("num_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+            F.sum(F.floor(F.col("c_acctbal") * 100)).alias("total_acctbal_cents"),
         )
     )
 
@@ -122,7 +125,8 @@ def j03_multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
            COUNT(o.o_orderkey) AS num_orders,
-           ROUND(COALESCE(SUM(o.o_totalprice), 0), 4) AS total_spent
+           CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_spent_cents
     FROM customer c
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -142,7 +146,9 @@ def j04_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name"))
         .agg(
             F.count("o_orderkey").alias("num_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+            F.coalesce(
+                F.sum(F.floor(F.col("o_totalprice") * 100)), F.lit(0)
+            ).alias("total_spent_cents"),
         )
     )
 
@@ -268,7 +274,8 @@ def j09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
-           ROUND(SUM(l_quantity), 4) AS total_qty
+           -- l_quantity is integral: the BIGINT sum is exact, value unchanged
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -307,7 +314,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .agg(F.sum(F.floor("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
@@ -327,7 +334,8 @@ RANGE_BUCKET = 50_000.0  # coarse bucket width for the equi-join rewrite
     "j10_range_join",
     oracle="""
     SELECT b.band_name, COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 4) AS total_price
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_price_cents
     FROM orders o
     JOIN (VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
                  ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 500000.0))
@@ -374,7 +382,7 @@ def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_price_cents"),
         )
     )
 

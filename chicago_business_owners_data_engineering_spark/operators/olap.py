@@ -20,14 +20,33 @@ from ..registry import query
 SALT_BUCKETS = 16
 
 
+def _cents(col):
+    """Per-row integer-cents quantization (er03/skew01's money rule).
+
+    ``ROUND(SUM(double))`` is fold-order fragile: the r08 sf0.1 sweep
+    caught skew01's salted two-stage sum landing on the other side of a
+    rounding boundary from the oracle's single fold, and the same class
+    reappears at any scale/partitioning change. Quantizing per row to
+    BIGINT cents makes the SUM exact at any fold order. FLOOR (not
+    ROUND, not a bare cast) because FLOOR parity holds between Spark
+    and DuckDB including negatives, while DuckDB's double→int CAST
+    rounds and Spark's truncates. Oracles use the literal twin
+    ``CAST(FLOOR(x * 100) AS BIGINT)``.
+    """
+    return F.floor(col * F.lit(100))
+
+
 @query(
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_price_cents,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                AS BIGINT) AS sum_disc_price_cents,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -44,6 +63,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses each scan partition to ≤6 rows, so the
     shuffle moves KBs regardless of fact size. The shipdate predicate
     reaches the parquet scan (row-group min/max pruning).
+
+    Money sums are integer cents (``_cents``): exact at any fold order,
+    so the result is partitioning-independent at 100 TB. Quantity is
+    integral in the data — FLOOR changes nothing but pins the BIGINT
+    sum. AVGs stay double: a mean's magnitude doesn't grow with scale,
+    so its error-to-granularity ratio is flat, unlike an unbounded SUM.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -51,10 +76,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.sum(F.floor("l_quantity")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
+            F.sum(_cents(disc_price * (1 + F.col("l_tax")))).alias("sum_charge_cents"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -67,7 +92,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT o_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -76,7 +102,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
     GROUP BY o_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderkey ASC
+    ORDER BY revenue_cents DESC, o_orderkey ASC
     LIMIT 10
     """,
 )
@@ -104,12 +130,12 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
             )
         )
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .select("o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
         .limit(10)
     )
 
@@ -118,7 +144,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_supplier_volume",
     oracle="""
     SELECT n_name AS nation, r_name AS region,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -151,8 +178,8 @@ def q05_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
             )
         )
     )
@@ -242,10 +269,14 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END) /
-                 SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    -- numerator/denominator as exact integer-cent sums (skew01's
+    -- rule); 100·num/den is one deterministic double expression
+    SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                                   * 100) AS BIGINT)
+                                   ELSE 0 END) AS DOUBLE) /
+                 CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100)
+                               AS BIGINT)) AS DOUBLE), 4) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -264,7 +295,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
@@ -274,8 +305,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev_cents).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -285,7 +318,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    -- exact integer-cent sum; the single /700.0 division and ROUND of
+    -- one double are fold-order-proof
+    SELECT ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 700.0, 4) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -317,14 +353,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(700.0), 4
+            ).alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q19_disjunctive_predicate_join",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
        OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
@@ -363,9 +404,9 @@ def q19_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(residual)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
         )
     )
 
@@ -378,7 +419,10 @@ def q19_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS num_custs,
-           ROUND(SUM(c.c_acctbal), 4) AS total_bal
+           -- FLOOR on negative balances floors toward -inf on BOTH
+           -- engines (unlike int division) — cents stay exact
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_bal_cents
     FROM customer c, threshold t
     WHERE c.c_acctbal > t.avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -413,7 +457,7 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("num_custs"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("total_bal_cents"),
         )
     )
 
@@ -493,7 +537,8 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name AS nation,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -502,7 +547,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey ASC
+    ORDER BY revenue_cents DESC, c_custkey ASC
     LIMIT 20
     """,
 )
@@ -533,11 +578,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
             )
         )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(20)
     )
 
@@ -547,16 +592,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100)
+                             AS BIGINT)) AS BIGINT) AS total_revenue_cents
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, total_revenue_cents
     FROM supplier
     JOIN revenue ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
     ORDER BY s_suppkey
     """,
 )
@@ -580,18 +626,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "total_revenue"
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue_cents"
             )
         )
         .cache()
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.agg(F.max("total_revenue_cents").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .filter(F.col("total_revenue_cents") == F.col("max_revenue"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", "total_revenue_cents")
         .orderBy("s_suppkey")
     )
 
@@ -686,11 +732,12 @@ def skew02_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_nation_trade_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 4) AS revenue
+           CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l_shipdate) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                   AS volume_cents
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON o_orderkey = l_orderkey
@@ -743,8 +790,8 @@ def q07_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
             )
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -910,7 +957,8 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -940,8 +988,8 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
             ),
             F.count("*").alias("n_lines"),
         )
@@ -952,11 +1000,16 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           -- numerator/denominator are EXACT integer-cent sums; the one
+           -- float op is a single division of identical integers on
+           -- both engines, so the ROUND is fold-order-proof
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                               THEN volume_cents ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume_cents) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                   AS volume_cents,
                n2.n_name AS supp_nation
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -1000,7 +1053,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = nation.select(
         F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         lineitem.join(
             F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
@@ -1016,8 +1069,12 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0.0)))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", volume_cents).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(volume_cents).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -1028,12 +1085,13 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q09_product_profit",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
     FROM (
         SELECT n_name AS nation,
                EXTRACT(year FROM o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity AS amount
+               CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)
+                   AS amount_cents
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN part ON l_partkey = p_partkey
@@ -1081,7 +1139,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .agg(F.sum(_cents(amount)).alias("profit_cents"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 

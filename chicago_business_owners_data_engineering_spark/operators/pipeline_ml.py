@@ -318,7 +318,9 @@ def j08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f21_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
@@ -336,7 +338,9 @@ def f21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+               COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
         FROM __f21_orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """

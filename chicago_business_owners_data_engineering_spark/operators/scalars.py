@@ -334,7 +334,8 @@ def f13b_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f23_parameterized_sql",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS revenue
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
     GROUP BY o_orderpriority
@@ -355,7 +356,8 @@ def f23_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS revenue
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
         FROM __f23_orders
         WHERE o_orderstatus = :status AND o_totalprice >= :min_price
         GROUP BY o_orderpriority

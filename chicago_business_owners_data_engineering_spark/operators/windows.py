@@ -178,9 +178,13 @@ def w07_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w08_running_sum",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (
+           -- centi-unit integers: the running fold is exact, so the
+           -- result no longer depends on WindowExec's accumulation
+           -- strategy (skew01's rule applied to frames)
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running_value_v100
     FROM events
     """,
 )
@@ -199,7 +203,7 @@ def w08_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.sum(F.floor(F.col("value") * 100)).over(w).alias("running_value_v100"),
     )
 
 
@@ -281,10 +285,10 @@ def w10_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w11_range_frame_trailing_hour",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY EPOCH_US(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
-               AS trailing_hour_value,
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS trailing_hour_value_v100,
            COUNT(*) OVER (
                PARTITION BY user_id ORDER BY EPOCH_US(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -321,6 +325,8 @@ def w11_range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame
     return events.withColumn("ts_us", us).select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 6).alias("trailing_hour_value"),
+        # centi-unit integers: the sliding-frame sum (add/evict as the
+        # frame moves) is exact regardless of evaluation strategy
+        F.sum(F.floor(F.col("value") * 100)).over(w).alias("trailing_hour_value_v100"),
         F.count("*").over(w).alias("trailing_hour_events"),
     )

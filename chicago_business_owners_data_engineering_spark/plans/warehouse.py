@@ -199,7 +199,7 @@ def create_aggregations(facts: DataFrame) -> dict[str, DataFrame]:
     agg_daily = facts.groupBy("date_key").agg(
         F.countDistinct("orderkey").alias("num_orders"),
         F.count("*").alias("num_lines"),
-        F.round(F.sum("net_price"), 4).alias("revenue"),
+        F.sum(F.floor(F.col("net_price") * 100)).alias("revenue_cents"),
     )
     by_priority = facts.groupBy("priority").agg(F.count("*").alias("count"))
     total = F.sum("count").over(Window.partitionBy())
@@ -340,7 +340,8 @@ def run_warehouse_pipeline(
     SELECT STRFTIME(o.o_orderdate, '%Y%m%d') AS date_key,
            COUNT(DISTINCT l.l_orderkey) AS num_orders,
            COUNT(*) AS num_lines,
-           ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)), 4) AS revenue
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
@@ -362,9 +363,14 @@ def wh01_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast hint on orders: it is a fact table (not broadcastable
     # at real SF) — the planner/AQE picks broadcast locally where the
     # 2-column projection is small, sort-merge at scale.
+    # Per-row integer cents (skew01's money rule): the two-level rollup
+    # (order grain, then day grain) folds in a different order than the
+    # oracle's single SUM — BIGINT partials make that exact by identity.
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.count("*").alias("nl"),
-        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("rev"),
+        F.sum(
+            F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        ).alias("rev_cents"),
     )
     per_order = per_order.join(
         orders.select(
@@ -375,7 +381,7 @@ def wh01_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.groupBy("date_key").agg(
         F.count("*").alias("num_orders"),
         F.sum("nl").alias("num_lines"),
-        F.round(F.sum("rev"), 4).alias("revenue"),
+        F.sum("rev_cents").alias("revenue_cents"),
     )
 
 
@@ -559,16 +565,18 @@ def incremental_daily_agg(existing_agg: DataFrame, new_lines: DataFrame, new_ord
         .agg(
             F.countDistinct("l_orderkey").alias("num_orders"),
             F.count("*").alias("num_lines"),
-            F.round(
-                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4
-            ).alias("revenue"),
+            # integer-cent partials: fold(agg(A), B) == agg(A ∪ B) is an
+            # exact identity, not a float tolerance (skew01's rule)
+            F.sum(
+                F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            ).alias("revenue_cents"),
         )
     )
     combined = existing_agg.unionByName(delta)
     return combined.groupBy("date_key").agg(
         F.sum("num_orders").alias("num_orders"),
         F.sum("num_lines").alias("num_lines"),
-        F.round(F.sum("revenue"), 4).alias("revenue"),
+        F.sum("revenue_cents").alias("revenue_cents"),
     )
 
 

@@ -78,8 +78,8 @@ def test_inc01_merge_equals_full_recompute(spark, sf_dir):
             F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
         )
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.sum(F.floor("l_quantity")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_price_cents"),
             F.count("*").alias("n_items"),
         )
         .collect()
@@ -87,8 +87,9 @@ def test_inc01_merge_equals_full_recompute(spark, sf_dir):
     assert set(merged) == set(full)
     for m, r in merged.items():
         assert r["n_items"] == full[m]["n_items"]
-        assert abs(r["sum_qty"] - full[m]["sum_qty"]) < 1e-6
-        assert abs(r["sum_price"] - full[m]["sum_price"]) < 1e-6
+        # integer partial state: merge ≡ recompute EXACTLY, no tolerance
+        assert r["sum_qty"] == full[m]["sum_qty"]
+        assert r["sum_price_cents"] == full[m]["sum_price_cents"]
 
 
 def test_bloom_has_no_false_negatives(spark, sf_dir):
@@ -145,7 +146,7 @@ def test_bf01_equals_plain_semi_join(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(F.floor("l_quantity")).alias("sum_qty"),
         )
         .collect()
     }

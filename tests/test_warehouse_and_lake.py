@@ -246,7 +246,7 @@ def test_incremental_daily_agg_equals_full_recompute(spark, sf_dir):
         return sorted(tuple(r) for r in df.collect())
 
     base = incremental_daily_agg(
-        spark.createDataFrame([], "date_key string, num_orders long, num_lines long, revenue double"),
+        spark.createDataFrame([], "date_key string, num_orders long, num_lines long, revenue_cents long"),
         l_old,
         o_old,
     )

@@ -318,6 +318,21 @@ def _shard(df: DataFrame, table: str, k: int, strides: dict[tuple[str, str], int
     return df
 
 
+def _manifest_path(out: str) -> str:
+    return os.path.join(out, "_fixture_manifest.json")
+
+
+def fixture_manifest(spark: SparkSession, base: str, out: str, factor: int) -> dict:
+    """What this fixture was built from — written at build time and
+    checked by --reuse-fixture, so a stale fixture built at a different
+    --base/--factor can't silently corrupt scaling exponents."""
+    rows = {
+        t: spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
+        for t in (*COPIED_TABLES, *REPLICATED_TABLES)
+    }
+    return {"base": os.path.abspath(base), "factor": factor, "rows": rows}
+
+
 def build_fixture(spark: SparkSession, base: str, out: str, factor: int) -> None:
     strides = _strides(spark, base)
     for table in COPIED_TABLES:
@@ -334,6 +349,8 @@ def build_fixture(spark: SparkSession, base: str, out: str, factor: int) -> None
             .write.mode("overwrite")
             .parquet(os.path.join(out, f"{table}.parquet"))
         )
+    with open(_manifest_path(out), "w") as f:
+        json.dump(fixture_manifest(spark, base, out, factor), f, indent=1)
 
 
 def _ml03_calibrated(spark: SparkSession, sf_dir: str):
@@ -553,6 +570,31 @@ def main() -> None:
             os.path.exists(os.path.join(fixture, f"{t}.parquet", "_SUCCESS"))
             for t in all_tables
         )
+        # _SUCCESS markers alone can't tell a fixture built at a
+        # different --base/--factor from the right one — reusing a
+        # stale fixture silently produces wrong exponents. The manifest
+        # (written at build time) must match the current arguments and
+        # the on-disk row counts exactly, or we rebuild.
+        if complete and args.reuse_fixture:
+            try:
+                with open(_manifest_path(fixture)) as f:
+                    recorded = json.load(f)
+                expected = fixture_manifest(spark, args.base, fixture, args.factor)
+                if recorded != expected:
+                    print(
+                        json.dumps(
+                            {
+                                "fixture_manifest_mismatch": {
+                                    "recorded": recorded,
+                                    "expected": expected,
+                                }
+                            }
+                        ),
+                        flush=True,
+                    )
+                    complete = False
+            except (OSError, ValueError):
+                complete = False  # pre-manifest fixture: rebuild once
         if args.reuse_fixture and complete:
             build_s = 0.0
         else:
