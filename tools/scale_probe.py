@@ -240,6 +240,24 @@ PROBE100_R8: tuple[str, ...] = (
     "tp23_pipeline_report",
 )
 
+# Round-9 100× additions (VERDICT r8 #4): the nine round-8 operators
+# previously probed at 10× only. Verdict priority: wh07 (10× exponent
+# 0.42, the round's highest — full-outer snapshot diff), st10 (session
+# merge under gap semantics), f35 (collation grouping); plus skew01,
+# whose integer-cents fix landed after its last probe.
+PROBE100_R9: tuple[str, ...] = (
+    "wh07_snapshot_diff",
+    "st10_session_window_native",
+    "f35_collated_group",
+    "f33_variant_json",
+    "f34_try_arithmetic",
+    "j15_lateral_topk",
+    "a35_percentile_disc",
+    "a36_grouped_mode",
+    "tp25_curriculum_phases",
+    "skew01_salted_agg",
+)
+
 # One stride per key family — shared by every table that references the
 # family, so cross-table joins keep matching inside a shard and never
 # match across shards.
