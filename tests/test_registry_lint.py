@@ -117,3 +117,20 @@ def test_no_round_sum_raw_double_columns():
                        or stripped == f"c.{c}" for c in raw_double_cols):
                     bad.append((name, inner.strip()))
     assert not bad, f"oracles ROUND a SUM of a raw double column: {bad}"
+
+
+def test_r09_front_is_the_mechanical_staleness_pick():
+    """From round 9 the rotation invariant is EVIDENCE FRESHNESS: the
+    front must equal the 50 stalest queries (ascending last-driver-
+    sampled round, then name) derived mechanically from the
+    CORRECTNESS_r01..r08 record — no hand-curated front can drift from
+    the evidence. The window is pinned at rounds <= 8 so this stays
+    reproducible after later rounds add their own driver files."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from rotation import stalest_front
+
+    expected = stalest_front(list(registry.get_queries()), limit=50, max_round=8)
+    assert list(registry._R09_FRONT) == expected

@@ -36,17 +36,31 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def last_sampled_rounds() -> dict[str, int]:
-    """Map query name -> latest round with a driver correctness row."""
+def last_sampled_rounds(max_round: int | None = None) -> dict[str, int]:
+    """Map query name -> latest round with a driver correctness row.
+
+    ``max_round`` bounds the evidence window — the _R{N}_FRONT derivation
+    uses rounds 1..N-1, so the pinning test stays reproducible after
+    later rounds add their own CORRECTNESS files.
+    """
     last: dict[str, int] = {}
     for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if not m:  # skips CORRECTNESS_LOCAL_* and CORRECTNESS_SF01
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         for name in json.load(open(f)):
             last[name] = max(last.get(name, 0), rnd)
     return last
+
+
+def stalest_front(queries: list[str], limit: int = 50, max_round: int | None = None) -> list[str]:
+    """The mechanically-derived front: ascending last-sampled round,
+    then name. This IS the rotation invariant from round 9 on."""
+    last = last_sampled_rounds(max_round)
+    return sorted(queries, key=lambda n: (last.get(n, 0), n))[:limit]
 
 
 def main() -> None:
@@ -61,7 +75,7 @@ def main() -> None:
     last = last_sampled_rounds()
 
     never = [n for n in queries if n not in last]
-    staleness = sorted(queries, key=lambda n: (last.get(n, 0), n))
+    staleness = stalest_front(list(queries), limit=len(queries))
 
     by_round = defaultdict(list)
     for n in queries:
