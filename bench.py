@@ -403,16 +403,27 @@ def main() -> None:
     # sub-second queries still dropping through rep 5-7 (C2 JIT tiers)
     # with 2-5× run-to-run spread on this box — median-of-3 medians
     # land on a warmup rep often enough to fake a 2%/round drift.
-    timings, stats = run_set(BENCH_QUERIES, n_runs=5)
-    extended, ext_stats = run_set(BENCH_EXTENDED)
-    r3, r3_stats = run_set(BENCH_R3)
-    r3b, r3b_stats = run_set(BENCH_R3B)
-    r3c, r3c_stats = run_set(BENCH_R3C)
-    r4, r4_stats = run_set(BENCH_R4)
-    r6, r6_stats = run_set(BENCH_R6)
-    r6b, r6b_stats = run_set(BENCH_R6B)
-    r7, r7_stats = run_set(BENCH_R7)
-    r8, r8_stats = run_set(BENCH_R8)
+    # Clear persisted relations BETWEEN groups (ADVICE r9): queries
+    # that persist() intermediates (dd15/dd16/dd17...) otherwise leave
+    # caches behind for the rest of the session — later groups' numbers
+    # then depend on which groups ran before them (memory pressure +
+    # warm-cache cross-talk). Within a group the reps of one query
+    # still see CacheManager reuse (the documented warm-median
+    # property); across groups each total is now independent.
+    def run_group(names: list[str], n_runs: int = 3):
+        spark.catalog.clearCache()
+        return run_set(names, n_runs=n_runs)
+
+    timings, stats = run_group(BENCH_QUERIES, n_runs=5)
+    extended, ext_stats = run_group(BENCH_EXTENDED)
+    r3, r3_stats = run_group(BENCH_R3)
+    r3b, r3b_stats = run_group(BENCH_R3B)
+    r3c, r3c_stats = run_group(BENCH_R3C)
+    r4, r4_stats = run_group(BENCH_R4)
+    r6, r6_stats = run_group(BENCH_R6)
+    r6b, r6b_stats = run_group(BENCH_R6B)
+    r7, r7_stats = run_group(BENCH_R7)
+    r8, r8_stats = run_group(BENCH_R8)
     e2e = run_pipeline_e2e(sf_dir)
     vec = run_vector_e2e(sf_dir)
 

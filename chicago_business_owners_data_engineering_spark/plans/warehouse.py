@@ -185,6 +185,15 @@ def load_facts(spark: SparkSession, sf_dir: str, dims: dict[str, DataFrame]) -> 
             F.date_format("o_orderdate", "yyyyMMdd").alias("date_key"),
             F.col("o_orderpriority").alias("priority"),
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+            # Integer cents quantized from the RAW product — the same
+            # FLOOR(x*100) wh01_daily_agg and its oracle use. Summing
+            # FLOOR(ROUND(raw,4)*100) instead differs by 1 cent when
+            # raw*100 sits just below an integer, so the gold lake and
+            # the wh01 one-lazy-plan twin would silently diverge
+            # (ADVICE r9).
+            F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("net_price_cents"),
             F.col("l_quantity").alias("quantity"),
             (F.row_number().over(w) == 1).alias("is_first_line"),
         )
@@ -199,7 +208,7 @@ def create_aggregations(facts: DataFrame) -> dict[str, DataFrame]:
     agg_daily = facts.groupBy("date_key").agg(
         F.countDistinct("orderkey").alias("num_orders"),
         F.count("*").alias("num_lines"),
-        F.sum(F.floor(F.col("net_price") * 100)).alias("revenue_cents"),
+        F.sum("net_price_cents").alias("revenue_cents"),
     )
     by_priority = facts.groupBy("priority").agg(F.count("*").alias("count"))
     total = F.sum("count").over(Window.partitionBy())

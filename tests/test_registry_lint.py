@@ -111,10 +111,13 @@ def test_no_round_sum_raw_double_columns():
                     i += 1
                 inner = arg[start : i - 1]
                 # a quantized summand always wraps the column in FLOOR/
-                # ROUND + CAST ... AS BIGINT; a bare column is the bug
+                # ROUND + CAST ... AS BIGINT; a bare column (behind ANY
+                # table alias, not just l./o./c. — ADVICE r9) is the bug
                 stripped = inner.strip().lower()
-                if any(stripped == c or stripped == f"l.{c}" or stripped == f"o.{c}"
-                       or stripped == f"c.{c}" for c in raw_double_cols):
+                if any(
+                    re.fullmatch(rf"(?:\w+\.)?{re.escape(c)}", stripped)
+                    for c in raw_double_cols
+                ):
                     bad.append((name, inner.strip()))
     assert not bad, f"oracles ROUND a SUM of a raw double column: {bad}"
 

@@ -35,18 +35,31 @@ def main() -> int:
     failed4 = sum(
         1 for r in phase4.values() if r.get("err") and not r.get("hash_match")
     )
-    residue = [q for q in doc.get("sf01_residue_queries", []) if q not in phase4]
+    # Only a PASSING phase-4 row discharges a residue entry: a failed
+    # re-gate (err set, hash_match false) must stay visible in
+    # sf01_residue_queries until it passes (ADVICE r9).
+    passed4 = {q for q, r in phase4.items() if r.get("hash_match")}
+    residue = [q for q in doc.get("sf01_residue_queries", []) if q not in passed4]
     doc["sf01_residue_queries"] = residue
     doc["summary"]["phase4_ok"] = ok4
     doc["summary"]["phase4_failed"] = failed4
-    doc["summary"]["distinct_queries_sf01_verified"] = (
-        doc["summary"].get("distinct_queries_sf01_verified", 0) + ok4
-    )
-    doc["note"] += (
+    # Idempotent: recompute from the union of per-phase passing names
+    # instead of incrementing (rerunning the merge must not inflate it).
+    verified: set[str] = set()
+    for key, rows in doc.items():
+        if key.startswith("phase") and key.endswith("_queries") and isinstance(rows, dict):
+            # phase1 rows record ``ok``; later phases ``hash_match``.
+            verified.update(
+                q for q, r in rows.items() if r.get("hash_match") or r.get("ok")
+            )
+    doc["summary"]["distinct_queries_sf01_verified"] = len(verified)
+    phase4_note = (
         " Phase 4 (round 9): the residue queries re-gated one process per"
         " query at sf0.1 with full hash records; remaining residue (if any)"
         " is listed in sf01_residue_queries with per-query ADRs in COVERAGE.md."
     )
+    if phase4_note not in doc["note"]:
+        doc["note"] += phase4_note
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(
