@@ -276,7 +276,16 @@ BENCH_R8 = [
 # rounds, not raw totals. Members edited later must be added here the
 # same commit (r9: dd15's eager localCheckpoint became a lazy persist;
 # ts09/dd14/ml08 gained lint waivers only — zero code change).
-CONTROL_EXCLUDED = {"dd15_simhash_hamming_pairs"}
+CONTROL_EXCLUDED = {
+    "dd15_simhash_hamming_pairs",
+    # r10 optimization round: engine-level persist/plan changes (ml04's
+    # pinned candidate relation + window survivor; dd13's pinned
+    # base/token relations). Their registered wrappers are unchanged
+    # (the source pins in tests/test_bench_control.py still match) but
+    # their runtime changed, so they leave the drift control.
+    "ml04_density_dedup",
+    "dd13_containment_join",
+}
 
 
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:

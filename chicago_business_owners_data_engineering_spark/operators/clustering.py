@@ -44,6 +44,32 @@ from .shared_oracles import (
 
 ITERATIONS = 2
 
+# Lazy persists for the blocked self-join engines (ml04/sim13/sim14):
+# the (vec_id, probe, v) probes relation feeds BOTH sides of the
+# candidate self-join, and ml04's candidate-pair relation feeds five
+# downstream branches (nbrs×2, core_edges, border, plus the eager
+# component fixpoint) — without a persist each branch re-runs the
+# quadratic cosine stage (measured: 222 Exchanges, 0 ReusedExchange,
+# 14-41 s of construction-time recompute at sf0.1). Same ring-buffer
+# hygiene as dedup._PERSISTED_PER_DOC: calls are sequential in every
+# consumer, so each engine call releases the previous call's caches
+# before pinning its own; an unpersisted plan that re-executes later
+# just recomputes (correct, slower).
+_PERSISTED_BLOCKING: list[DataFrame] = []
+
+
+def _release_blocking_caches() -> None:
+    while _PERSISTED_BLOCKING:
+        _PERSISTED_BLOCKING.pop().unpersist()
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_BLOCKING.append(df)
+    return df
+
 
 def _dist_sq(v: Column, c: Column) -> Column:
     """Squared L2 distance between two array<double> columns (codegen)."""
@@ -313,6 +339,13 @@ def semantic_dedup_components(
     # dot plus two norm folds (3× less array work in the quadratic
     # stage; identical pair set, the division merely moves before the
     # sum).
+    # NOT pinned (measured, r10): unlike ml04, the pair relation here
+    # is consumed exactly once (the eager component fixpoint), so a
+    # persist of the probes side trades two fully-parallel inline
+    # probes passes for a materialization barrier + cache round-trip —
+    # measured 4.7 s → 7.7 s median at sf0.1, a regression. Recompute
+    # of a cheap per-row projection beats a persist when nothing
+    # downstream reuses it.
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -436,6 +469,9 @@ def knn_join_topk(
 
     from .similarity import cosine
 
+    # NOT pinned (the ml03/ml04 lesson, r10): the candidate relation is
+    # consumed once, so persisting the probes side just adds a
+    # materialization barrier.
     sides = kmeans_probes(spark, sf_dir, k=k, n_probes=n_probes)  # (vec_id, v, probe)
     SALTS = 8
     a = sides.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(SALTS))).alias("a")
@@ -582,11 +618,16 @@ def dbscan_density_dedup(
     """
     from .dedup import components_from_pairs
 
+    _release_blocking_caches()
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
+    # NOT pinned (measured, r10 — the ml03 lesson): both candidate
+    # sides consume it inside the ONE pinned cpairs materialization, so
+    # a persist here is a barrier + cache round-trip for a projection
+    # that recomputes cheaply in parallel.
     sides = kmeans_probes(spark, sf_dir, k=k, n_probes=n_probes).select(
         "vec_id",
         "probe",
@@ -605,8 +646,12 @@ def dbscan_density_dedup(
     # Score each candidate pair ONCE in canonical (a < b) orientation —
     # half the quadratic stage's cosine work — then symmetrize the
     # (filtered, much smaller) result: degree and border lookups need
-    # per-point adjacency, not canonical pairs.
-    cpairs = (
+    # per-point adjacency, not canonical pairs. Pinned: consumed by
+    # nbrs (twice), core_edges, and the border branch — plus the
+    # component fixpoint materializes core_edges EAGERLY at
+    # construction, so without the persist the quadratic stage runs
+    # once there and again per downstream branch.
+    cpairs = _pin(
         a.join(
             b,
             on=[
@@ -636,8 +681,11 @@ def dbscan_density_dedup(
     )
     comp = components_from_pairs(core_edges)
     # Isolated cores (enough neighbors, none of them core) form their
-    # own singleton cluster — hence the coalesce to self.
-    corec = (
+    # own singleton cluster — hence the coalesce to self. Pinned: the
+    # border branch and the final labeling both consume it, and its
+    # subtree (core ⋈ comp over the cached pairs) would otherwise be
+    # re-instantiated once per consumer.
+    corec = _pin(
         core.join(comp, core["vec_id"] == comp["doc_id"], "left")
         .select(
             core["vec_id"],
@@ -679,20 +727,25 @@ def dbscan_density_dedup(
             ).alias("cluster"),
         )
     )
-    cmin = (
-        labeled.filter(F.col("cluster") != -1)
-        .groupBy("cluster")
-        .agg(F.min("vec_id").alias("canon"))
-    )
+    # Canonical survivor per cluster as a min-over-window instead of a
+    # labeled ⋈ (labeled→groupBy) self-join: the join form instantiated
+    # the ENTIRE labeled subtree twice in the final plan (the dominant
+    # term of the measured 164 cache-scan blowup); the window needs one
+    # cluster-keyed shuffle of labeled and nothing else. Noise rows
+    # (cluster = -1) keep unconditionally, so the min computed over
+    # that one unused partition changes nothing.
+    from pyspark.sql import Window
+
+    w_cluster = Window.partitionBy("cluster")
     return (
-        labeled.join(cmin, "cluster", "left")
-        .select(
+        labeled.select(
             "vec_id",
             "role",
             "cluster",
-            ((F.col("cluster") == -1) | (F.col("vec_id") == F.col("canon"))).alias(
-                "keep"
-            ),
+            (
+                (F.col("cluster") == -1)
+                | (F.col("vec_id") == F.min("vec_id").over(w_cluster))
+            ).alias("keep"),
         )
         .orderBy("vec_id")
     )

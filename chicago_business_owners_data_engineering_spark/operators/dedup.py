@@ -38,6 +38,11 @@ SHINGLE_N = 3  # words per shingle
 # Bounded cache registry for minhash_lsh_pairs' per-doc relation (at
 # most one persisted DataFrame live; see the unpersist note there).
 _PERSISTED_PER_DOC: list[DataFrame] = []
+# Ring for containment_join_prefix's base/token relations (same
+# sequential-call hygiene; see the persist comment in that function).
+_PERSISTED_CONTAINMENT: list[DataFrame] = []
+# Ring for jaccard_join_prefix's base/token/prefix relations.
+_PERSISTED_JACCARD: list[DataFrame] = []
 
 
 def _word_set(text: Column) -> Column:
@@ -541,7 +546,9 @@ def components_propagation(pairs: DataFrame) -> DataFrame:
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # Lazy: the label_sum aggregate right below materializes the
+            # checkpoint in the same job (the large-star fusion, r10).
+            .localCheckpoint(eager=False)
         )
         labels = new_labels
         new_sum = label_sum(labels)
@@ -1085,10 +1092,28 @@ def jaccard_join_prefix(
     """
     from pyspark.sql import Window
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(set_col).alias("ws")
-    ).withColumn("sz", F.size("ws"))
-    toks = base.select("doc_id", "sz", F.explode("ws").alias("token"))
+    # Ring-managed lazy persists (same hygiene as _PERSISTED_PER_DOC —
+    # each call releases the previous call's caches, so a long session
+    # holds at most one generation): ``base`` carries the caller's
+    # set projection (dd12's shingling) and feeds toks plus BOTH
+    # verify joins; ``toks`` feeds dfreq and the prefix derivation.
+    # Without the pins each branch re-runs the projection/explode.
+    while _PERSISTED_JACCARD:
+        _PERSISTED_JACCARD.pop().unpersist()
+
+    def _pin_j(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_JACCARD.append(df)
+        return df
+
+    base = _pin_j(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(set_col).alias("ws")
+        ).withColumn("sz", F.size("ws"))
+    )
+    toks = _pin_j(base.select("doc_id", "sz", F.explode("ws").alias("token")))
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     # prefix length p = sz - ceil(t*sz) + 1, integer-exact
     p = F.col("sz") - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}") + 1
@@ -1104,10 +1129,9 @@ def jaccard_join_prefix(
         # self-join; without caching, the df join + per-doc window
         # shuffle run twice (Spark's exchange reuse does not unify the
         # two aliased subplans here). Lazy persist: materializes on the
-        # caller's first action, lineage preserved. Opt-in because the
-        # cache is session-scoped — multi-consumer callers (dd17's
-        # tuning eval) want it, single-shot callers may not.
-        prefix = prefix.persist()
+        # caller's first action, lineage preserved. Ring-managed since
+        # r10, so repeated calls no longer accumulate session caches.
+        prefix = _pin_j(prefix)
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -1188,7 +1212,9 @@ def dd12_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     documents = load_table(spark, sf_dir, "documents")
     docs = documents.select("doc_id", _shingle_set(F.col("text")).alias("ws"))
-    return jaccard_join_prefix(docs, t_num=1, t_den=2)
+    # reuse=True: the prefix relation feeds both candidate sides; the
+    # ring in jaccard_join_prefix bounds the cache lifetime (r10).
+    return jaccard_join_prefix(docs, t_num=1, t_den=2, reuse=True)
 
 
 def minhash_index_rows(
@@ -1301,10 +1327,29 @@ def containment_join_prefix(
     """
     from pyspark.sql import Window
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(set_col).alias("ws")
-    ).withColumn("sz", F.size("ws"))
-    toks = base.select("doc_id", "sz", F.explode("ws").alias("token"))
+    # Lazy persists (ring hygiene as _PERSISTED_PER_DOC): ``base``
+    # carries the shingle-set projection — the expensive per-row
+    # zip/slice/distinct work — and feeds toks plus BOTH verify joins;
+    # ``toks`` (the explode) feeds dfreq, the prefix derivation, and
+    # the container side of the candidate probe. Without the pins each
+    # of those branches re-runs the shingling (measured 3× base + 3×
+    # toks instantiations in the dd13 plan).
+    while _PERSISTED_CONTAINMENT:
+        _PERSISTED_CONTAINMENT.pop().unpersist()
+
+    def _pin_c(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_CONTAINMENT.append(df)
+        return df
+
+    base = _pin_c(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(set_col).alias("ws")
+        ).withColumn("sz", F.size("ws"))
+    )
+    toks = _pin_c(base.select("doc_id", "sz", F.explode("ws").alias("token")))
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     # contained-side prefix length p = sz - ceil(t*sz) + 1, integer-exact
     p = F.col("sz") - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}") + 1

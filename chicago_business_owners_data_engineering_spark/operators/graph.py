@@ -115,11 +115,18 @@ def components_large_small_star(
     full large+small rounds — the pytest asserts the logarithmic bound
     on a long chain where propagation would need diameter rounds.
     """
-    canon = _canonical(pairs).localCheckpoint(eager=True)
+    # Lazy checkpoints, materialized BY the count that follows: an
+    # eager localCheckpoint runs one job to materialize and the count
+    # runs a second one over the checkpointed partitions; letting the
+    # count trigger the checkpoint fuses both into ONE job per round
+    # (r10 — halves the driver-coordinated jobs of every fixpoint
+    # consumer: dd06/dd07/dd08/er02/er03/ml03/ml04/inc02/tp23).
+    # Lineage still truncates at the checkpoint exactly as before.
+    canon = _canonical(pairs).localCheckpoint(eager=False)
     n_edges = canon.count()
     rounds = 0
     while rounds < max_rounds:
-        nxt = _small_star(_large_star(canon)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(canon)).localCheckpoint(eager=False)
         rounds += 1
         n_next = nxt.count()
         if n_next == n_edges and nxt.exceptAll(canon).isEmpty():

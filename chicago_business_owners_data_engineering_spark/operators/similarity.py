@@ -1072,6 +1072,9 @@ def pq_knn_join(
         probe_kwargs["k"] = k
     if n_probes is not None:
         probe_kwargs["n_probes"] = n_probes
+    # NOT pinned (the ml03/ml04 lesson, r10): the candidate relation is
+    # consumed once, so persisting the probes side just adds a
+    # materialization barrier for a cheaply-recomputed projection.
     sides = kmeans_probes(spark, sf_dir, **probe_kwargs)  # (vec_id, v, probe)
     embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
     emb = embeddings.select(
