@@ -169,7 +169,13 @@ def load_facts(spark: SparkSession, sf_dir: str, dims: dict[str, DataFrame]) -> 
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # Unordered min-window instead of row_number over an ordered one:
+    # line numbers are unique per order, so l_linenumber == MIN(...)
+    # is the same boolean, but the aggregate window needs no
+    # (orderkey, linenumber) sort — the join output is already
+    # partitioned+sorted on the order key, so the sort disappears from
+    # the plan entirely (r10; values bit-identical).
+    w = Window.partitionBy("l_orderkey")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(
@@ -195,7 +201,9 @@ def load_facts(spark: SparkSession, sf_dir: str, dims: dict[str, DataFrame]) -> 
             .cast("long")
             .alias("net_price_cents"),
             F.col("l_quantity").alias("quantity"),
-            (F.row_number().over(w) == 1).alias("is_first_line"),
+            (F.col("l_linenumber") == F.min("l_linenumber").over(w)).alias(
+                "is_first_line"
+            ),
         )
     )
 
@@ -205,10 +213,20 @@ def create_aggregations(facts: DataFrame) -> dict[str, DataFrame]:
 
     Daily rollup + priority distribution with pct-of-total (A24/W5).
     """
-    agg_daily = facts.groupBy("date_key").agg(
-        F.countDistinct("orderkey").alias("num_orders"),
-        F.count("*").alias("num_lines"),
-        F.sum("net_price_cents").alias("revenue_cents"),
+    # Order-grain pre-aggregate then day rollup (the wh01 form): an
+    # order has exactly one date_key, so the rollup distributes over
+    # it — map-side partials shrink the shuffle to one row per order
+    # and the distinct-order count becomes a plain COUNT(*), removing
+    # the Expand the single-pass COUNT(DISTINCT) plan needs. Values
+    # identical (BIGINT sums, exact at any fold order).
+    per_order = facts.groupBy("date_key", "orderkey").agg(
+        F.count("*").alias("nl"),
+        F.sum("net_price_cents").alias("rev_cents"),
+    )
+    agg_daily = per_order.groupBy("date_key").agg(
+        F.count("*").alias("num_orders"),
+        F.sum("nl").alias("num_lines"),
+        F.sum("rev_cents").alias("revenue_cents"),
     )
     by_priority = facts.groupBy("priority").agg(F.count("*").alias("count"))
     total = F.sum("count").over(Window.partitionBy())
