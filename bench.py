@@ -285,6 +285,8 @@ CONTROL_EXCLUDED = {
     # their runtime changed, so they leave the drift control.
     "ml04_density_dedup",
     "dd13_containment_join",
+    # tp16's DSIR fit fused to one conditional-count pass (r10).
+    "tp16_dsir_resample",
 }
 
 

@@ -1082,30 +1082,34 @@ def dsir_scores(documents: DataFrame) -> DataFrame:
     the corpus can be pipeline intermediates; see tp16's docstring for
     the linearization and int64-exactness argument."""
     spark = documents.sparkSession
+    # ``lang`` rides along the explode so the target-language counts
+    # come from a conditional aggregate in the SAME pass as the raw
+    # counts (r10): the old form ran the tokenize+md5 explode three
+    # times (raw counts, target counts, scoring) and shuffled the
+    # exploded relation doc-keyed to attach the language filter. Now
+    # the fit is ONE explode pass (two conditional counts, map-side
+    # partials on the bucket key) and scoring is the second — no
+    # doc-keyed join of token-grain rows at all. Counts identical.
     feat = documents.select(
         "doc_id",
+        "lang",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
     ).select(
         "doc_id",
+        "lang",
         (
             F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
             % DSIR_BUCKETS
         ).alias("bucket"),
     )
-    raw_b = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tgt_b = (
-        feat.join(
-            documents.filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id"),
-            "doc_id",
-        )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    both_b = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tc"),
     )
     smoothed = (
         spark.range(DSIR_BUCKETS)
         .select(F.col("id").alias("bucket"))
-        .join(F.broadcast(tgt_b), "bucket", "left")
-        .join(F.broadcast(raw_b), "bucket", "left")
+        .join(F.broadcast(both_b), "bucket", "left")
         .select(
             "bucket",
             (F.coalesce(F.col("tc"), F.lit(0)) + 1).alias("t"),
