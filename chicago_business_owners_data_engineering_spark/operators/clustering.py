@@ -478,13 +478,19 @@ def knn_join_topk(
     b = sides.withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
     ).alias("b")
-    cand = (
+    # Score each candidate pair ONCE in canonical (a < b) orientation,
+    # then symmetrize (r10, the ml04 recipe): cosine is bitwise
+    # orientation-invariant (per-element IEEE multiplies commute and
+    # the fold order is the element order, norm·norm likewise), so
+    # half the quadratic stage's cosine evaluations and half the
+    # dedup shuffle buy the identical candidate relation.
+    half = (
         a.join(
             b,
             on=[
                 F.col("a.probe") == F.col("b.probe"),
                 F.col("a.salt") == F.col("b.salt"),
-                F.col("a.vec_id") != F.col("b.vec_id"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
             ],
         )
         .select(
@@ -493,6 +499,11 @@ def knn_join_topk(
             cosine(F.col("a.v"), F.col("b.v")).alias("cs"),
         )
         .dropDuplicates(["qid", "nid"])
+    )
+    cand = half.unionByName(
+        half.select(
+            F.col("nid").alias("qid"), F.col("qid").alias("nid"), F.col("cs")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     return (
@@ -667,7 +678,14 @@ def dbscan_density_dedup(
     nbrs = cpairs.union(
         cpairs.select(F.col("nb").alias("vec_id"), F.col("vec_id").alias("nb"))
     )
-    core = (
+    # Pinned (r10): consumed FOUR times — core_edges joins it on both
+    # endpoints (materialized eagerly by the component fixpoint), the
+    # border branch anti-joins it, and corec derives from it in the
+    # final lazy plan. Without the pin each consumer re-runs the
+    # nbrs-groupBy shuffle over the cached pairs; with it the degree
+    # aggregate runs once. Eager+lazy consumption is exactly the
+    # profile the ml03 lesson says a pin pays for.
+    core = _pin(
         nbrs.groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_nb"))
         .filter(F.col("n_nb") >= min_pts)
@@ -1162,13 +1180,16 @@ def knn_classifier_eval(
     b = sides.withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
     ).alias("b")
-    cand = (
+    # Canonical (a < b) scoring + symmetrize — see knn_join_topk: half
+    # the cosine work and half the dedup shuffle for the identical
+    # candidate relation (cosine is bitwise orientation-invariant).
+    half = (
         a.join(
             b,
             on=[
                 F.col("a.probe") == F.col("b.probe"),
                 F.col("a.salt") == F.col("b.salt"),
-                F.col("a.vec_id") != F.col("b.vec_id"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
             ],
         )
         .select(
@@ -1177,6 +1198,11 @@ def knn_classifier_eval(
             cosine(F.col("a.v"), F.col("b.v")).alias("cs"),
         )
         .dropDuplicates(["qid", "nid"])
+    )
+    cand = half.unionByName(
+        half.select(
+            F.col("nid").alias("qid"), F.col("qid").alias("nid"), F.col("cs")
+        )
     )
     wk = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nid"))
     topk = (
