@@ -287,6 +287,11 @@ CONTROL_EXCLUDED = {
     "dd13_containment_join",
     # tp16's DSIR fit fused to one conditional-count pass (r10).
     "tp16_dsir_resample",
+    # sim13's engine (knn_join_topk) switched to canonical-orientation
+    # scoring + symmetrize (r10): the registered wrapper is unchanged
+    # (its source pin still matches — the pin only covers direct
+    # wrapper edits) but the runtime changed, so it leaves the control.
+    "sim13_knn_join",
 }
 
 

@@ -198,37 +198,44 @@ def tp23_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = _pin(sample_mixture(n))
     s = assign_splits(x)
 
-    def ids(df: DataFrame, flag: str) -> DataFrame:
-        return df.select("doc_id", F.lit(1).alias(flag))
+    # The card only needs per-stage COUNTS, and every stage output is
+    # pinned — so tag each stage's rows with a literal and count one
+    # UNION instead of left-joining six survivor id-sets back onto the
+    # raw spine (r10, guide §2.4: the six doc_id-keyed join exchanges
+    # bought nothing the stage relations didn't already know). Each
+    # union branch projects only the literal (a zero-column read of
+    # the cache / a count-only parquet scan for the raw branch); the
+    # aggregate is one map-side-partial count per stage. The 9-stage
+    # literal spine keeps an empty stage emitting 0 exactly like the
+    # old coalesce(sum, 0).
+    from functools import reduce
 
-    flags = (
-        documents.select("doc_id")
-        .join(ids(g, "f_gate"), "doc_id", "left")
-        .join(ids(m, "f_model"), "doc_id", "left")
-        .join(ids(e, "f_exact"), "doc_id", "left")
-        .join(ids(n, "f_near"), "doc_id", "left")
-        .join(ids(x, "f_mix"), "doc_id", "left")
-        .join(s.select("doc_id", "split"), "doc_id", "left")
+    branches = [
+        documents.select(F.lit("0_raw").alias("stage")),
+        g.select(F.lit("1_gated").alias("stage")),
+        m.select(F.lit("2_model_gate").alias("stage")),
+        e.select(F.lit("3_exact_dedup").alias("stage")),
+        n.select(F.lit("4_near_dedup").alias("stage")),
+        x.select(F.lit("5_mixture").alias("stage")),
+        s.select(F.concat(F.lit("6_"), F.col("split")).alias("stage")),
+    ]
+    counts = (
+        reduce(lambda u, v: u.unionByName(v), branches)
+        .groupBy("stage")
+        .agg(F.count("*").cast("long").alias("docs"))
     )
-
-    def tally(col) -> F.Column:
-        return F.coalesce(F.sum(col), F.lit(0)).cast("long")
-
-    row = flags.agg(
-        F.count("*").alias("c_raw"),
-        tally("f_gate").alias("c_gate"),
-        tally("f_model").alias("c_model"),
-        tally("f_exact").alias("c_exact"),
-        tally("f_near").alias("c_near"),
-        tally("f_mix").alias("c_mix"),
-        tally(F.when(F.col("split") == "train", 1)).alias("c_train"),
-        tally(F.when(F.col("split") == "valid", 1)).alias("c_valid"),
-        tally(F.when(F.col("split") == "test", 1)).alias("c_test"),
+    spine = spark.createDataFrame(
+        [
+            ("0_raw",), ("1_gated",), ("2_model_gate",), ("3_exact_dedup",),
+            ("4_near_dedup",), ("5_mixture",), ("6_train",), ("6_valid",),
+            ("6_test",),
+        ],
+        "stage string",
     )
-    return row.selectExpr(
-        "stack(9, "
-        "'0_raw', c_raw, '1_gated', c_gate, '2_model_gate', c_model, "
-        "'3_exact_dedup', c_exact, '4_near_dedup', c_near, '5_mixture', c_mix, "
-        "'6_train', c_train, '6_valid', c_valid, '6_test', c_test"
-        ") AS (stage, docs)"
-    ).orderBy("stage")
+    return (
+        spine.join(counts, "stage", "left")
+        .select(
+            "stage", F.coalesce("docs", F.lit(0).cast("long")).alias("docs")
+        )
+        .orderBy("stage")
+    )
