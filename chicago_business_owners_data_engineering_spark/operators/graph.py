@@ -115,26 +115,60 @@ def components_large_small_star(
     full large+small rounds — the pytest asserts the logarithmic bound
     on a long chain where propagation would need diameter rounds.
     """
-    # Lazy checkpoints, materialized BY the count that follows: an
-    # eager localCheckpoint runs one job to materialize and the count
-    # runs a second one over the checkpointed partitions; letting the
-    # count trigger the checkpoint fuses both into ONE job per round
+    # Lazy checkpoints, materialized BY the convergence probe that
+    # follows: an eager localCheckpoint runs one job to materialize and
+    # the probe a second over the checkpointed partitions; letting the
+    # probe trigger the checkpoint fuses both into ONE job per round
     # (r10 — halves the driver-coordinated jobs of every fixpoint
     # consumer: dd06/dd07/dd08/er02/er03/ml03/ml04/inc02/tp23).
     # Lineage still truncates at the checkpoint exactly as before.
+    #
+    # Convergence = "the round's output IS a star forest", detected
+    # directly (r10): every big occurs exactly once AND no node is
+    # both a big and a small — one node-keyed aggregate per round.
+    # This replaces the former count + set-equality test, which could
+    # only see the fixpoint one round LATE (it had to compute round
+    # R+1 and find it equal to round R), i.e. it spent one full extra
+    # large+small round (4+ edge-relation shuffles) plus a final
+    # exceptAll job per consumer. Exactness is self-contained, no
+    # convergence literature needed: edges are always canonical
+    # (small < big, distinct), so the invariant means the relation is
+    # a function big → small whose image is disjoint from its domain
+    # — a star forest {(member, root)} — and one more large+small
+    # round maps a star forest to itself term-for-term (large_star:
+    # every member group emits nothing new, every root group re-emits
+    # (member, root); small_star: every member group re-links {root}
+    # to itself and re-emits (member, root)). The first star-shaped
+    # output is therefore THE fixpoint, and it is exactly the shape
+    # the extraction below already requires. A graph that never
+    # star-converges now raises at max_rounds instead of silently
+    # extracting from a non-star fixpoint — strictly safer.
     canon = _canonical(pairs).localCheckpoint(eager=False)
-    n_edges = canon.count()
     rounds = 0
     while rounds < max_rounds:
         nxt = _small_star(_large_star(canon)).localCheckpoint(eager=False)
         rounds += 1
-        n_next = nxt.count()
-        if n_next == n_edges and nxt.exceptAll(canon).isEmpty():
-            canon = nxt
+        viol = (
+            nxt.select(F.col("big").alias("node"), F.lit(1).alias("b"), F.lit(0).alias("s"))
+            .unionAll(
+                nxt.select(
+                    F.col("small").alias("node"), F.lit(0).alias("b"), F.lit(1).alias("s")
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("b").alias("nb"), F.max("s").alias("ns"))
+            .select(
+                F.count(
+                    F.when((F.col("nb") > 1) | ((F.col("nb") > 0) & (F.col("ns") > 0)), 1)
+                ).alias("viol")
+            )
+            .collect()[0]["viol"]
+        )
+        canon = nxt
+        if viol == 0:
             break
-        canon, n_edges = nxt, n_next
     else:
-        raise RuntimeError(f"no fixpoint after {max_rounds} rounds")
+        raise RuntimeError(f"no star-forest fixpoint after {max_rounds} rounds")
     if stats is not None:
         stats["rounds"] = rounds
     # Star fixpoint: every edge is (member, root); roots label themselves.
