@@ -292,6 +292,13 @@ CONTROL_EXCLUDED = {
     # (its source pin still matches — the pin only covers direct
     # wrapper edits) but the runtime changed, so it leaves the control.
     "sim13_knn_join",
+    # er04 consumes the shared component fixpoint engine, whose
+    # convergence detection changed in r10 (star-forest test replaces
+    # the confirming round) — engine-level runtime change, wrapper
+    # untouched. Note the r10 checkpoint-fusion change had ALREADY
+    # altered er04's runtime without an exclusion; both are corrected
+    # here.
+    "er04_golden_record",
 }
 
 
