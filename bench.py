@@ -301,6 +301,62 @@ CONTROL_EXCLUDED = {
     "er04_golden_record",
 }
 
+# The FROZEN r10 control basis (VERDICT r10 #3): BENCH_R4 minus the six
+# r10 exclusions, spelled out so the denominator of
+# ``headline_over_control`` is a named, pinned artifact rather than a
+# set difference that silently shifts when CONTROL_EXCLUDED grows. The
+# r10 reference reading on this basis is 0.2777
+# (plans/r10_bench_after2.log); r11's ratio is comparable to that
+# number if and only if the basis members' code is unchanged —
+# tests/test_bench_control.py pins both the membership and each
+# member's source. If a member MUST change in a later round, exclude it
+# via CONTROL_EXCLUDED as before AND recompute the prior round's ratio
+# on the shrunk basis from its committed bench log, so two comparable
+# readings always exist (document both in the round's OPTIMIZATION_*.md).
+CONTROL_BASIS_R10 = (
+    "gr05_kcore",
+    "sim12_ivf_mmr_rerank",
+    "dq06_k_anonymity",
+    "dq07_k_anonymity_suppress",
+    "gr06_onion_layers",
+    "sim14_pq_knn_join",
+    "tx13_bigram_surprisal",
+    "dq08_ks_drift",
+    "dq09_mann_whitney",
+    "ml05_fasttext_quality",
+    "tx14_bpe_merges",
+    "tx15_bpe_tokenize",
+    "dq10_mad_outliers",
+    "ts09_seasonal_naive_backtest",
+    "dq11_benford_digits",
+    "gr07_lpa_communities",
+    "ml06_threshold_sweep",
+    "ab01_experiment_readout",
+    "gr08_bfs_hops",
+    "ts10_linear_trend",
+    "gr09_link_prediction",
+    "tx16_collocations",
+    "dq12_key_discovery",
+    "dq13_l_diversity",
+    "ts11_cusum_changepoint",
+    "inc03_incremental_distinct",
+    "gr10_degree_assortativity",
+    "tp17_decontaminate_train",
+    "ts12_weekday_seasonality",
+    "dd14_ngram_novelty",
+    "dq14_referential_orphans",
+    "ml08_reliability_bins",
+    "st02_last_touch_attribution",
+    "u06_arrow_udf_bucket",
+    "sim15_ivf_recall_eval",
+    "a30_grouped_string_agg",
+    "j12_null_safe_join",
+    "gr11_clustering_coefficient",
+    "wh04_scd2_merge",
+    "f25_id_gap_islands",
+    "ts13_seasonal_anomaly",
+)
+
 
 def run_pipeline_e2e(sf_dir: str) -> dict[str, object]:
     """Time the full warehouse CLI (ingestion → warehouse → analytics).
@@ -502,12 +558,21 @@ def main() -> None:
     )
     emit("vector_e2e_runtime", vec)
     emit("headline_queries_detail", timings, stats)
-    # The compact final headline: value = sum of per-query medians,
-    # value_min = sum of per-query mins (continuity with the best-of-N
-    # totals recorded in BENCH_r01-r04). Per-query numbers are on the
-    # `headline_queries_detail` line directly above.
+    # The final headline: value = sum of per-query medians, value_min =
+    # sum of per-query mins (continuity with the best-of-N totals
+    # recorded in BENCH_r01-r04) — PLUS the per-query medians
+    # themselves, at 2 decimals (VERDICT r10 #1). The driver keeps only
+    # a 2,000-char stdout TAIL and parses the LAST JSON line; the r06
+    # "compact headline" protocol dropped ``queries`` from that line to
+    # stay small, which made PERF_r09/r10's per_query comparison
+    # impossible (the full-precision detail line one row up outgrows
+    # the tail and arrives front-truncated). 32 names at 2-decimal
+    # medians fit the tail with ~45% headroom (measured ~1.1 KB; the
+    # self-check below enforces < 1800 so a future query rename or
+    # growth fails HERE, in-session). The full-precision stats stay on
+    # `headline_queries_detail` for committed logs.
     control_s = round(
-        sum(v for k, v in r4.items() if k not in CONTROL_EXCLUDED), 3
+        sum(v for k, v in r4.items() if k in CONTROL_BASIS_R10), 3
     )
     headline_value = round(sum(timings.values()), 3)
     headline = {
@@ -516,13 +581,16 @@ def main() -> None:
         "value_min": round(sum(s["min"] for s in stats.values()), 3),
         "unit": "sec",
         "sf": sf,
-        # same-process host-drift control: the frozen r4 group total.
-        # Compare headline_over_control across rounds — it cancels the
-        # uniform host-state inflation PERF.md documents (the r4 group
-        # drifted 58.4→91.2 s across r6-r8 sessions with zero code
-        # change while per-query medians held).
+        # same-process host-drift control: the FROZEN r10 basis total
+        # (CONTROL_BASIS_R10 — zero-code-change members of the r4
+        # group). Compare headline_over_control across rounds — it
+        # cancels the uniform host-state inflation PERF.md documents
+        # (the r4 group drifted 58.4→91.2 s across r6-r8 sessions with
+        # zero code change while per-query medians held). r10 reference
+        # reading on this exact basis: 0.2777.
         "control_s": control_s,
         "headline_over_control": round(headline_value / control_s, 4),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     line = json.dumps(headline)
     emitted.append(line)
@@ -532,8 +600,9 @@ def main() -> None:
     # must fail loudly in-session, never silently at round close).
     last = emitted[-1]
     parsed = json.loads(last)  # raises if unparseable
-    assert len(last) < 1000, f"final bench line is {len(last)} chars (>= 1000)"
+    assert len(last) < 1800, f"final bench line is {len(last)} chars (>= 1800)"
     assert parsed["metric"] == "headline_queries_total_runtime" and "value" in parsed
+    assert set(parsed["queries"]) == set(BENCH_QUERIES), "headline queries incomplete"
 
 
 if __name__ == "__main__":

@@ -98,5 +98,48 @@ def test_excluded_are_real_members():
     assert bench.CONTROL_EXCLUDED <= set(bench.BENCH_R4)
 
 
+# Membership hash of the FROZEN r10 control basis (VERDICT r10 #3): the
+# 41-member denominator behind the r10 reference ratio 0.2777. If this
+# assert ever needs editing, the cross-round ratio comparison breaks —
+# recompute the prior round's ratio on the new basis from its committed
+# bench log and record both (see bench.CONTROL_BASIS_R10 docstring).
+CONTROL_BASIS_R10_SHA = "5b339c51061ad9b4"
+
+
+def test_control_basis_r10_frozen():
+    digest = hashlib.sha256(
+        "\n".join(sorted(bench.CONTROL_BASIS_R10)).encode()
+    ).hexdigest()[:16]
+    assert digest == CONTROL_BASIS_R10_SHA
+    # the computed basis (BENCH_R4 minus exclusions) must agree with the
+    # frozen one: a member excluded later without conscious basis
+    # bookkeeping fails here instead of silently shifting control_s.
+    assert set(bench.BENCH_R4) - bench.CONTROL_EXCLUDED == set(
+        bench.CONTROL_BASIS_R10
+    )
+
+
 def test_pins_cover_the_group():
     assert set(CONTROL_SOURCE_PINS) == set(bench.BENCH_R4)
+
+
+def test_final_headline_line_fits_driver_tail():
+    """The driver keeps a 2,000-char stdout tail and parses the LAST
+    JSON line; the final headline line (VERDICT r10 #1: per-query
+    2-decimal medians restored to it) must fit with headroom even at
+    implausibly slow per-query values."""
+    import json
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 99999.999,
+            "value_min": 99999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "control_s": 99999.999,
+            "headline_over_control": 0.2777,
+            "queries": {n: 999.99 for n in bench.BENCH_QUERIES},
+        }
+    )
+    assert len(line) < 1800, len(line)
