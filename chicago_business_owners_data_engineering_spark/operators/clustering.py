@@ -135,19 +135,48 @@ def _recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
 _KMEANS_CTE = KMEANS_TRAJECTORY_CTE
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cluster, dist_sq) after ITERATIONS Lloyd rounds."""
+def _emb_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v float64) over the spread embeddings scan."""
     embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
-    emb = embeddings.select(
+    return embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    init_rows = emb.orderBy("vec_id").limit(K).collect()
+
+
+def lloyd_centroids(
+    spark: SparkSession, sf_dir: str, k: int = K
+) -> list[tuple[int, list[float]]]:
+    """The final centroid list after ITERATIONS Lloyd rounds — the ONE
+    driver-side trajectory every k-means consumer shares. Compositions
+    that run several k-means-blocked stages in one job (the vector
+    pipeline: assignments + semantic dedup) compute this once and pass
+    it down instead of replaying init + recompute per stage (r11 —
+    guide §1.2, don't compute things twice; the trajectory is a pure
+    function of the data so sharing it within a run changes nothing).
+    """
+    emb = _emb_vectors(spark, sf_dir)
+    init_rows = emb.orderBy("vec_id").limit(k).collect()
     centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
-    assigned = _assign(emb, centroids)
     for _ in range(ITERATIONS - 1):
-        centroids = _recompute(assigned)
-        assigned = _assign(emb, centroids)
-    return assigned
+        centroids = _recompute(_assign(emb, centroids))
+    return centroids
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """(vec_id, v, cluster, dist_sq) after ITERATIONS Lloyd rounds.
+
+    ``centroids`` short-circuits the trajectory with a precomputed
+    final list (identical by construction when it came from
+    :func:`lloyd_centroids` over the same data).
+    """
+    emb = _emb_vectors(spark, sf_dir)
+    if centroids is None:
+        centroids = lloyd_centroids(spark, sf_dir)
+    return _assign(emb, centroids)
 
 
 @query(
@@ -230,22 +259,22 @@ N_PROBES = KMEANS_N_PROBES
 
 
 def kmeans_probes(
-    spark: SparkSession, sf_dir: str, k: int = K, n_probes: int = N_PROBES
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    n_probes: int = N_PROBES,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(vec_id, v, probe) — each vector exploded to its ``n_probes``
     nearest final centroids, ordered by (distance, cid) like the
     assignment. The registry query pins k=K for oracle comparability;
     production corpora pass k ∝ corpus size (SemDeDup keeps
     cells roughly constant-sized so the in-cell quadratic stays flat —
-    see SCALE_PROBE.md)."""
-    embeddings = spread_scan(load_table(spark, sf_dir, "embeddings"))
-    emb = embeddings.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    init_rows = emb.orderBy("vec_id").limit(k).collect()
-    centroids = [(i, list(r["v"])) for i, r in enumerate(init_rows)]
-    for _ in range(ITERATIONS - 1):
-        centroids = _recompute(_assign(emb, centroids))
+    see SCALE_PROBE.md). ``centroids`` (must match ``k``) reuses a
+    precomputed :func:`lloyd_centroids` trajectory."""
+    emb = _emb_vectors(spark, sf_dir)
+    if centroids is None:
+        centroids = lloyd_centroids(spark, sf_dir, k=k)
     cent_arr = F.array(
         *[
             F.struct(
@@ -322,6 +351,7 @@ def semantic_dedup_components(
     k: int = K,
     cos_threshold: float = SEMDEDUP_COS,
     n_probes: int = N_PROBES,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """The parameterized engine behind ml03 (same plan, tunable knobs).
 
@@ -351,7 +381,9 @@ def semantic_dedup_components(
             F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    sides = kmeans_probes(spark, sf_dir, k=k, n_probes=n_probes).select(
+    sides = kmeans_probes(
+        spark, sf_dir, k=k, n_probes=n_probes, centroids=centroids
+    ).select(
         "vec_id",
         "probe",
         F.transform(F.col("v"), lambda x: x / norm).alias("vn"),
@@ -710,7 +742,10 @@ def dbscan_density_dedup(
             F.coalesce(comp["component"], core["vec_id"]).alias("cluster"),
         )
     )
-    border = (
+    # Pinned (r11): consumed by the final labeling AND by the eager
+    # survivor-min broadcast build below — the eager+lazy profile the
+    # ml03 lesson says a pin pays for. Tiny relation (border points).
+    border = _pin(
         nbrs.join(
             corec.select(
                 F.col("vec_id").alias("nb"), F.col("cluster").alias("nb_cluster")
@@ -745,24 +780,37 @@ def dbscan_density_dedup(
             ).alias("cluster"),
         )
     )
-    # Canonical survivor per cluster as a min-over-window instead of a
-    # labeled ⋈ (labeled→groupBy) self-join: the join form instantiated
-    # the ENTIRE labeled subtree twice in the final plan (the dominant
-    # term of the measured 164 cache-scan blowup); the window needs one
-    # cluster-keyed shuffle of labeled and nothing else. Noise rows
-    # (cluster = -1) keep unconditionally, so the min computed over
-    # that one unused partition changes nothing.
-    from pyspark.sql import Window
-
-    w_cluster = Window.partitionBy("cluster")
+    # Canonical survivor per cluster: per-cluster mins computed on the
+    # CLUSTERED rows only, broadcast-joined back (r11). The r10 form —
+    # MIN(vec_id) OVER (PARTITION BY cluster) over all of labeled — had
+    # a scale hazard: every noise row (cluster = -1) hashes to ONE
+    # window partition, and at 100 TB noise is typically the majority
+    # of points, so that single partition becomes the stage (guide
+    # §2.5 — a window cannot be skew-split by AQE). The min is never
+    # used for noise rows (keep is unconditionally true there), so
+    # filtering them out BEFORE the aggregate removes the hot key
+    # outright; the surviving aggregate is cluster-cardinality and the
+    # join back is an explicit broadcast — no shuffle of labeled at
+    # all, strictly less data movement than the window form. Noise rows
+    # take min_vec = NULL through the left join; `cluster = -1 OR ...`
+    # short-circuits them to keep = true exactly as before.
+    # The clustered rows of labeled are exactly corec ∪ border (core
+    # and border vec_id sets are disjoint by the anti-join above), so
+    # the mins build never has to touch the embeddings spine at all.
+    cluster_mins = (
+        corec.select("cluster", "vec_id")
+        .unionByName(border.select("cluster", "vec_id"))
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("min_vec"))
+    )
     return (
-        labeled.select(
+        labeled.join(F.broadcast(cluster_mins), "cluster", "left")
+        .select(
             "vec_id",
             "role",
             "cluster",
             (
-                (F.col("cluster") == -1)
-                | (F.col("vec_id") == F.min("vec_id").over(w_cluster))
+                (F.col("cluster") == -1) | (F.col("vec_id") == F.col("min_vec"))
             ).alias("keep"),
         )
         .orderBy("vec_id")
@@ -1143,9 +1191,10 @@ def ml09_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|labels|² output). Ties at the k-th rank break by (cs, nid) and
     vote ties by smaller label — both engines replay the exact same
     rules, so the matrix is hash-exact, not approximately equal.
-    Leave-one-out semantics come free: a vector never pairs with
-    itself (a.vec_id <> b.vec_id), so the vote never sees its own
-    label. Vectors with no blocked candidate (isolated cells) are
+    Leave-one-out semantics come free: candidates are scored once in
+    canonical (a.vec_id < b.vec_id) orientation and symmetrized after
+    the dedup, so self-pairs never exist and the vote never sees its
+    own label. Vectors with no blocked candidate (isolated cells) are
     excluded from the matrix on both engines.
 
     This registry form pins k=K for oracle comparability; the ml03/

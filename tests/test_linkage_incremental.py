@@ -476,6 +476,37 @@ def test_ml04_dbscan_invariants(spark, sf_dir):
         assert keepers == [min(members)], (c, keepers)
 
 
+def test_ml04_majority_noise_no_window_skew(spark, sf_dir):
+    """Planted-skew guard (VERDICT r10 #2): with a near-impossible
+    cosine threshold almost every point is noise (cluster = -1). The
+    r10 survivor window — MIN(vec_id) OVER (PARTITION BY cluster) —
+    sent ALL of those rows to one window partition; the r11 form
+    aggregates mins over clustered rows only and broadcast-joins them
+    back, so the majority-noise case has no hot key at all. Assert the
+    plan shape (no Window node survives; the min attach is a broadcast
+    join) and the semantics (every noise row keeps; per-cluster
+    survivor = min member) on the skewed fixture."""
+    from chicago_business_owners_data_engineering_spark.operators.clustering import (
+        dbscan_density_dedup,
+    )
+
+    df = dbscan_density_dedup(spark, sf_dir, cos_threshold=0.9999)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "survivor min must not be a window at scale"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    rows = df.collect()
+    noise = [r for r in rows if r["cluster"] == -1]
+    assert len(noise) >= 0.9 * len(rows), "fixture must be majority-noise"
+    assert all(r["keep"] for r in noise)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        if r["cluster"] != -1:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+    for c, members in by_cluster.items():
+        keepers = sorted(m["vec_id"] for m in members if m["keep"])
+        assert keepers == [min(m["vec_id"] for m in members)], c
+
+
 def test_er04_field_rules_on_real_clusters(spark, sf_dir):
     """er04's survivorship invariants on the real match graph: every
     golden field value actually occurs inside its entity, the mode is
