@@ -34,7 +34,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_scan
-from ..operators.clustering import kmeans_assignments, ml03_semantic_dedup
+from ..operators.clustering import (
+    kmeans_assignments,
+    lloyd_centroids,
+    semantic_dedup_components,
+)
 from ..operators.similarity import (
     PQ_DSUB,
     PQ_M,
@@ -47,16 +51,36 @@ from ..operators.similarity import (
 def build_vector_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Stages 1-3: cluster, dedup, PQ-encode, write the index. Returns
     the build card (counts per stage + codebook)."""
-    emb = kmeans_assignments(spark, sf_dir)  # vec_id, v, cluster, dist_sq
+    # ONE Lloyd trajectory for the whole build (r11): the cluster map
+    # and the semantic-dedup blocking share identical centroids by
+    # definition, but the r10 shape computed the init + recompute
+    # driver jobs twice (once inside kmeans_assignments, once inside
+    # ml03's kmeans_probes). Sharing the list is pure recompute
+    # elimination within this run — both stages see bit-identical
+    # centroids, so every downstream decision is unchanged.
+    cents = lloyd_centroids(spark, sf_dir)
+    emb = kmeans_assignments(spark, sf_dir, centroids=cents)
     n_raw = emb.count()
 
     # one dedup pass, cached: the component loop is the expensive part
-    # and feeds both the drop list and the card's component count
-    dedup = ml03_semantic_dedup(spark, sf_dir).cache()
+    # and feeds both the drop list and the card's component count.
+    # semantic_dedup_components at default knobs IS ml03_semantic_dedup
+    # (the registry wrapper calls it verbatim), plus the shared cents.
+    dedup = semantic_dedup_components(spark, sf_dir, centroids=cents).cache()
     dropped = dedup.filter(~F.col("keep")).select("vec_id")
-    n_components = dedup.filter(F.col("keep")).count()
+    # Both card counts from ONE job over the fresh cache (keep=True →
+    # component survivors, keep=False → drops); survivors = raw minus
+    # drops — every dropped vec_id exists in emb (components only
+    # contain embedding vec_ids) — so keep.count()'s second assignment
+    # scan + anti-join disappears (the index write below is keep's
+    # only consumer now).
+    by_keep = {
+        r["keep"]: r["n"]
+        for r in dedup.groupBy("keep").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_components = by_keep.get(True, 0)
     keep = emb.join(dropped, "vec_id", "left_anti")
-    n_kept = keep.count()
+    n_kept = n_raw - by_keep.get(False, 0)
 
     cb_rows = (
         spread_scan(load_table(spark, sf_dir, "embeddings"))

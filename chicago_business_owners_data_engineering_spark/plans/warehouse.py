@@ -238,12 +238,36 @@ def create_aggregations(facts: DataFrame) -> dict[str, DataFrame]:
 
 def validate(facts: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
     """Stage 6 — referential-integrity validation (J5,
-    cbddl/src/etl/pipeline.py:567-609): orphan anti-join counts with a
-    pass/fail verdict row."""
-    orphan_cust = facts.join(
-        F.broadcast(dims["dim_customer"]), "customer_sk", "left_anti"
-    ).count()
-    orphan_date = facts.join(F.broadcast(dims["dim_date"]), "date_key", "left_anti").count()
+    cbddl/src/etl/pipeline.py:567-609): orphan counts with a pass/fail
+    verdict row.
+
+    Both orphan counts in ONE pass over the facts (r11): the r10 form
+    ran two separate anti-join ``count()`` jobs, i.e. two full scans of
+    the cached fact table. A left join against each dim's distinct key
+    set marks missing keys NULL, and one aggregate counts both NULL
+    columns — the anti-join count exactly, because a left join against
+    a DISTINCT key set never multiplies rows (the ``distinct()`` on the
+    broadcast build side makes that unconditional; dims are key-unique
+    by construction anyway). Same counts, half the passes, and both
+    probes stay broadcast.
+    """
+    has_cust = dims["dim_customer"].select("customer_sk").distinct().withColumn(
+        "_hc", F.lit(1)
+    )
+    has_date = dims["dim_date"].select("date_key").distinct().withColumn(
+        "_hd", F.lit(1)
+    )
+    row = (
+        facts.select("customer_sk", "date_key")
+        .join(F.broadcast(has_cust), "customer_sk", "left")
+        .join(F.broadcast(has_date), "date_key", "left")
+        .agg(
+            F.count(F.when(F.col("_hc").isNull(), 1)).alias("orphan_cust"),
+            F.count(F.when(F.col("_hd").isNull(), 1)).alias("orphan_date"),
+        )
+        .collect()[0]
+    )
+    orphan_cust, orphan_date = row["orphan_cust"], row["orphan_date"]
     spark = facts.sparkSession
     return spark.createDataFrame(
         [
@@ -298,7 +322,19 @@ def run_warehouse_pipeline(
     # avoids ~2,400 one-file date dirs for a 150k-row staging snapshot
     # (measured 12.9 s → ~1.5 s for this stage at sf0.1).
     staged = stage_bronze(spark, sf_dir, batch_id)
-    staged.repartition("batch_id").write.mode("overwrite").partitionBy("batch_id").parquet(
+    # Salted co-partitioned write (r11): a run stages ONE batch, so
+    # repartition("batch_id") hashed every row to a single task and the
+    # whole to_json payload serialized single-threaded (measured: the
+    # bronze stage was one straggler task). The deterministic content
+    # salt (guide §2.5 — never rand()) splits each batch into
+    # ``fan`` co-located groups: still exactly one directory per batch
+    # (dynamic overwrite semantics unchanged), now ``fan`` files
+    # written in parallel. At 100 TB ``fan`` bounds files-per-batch;
+    # scale it with batch bytes / target file size.
+    fan = spark.sparkContext.defaultParallelism
+    staged.repartition(
+        fan, "batch_id", F.pmod(F.xxhash64("o_orderkey"), F.lit(fan))
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(
         os.path.join(out_dir, "bronze", "orders_staged")
     )
     _mark("bronze")
@@ -307,9 +343,27 @@ def run_warehouse_pipeline(
     _mark("quality")
 
     dims = load_dimensions(spark, sf_dir)
-    for name, df in dims.items():
+    # Three independent dimension writes overlap from a small driver
+    # pool (guide §2.6): each is its own job, so the next write's tasks
+    # back-fill executors freed by the current write's tail instead of
+    # idling through three sequential stragglers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_dim(item: tuple[str, DataFrame]) -> None:
+        name, df = item
         df.write.mode("overwrite").parquet(os.path.join(out_dir, "silver", name))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write_dim, dims.items()))
     _mark("dims")
+    # Downstream stages consume the WRITTEN silver dims (medallion
+    # contract — and it stops load_facts from re-running the
+    # customer⋈nation⋈region + dropDuplicates dim build a second time
+    # inside the fact stage's broadcast; the read-back parquet is the
+    # same relation by construction).
+    dims_back = {
+        name: spark.read.parquet(os.path.join(out_dir, "silver", name)) for name in dims
+    }
 
     # Silver facts partition on MONTH, not day: partition granularity
     # must track bytes-per-partition (≥ ~100 MB each), and at bench SF
@@ -323,7 +377,7 @@ def run_warehouse_pipeline(
     # GBs, so day granularity becomes correct — flip ``partitionBy``
     # to date_key then; nothing downstream changes (date_key stays a
     # data column either way).
-    facts = load_facts(spark, sf_dir, dims).withColumn(
+    facts = load_facts(spark, sf_dir, dims_back).withColumn(
         "month_key", F.substring("date_key", 1, 6)
     )
     facts.repartition("month_key").sortWithinPartitions("date_key").write.mode(
@@ -345,11 +399,9 @@ def run_warehouse_pipeline(
             df.write.mode("overwrite").parquet(os.path.join(out_dir, "gold", name))
         _mark("gold")
 
-        dims_back = {
-            name: spark.read.parquet(os.path.join(out_dir, "silver", name)) for name in dims
-        }
-        # validate() runs its anti-join counts eagerly, while facts are
-        # still cached; the returned verdict rows are driver-local.
+        # validate() runs its one-pass orphan count eagerly, while
+        # facts are still cached; the returned verdict rows are
+        # driver-local.
         verdict = validate(facts_back, dims_back)
         _mark("validate")
         return verdict
