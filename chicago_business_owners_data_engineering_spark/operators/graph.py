@@ -105,11 +105,14 @@ def components_large_small_star(
 
     Same contract as ``dedup.components_propagation`` — component = min
     doc_id reachable, only nodes with ≥1 edge appear — but O(log n)
-    rounds instead of O(diameter). Convergence is an exact set-equality
-    fixpoint: the canonical edge relation is distinct on both sides, so
-    equal counts plus an empty one-sided ``exceptAll`` certify
-    equality. ``localCheckpoint`` truncates lineage each round, the
-    same driver-coordination pattern as the propagation variant.
+    rounds instead of O(diameter). Convergence is detected by testing
+    the round's output for the star-forest shape directly (every
+    ``big`` occurs exactly once AND no ``big`` is also a ``small`` —
+    one node-keyed aggregate per round); the first star-shaped output
+    IS the unique fixpoint, and a graph that never star-converges
+    raises at ``max_rounds``. ``localCheckpoint`` truncates lineage
+    each round, the same driver-coordination pattern as the
+    propagation variant.
 
     ``stats['rounds']`` (when a dict is passed) records the number of
     full large+small rounds — the pytest asserts the logarithmic bound

@@ -9,10 +9,12 @@ dedup → near dedup → mixture → split. The one flagship stage omitted
 here is the containment sweep (dd13 verifies that machinery on its
 own; its oracle tripled the statement size for zero new coverage).
 
-Engine shape: ONE job. Each stage's survivor id-set left-joins back
-onto the raw id spine with a literal flag, and a single aggregate
-computes the whole funnel — no per-stage .count() jobs, no caches; the
-gate shuffle is shared across flag branches via ReusedExchange.
+Engine shape (r10): each stage output is pinned (lazy MEMORY_AND_DISK,
+ring-released on the next call), so the 6-stage chain computes each
+stage once instead of triangularly; the card is a stage-literal UNION
+of the pinned survivor id-sets counted by one map-side-partial
+aggregate, with a literal 9-row spine supplying zeros for empty
+stages — no per-stage .count() jobs, no doc_id spine joins.
 """
 
 from __future__ import annotations
@@ -156,11 +158,12 @@ def tp23_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     now composed UNDER the gates and exact dedup rather than over the
     raw table.
 
-    Scale shape: stage survivor id-sets left-join the raw id spine
-    with literal flags; one aggregate emits the whole funnel, and the
-    split distribution comes from conditional sums in the SAME
-    aggregate — 9 card rows, zero driver-side loops, no caching
-    (identical stage subplans dedupe via ReusedExchange).
+    Scale shape: each stage output is pinned once (lazy
+    MEMORY_AND_DISK, ring-released); the card unions the pinned
+    survivor id-sets under stage-name literals and counts them in one
+    map-side-partial aggregate (stage cardinality rows after the
+    partials), with a 9-row literal spine supplying zeros for empty
+    stages — zero driver-side loops, no doc_id-keyed spine joins.
     """
     from .curation_pipeline import (
         assign_splits,
