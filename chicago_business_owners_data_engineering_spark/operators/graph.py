@@ -175,15 +175,17 @@ def components_large_small_star(
     if stats is not None:
         stats["rounds"] = rounds
     # Star fixpoint: every edge is (member, root); roots label themselves.
-    return (
-        canon.select(F.col("big").alias("doc_id"), F.col("small").alias("component"))
-        .unionByName(
-            canon.select(
-                F.col("small").alias("doc_id"), F.col("small").alias("component")
-            )
-        )
-        .distinct()
-    )
+    # The member side needs NO dedup — the star test just certified that
+    # every big occurs exactly once — and member doc_ids (bigs) are
+    # disjoint from root doc_ids (smalls), also certified. Only the root
+    # self-labels repeat (once per member), so distinct runs on the
+    # |E|-row single-column small side instead of the full 2|E|-row
+    # union (r11: one O(E) exchange replaced by an O(E) half-width one,
+    # and the member rows never enter any exchange at all).
+    roots = canon.select(F.col("small").alias("doc_id")).distinct()
+    return canon.select(
+        F.col("big").alias("doc_id"), F.col("small").alias("component")
+    ).unionByName(roots.select("doc_id", F.col("doc_id").alias("component")))
 
 
 # ---------------------------------------------------------------------------
