@@ -299,6 +299,9 @@ CONTROL_EXCLUDED = {
     # altered er04's runtime without an exclusion; both are corrected
     # here.
     "er04_golden_record",
+    # r11: dq12 gained the adaptive approx-prescreen (exact Expand only
+    # over near-key candidates) — code change, leaves the control.
+    "dq12_key_discovery",
 }
 
 # The FROZEN r10 control basis (VERDICT r10 #3): BENCH_R4 minus the six
@@ -313,6 +316,13 @@ CONTROL_EXCLUDED = {
 # via CONTROL_EXCLUDED as before AND recompute the prior round's ratio
 # on the shrunk basis from its committed bench log, so two comparable
 # readings always exist (document both in the round's OPTIMIZATION_*.md).
+# r11 note: dq12_key_discovery left the basis (VERDICT r10 #7 made its
+# plan adaptive), so the operative basis is these 40 members. Prior
+# readings recomputed on THIS basis from the committed logs:
+# r10 close (plans/r10_bench_after2.log)  headline 14.526 / control 47.601 = 0.3052
+# r11 open  (plans/r11_bench_before.log)  headline 13.364 / control 37.161 = 0.3596
+# (The r10-published 0.2777 sat on the pre-er04-exclusion 42-member
+# denominator; on the frozen 41-member basis it recomputes to 0.2920.)
 CONTROL_BASIS_R10 = (
     "gr05_kcore",
     "sim12_ivf_mmr_rerank",
@@ -336,7 +346,6 @@ CONTROL_BASIS_R10 = (
     "ts10_linear_trend",
     "gr09_link_prediction",
     "tx16_collocations",
-    "dq12_key_discovery",
     "dq13_l_diversity",
     "ts11_cusum_changepoint",
     "inc03_incremental_distinct",

@@ -1360,11 +1360,8 @@ def dq12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality profile with an is_key verdict.
 
     The data-profiling primitive behind schema inference and warehouse
-    onboarding (dq01 checks the KNOWN key; this DISCOVERS keys):
-    ONE aggregate computes row count, exact distinct count, and null
-    count for every candidate, then the long-format unpivot (stack)
-    makes the result a relation a quality dashboard consumes directly.
-    The composite candidate concatenates through a '|' separator
+    onboarding (dq01 checks the KNOWN key; this DISCOVERS keys). The
+    composite candidate concatenates through a '|' separator
     identically on both engines (multi-column COUNT DISTINCT has
     engine-specific null semantics; the string form does not). Both
     sides use null-PROPAGATING concatenation — ``F.concat`` here,
@@ -1372,14 +1369,25 @@ def dq12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole candidate NULL and lands in the null count, not the distinct
     count.
 
-    Scale shape: Spark evaluates multi-column exact distincts via one
-    EXPAND pass (k× map-side row fan-out, one shuffle on the grouping
-    spine) — exact by contract here because the ORACLE must match bit
-    for bit. The 100 TB recipe, documented: pre-screen every column
-    with approx_count_distinct (one cheap pass, no expand), then run
-    the exact pass only on columns whose estimate is within error range
-    of n_rows — the plan shape is this query minus the hopeless
-    columns.
+    Scale shape (r11 — the approx-prescreen recipe, now code): a
+    multi-column exact distinct runs as one EXPAND pass that fans every
+    row out once per candidate, so a wide profile pays k× row CPU and
+    carries every candidate's distinct state through one aggregate.
+    Pass 1 computes n_rows, all null counts, and a per-candidate
+    ``approx_count_distinct`` in ONE Expand-free aggregate. Candidates
+    whose estimate is near n_rows (the only possible keys, with a 2×
+    margin over the HLL rsd) go through the exact Expand pass TOGETHER
+    — the Expand now fans out only over near-key candidates; each
+    far candidate gets its own single-distinct two-phase aggregate (no
+    Expand, column-pruned scan of one — typically low-cardinality,
+    RLE-compressed — column), submitted concurrently (guide §2.6).
+
+    Exactness is routing-independent: every emitted count is an exact
+    Spark aggregate of the same expression as before — the prescreen
+    only decides WHICH physical pass computes it, so any estimate
+    (even a wildly wrong one) yields identical output. The driver-side
+    assembly collects O(k) scalars (the ml01 Lloyd-collect class), not
+    data.
 
     Parity: beyond-reference (profiling extension of dq01/dq02's
     validation layer, cbddl/src/etl/pipeline.py:205-267).
@@ -1394,27 +1402,61 @@ def dq12_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             composite_parts.append(F.lit("|"))
         composite_parts.append(F.col(c).cast("string"))
     composite = F.concat(*composite_parts)
-    n = F.count(F.lit(1))
-    aggs = [n.alias("n_rows")]
-    for c in DQ12_COLUMNS:
-        aggs.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
-        aggs.append((n - F.count(F.col(c))).alias(f"z_{c}"))
     comp_name = "+".join(DQ12_COMPOSITE)
-    aggs.append(F.countDistinct(composite).alias("d_comp"))
-    aggs.append((n - F.count(composite)).alias("z_comp"))
-    wide = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', d_{c}, z_{c}" for c in DQ12_COLUMNS
-    ) + f", '{comp_name}', d_comp, z_comp"
-    n_cands = len(DQ12_COLUMNS) + 1
+    cands: list[tuple[str, object]] = [(c, F.col(c)) for c in DQ12_COLUMNS]
+    cands.append((comp_name, composite))
+
+    # Pass 1 — Expand-free: row count, null counts, HLL estimates.
+    n = F.count(F.lit(1))
+    pre_aggs = [n.alias("n_rows")]
+    for name, expr in cands:
+        pre_aggs.append((n - F.count(expr)).alias(f"z_{name}"))
+        pre_aggs.append(F.approx_count_distinct(expr).alias(f"a_{name}"))
+    pre = orders.agg(*pre_aggs).collect()[0]
+    n_rows = pre["n_rows"]
+
+    # Route: a candidate can only be a key if its exact distinct count
+    # equals n_rows; the default HLL rsd is 5%, so estimate ≥ n_rows/2
+    # is a 10-sigma-wide net — and the routing is exactness-neutral
+    # either way (see docstring).
+    near = [(nm, e) for nm, e in cands if pre[f"a_{nm}"] * 2 >= n_rows]
+    far = [(nm, e) for nm, e in cands if pre[f"a_{nm}"] * 2 < n_rows]
+
+    # The near-key Expand pass and each far candidate's single-distinct
+    # pass are independent jobs — submit them all from one small pool
+    # (guide §2.6) so the far columns' cheap scans back-fill the Expand
+    # pass's tail instead of running after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _near_task() -> list[tuple[str, int]]:
+        spark.sparkContext.setJobDescription("dq12 exact distinct: near-key expand")
+        row = orders.agg(
+            *[F.countDistinct(e).alias(f"d_{nm}") for nm, e in near]
+        ).collect()[0]
+        return [(nm, row[f"d_{nm}"]) for nm, _ in near]
+
+    def _far_task(item: tuple[str, object]) -> list[tuple[str, int]]:
+        nm, e = item
+        spark.sparkContext.setJobDescription(f"dq12 exact distinct: {nm}")
+        return [(nm, orders.agg(F.countDistinct(e).alias("d")).collect()[0]["d"])]
+
+    tasks = ([_near_task] if near else []) + [
+        (lambda item=item: _far_task(item)) for item in far
+    ]
+    distinct_counts: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for chunk in pool.map(lambda t: t(), tasks):
+            distinct_counts.update(chunk)
+
+    profile = spark.createDataFrame(
+        [
+            (nm, n_rows, distinct_counts[nm], pre[f"z_{nm}"])
+            for nm, _ in cands
+        ],
+        "column_name string, n_rows long, n_distinct long, n_nulls long",
+    )
     return (
-        wide.select(
-            "n_rows",
-            F.expr(
-                f"stack({n_cands}, {stack_args}) AS (column_name, n_distinct, n_nulls)"
-            ),
-        )
-        .select(
+        profile.select(
             "column_name",
             "n_rows",
             "n_distinct",

@@ -98,12 +98,14 @@ def test_excluded_are_real_members():
     assert bench.CONTROL_EXCLUDED <= set(bench.BENCH_R4)
 
 
-# Membership hash of the FROZEN r10 control basis (VERDICT r10 #3): the
-# 41-member denominator behind the r10 reference ratio 0.2777. If this
-# assert ever needs editing, the cross-round ratio comparison breaks —
-# recompute the prior round's ratio on the new basis from its committed
-# bench log and record both (see bench.CONTROL_BASIS_R10 docstring).
-CONTROL_BASIS_R10_SHA = "5b339c51061ad9b4"
+# Membership hash of the FROZEN control basis (VERDICT r10 #3). r11
+# dropped dq12 (its plan became adaptive, VERDICT r10 #7), so the
+# operative basis is 40 members; the prior rounds' ratios recomputed on
+# this basis from their committed logs are recorded next to the
+# constant in bench.py. If this assert ever needs editing, recompute
+# the prior round's ratio on the new basis the same way and record
+# both.
+CONTROL_BASIS_R10_SHA = "ab2f6bdabaff86dc"
 
 
 def test_control_basis_r10_frozen():
