@@ -245,6 +245,24 @@ PROBE100_R8: tuple[str, ...] = (
 # 0.42, the round's highest — full-outer snapshot diff), st10 (session
 # merge under gap semantics), f35 (collation grouping); plus skew01,
 # whose integer-cents fix landed after its last probe.
+# Round-11 100× set (VERDICT r10 #8): the r10/r11 rewrites whose
+# shuffle-byte claims need a measured exponent — ml04's broadcast
+# survivor mins (replacing the noise-hot window), sim13/ml09 canonical
+# scoring, dd11's hash prefilter (first 100× probe), the star-forest
+# convergence + r11 extraction dedup under three fixpoint consumers,
+# and dq12's adaptive prescreen. q01 rides as the linear control.
+PROBE100_R11: tuple[str, ...] = (
+    "q01_pricing_summary",
+    "ml04_density_scaledk",
+    "sim13_knnjoin_scaledk",
+    "ml09_knneval_scaledk",
+    "dd11_char_span_dedup",
+    "dd06_neardup_components",
+    "inc02_incremental_components",
+    "er03_entity_revenue",
+    "dq12_key_discovery",
+)
+
 PROBE100_R9: tuple[str, ...] = (
     "wh07_snapshot_diff",
     "st10_session_window_native",
